@@ -1,0 +1,110 @@
+"""DLinear: moving-average decomposition + per-branch linear heads.
+
+Re-design of reference models/dlinear.py:6-135 (paper arXiv 2205.13504).
+TPU notes: the `individual` per-channel variant is a single batched
+[C, seq, pred] einsum instead of the reference's python loop over channels
+(dlinear.py:65-70) — one MXU contraction, no unrolled graph.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.decomp import series_decomp
+
+
+def _ones_over_seq(seq_len):
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, 1.0 / seq_len, dtype=dtype)
+    return init
+
+
+class DLinear(nn.Module):
+    task: str
+    seq_len: int
+    pred_len: int
+    channels: int
+    n_classes: int
+    individual: bool
+    moving_avg_kernel: int
+    dropout: float
+    seg_mode: str | None = None
+
+    supported_tasks = ("forecasting", "anomaly_detection", "reconstruction",
+                       "imputation", "classification", "semantic_segmentation",
+                       "segmentation")
+    supported_modes = ("multivariate",)
+
+    @classmethod
+    def from_config(cls, config, dataset):
+        task = config.task
+        pred_len = config.pred_len if task == "forecasting" else config.history_len
+        n_classes = dataset.n_classes if task in ("classification", "semantic_segmentation") else 0
+        return cls(
+            task=task,
+            seq_len=config.history_len,
+            pred_len=pred_len,
+            channels=dataset.n_features,
+            n_classes=n_classes,
+            individual=config.models.dlinear.individual,
+            moving_avg_kernel=config.models.dlinear.moving_avg,
+            dropout=config.training.dropout,
+            seg_mode=(config.tasks.segmentation.mode
+                      if task == "segmentation" else None),
+        )
+
+    def _branch_linear(self, name, x):
+        """x: [B, C, seq] -> [B, C, pred]. Weights init to 1/seq_len like the
+        reference (dlinear.py:42-49)."""
+        if self.individual:
+            w = self.param(f"{name}_w", _ones_over_seq(self.seq_len),
+                           (self.channels, self.seq_len, self.pred_len))
+            b = self.param(f"{name}_b", nn.initializers.zeros,
+                           (self.channels, self.pred_len))
+            return jnp.einsum("bcs,csp->bcp", x, w) + b[None]
+        w = self.param(f"{name}_w", _ones_over_seq(self.seq_len),
+                       (self.seq_len, self.pred_len))
+        b = self.param(f"{name}_b", nn.initializers.zeros, (self.pred_len,))
+        return jnp.einsum("bcs,sp->bcp", x, w) + b[None, None]
+
+    def encoder(self, x):
+        seasonal, trend = series_decomp(x, self.moving_avg_kernel)
+        seasonal = jnp.swapaxes(seasonal, 1, 2)  # [B, C, seq]
+        trend = jnp.swapaxes(trend, 1, 2)
+        out = (self._branch_linear("seasonal", seasonal)
+               + self._branch_linear("trend", trend))
+        return jnp.swapaxes(out, 1, 2)  # [B, pred, C]
+
+    @nn.compact
+    def __call__(self, inputs: dict, training: bool = False):
+        x_enc = inputs["x_enc"]
+        enc = self.encoder(x_enc)
+
+        if self.task == "forecasting":
+            return enc[:, -self.pred_len:, :]
+        if self.task in ("anomaly_detection", "reconstruction", "imputation"):
+            return enc
+        if self.task == "classification":
+            out = nn.gelu(enc, approximate=False).reshape(enc.shape[0], -1)
+            out = nn.Dropout(self.dropout)(out, deterministic=not training)
+            return nn.Dense(self.n_classes, name="projection")(out)
+        if self.task == "semantic_segmentation":
+            out = nn.gelu(enc, approximate=False).reshape(enc.shape[0], -1)
+            out_size = (self.pred_len * self.n_classes if self.n_classes > 2
+                        else self.pred_len)
+            out = nn.Dense(out_size, name="projection")(out)
+            if not training:
+                if self.n_classes > 2:
+                    out = out.reshape(out.shape[0], self.pred_len, self.n_classes)
+                    out = nn.softmax(out, axis=-1)
+                else:
+                    out = nn.sigmoid(out)
+            return out
+        if self.task == "segmentation":
+            out = nn.gelu(enc, approximate=False).reshape(enc.shape[0], -1)
+            out = nn.Dense(self.seq_len, name="projection")(out)
+            if not training and self.seg_mode == "boundary-prediction":
+                out = nn.sigmoid(out)
+            return out
+        raise ValueError(f"Invalid task for DLinear: {self.task}")

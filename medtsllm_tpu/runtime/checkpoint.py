@@ -1,0 +1,80 @@
+"""Checkpoint save/restore.
+
+Reference semantics (loggers/base_logger.py:29-43, tasks/base.py:283-306):
+`latest` written every epoch, `best` on metric improvement; checkpoints hold
+{run_id, epoch, step, datetime, model params}; frozen LLM weights excluded
+so checkpoints stay small and the LLM is re-materialized at resume.
+
+Format: flax msgpack serialization of the param pytree + a JSON meta header
+in a single file. Writes are atomic (tmp + rename) so SIGUSR1 preemption
+(tasks/base.py:277-281) can't corrupt the latest checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path, params, meta: dict):
+    path = Path(path)
+    params = jax.device_get(params)
+    blob = serialization.to_bytes(params)
+    header = json.dumps(meta).encode()
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path, params_template=None):
+    """Returns (params, meta). If `params_template` is given, the stored
+    tree is restored onto it (strict shape/dtype checking by flax);
+    otherwise a raw nested-dict of numpy arrays is returned."""
+    path = Path(path)
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        meta = json.loads(f.read(n).decode())
+        blob = f.read()
+    if params_template is not None:
+        params = serialization.from_bytes(params_template, blob)
+    else:
+        params = serialization.msgpack_restore(blob)
+    return params, meta
+
+
+def restore_partial(template: dict, saved: dict, skip_prefixes=()):
+    """Non-strict restore (reference load_state_dict(strict=False) +
+    unexpected-key assert, tasks/base.py:300-301): every saved leaf must
+    exist in the template (no unexpected keys); missing template leaves keep
+    their current values. Returns (merged, loaded_paths)."""
+    loaded = []
+
+    def walk(tmpl, sv, prefix):
+        out = dict(tmpl)
+        for k, v in sv.items():
+            path = f"{prefix}/{k}" if prefix else str(k)
+            if any(path.startswith(p) for p in skip_prefixes):
+                continue
+            if k not in tmpl:
+                raise KeyError(f"Unexpected key in checkpoint: {path}")
+            if isinstance(v, dict):
+                out[k] = walk(tmpl[k], v, path)
+            else:
+                arr = np.asarray(v)
+                if tuple(arr.shape) != tuple(np.shape(tmpl[k])):
+                    raise ValueError(
+                        f"Shape mismatch for {path}: "
+                        f"{arr.shape} vs {np.shape(tmpl[k])}")
+                out[k] = arr.astype(tmpl[k].dtype) if hasattr(tmpl[k], "dtype") else arr
+                loaded.append(path)
+        return out
+
+    return walk(template, saved, ""), loaded

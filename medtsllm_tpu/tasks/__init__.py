@@ -1,0 +1,36 @@
+"""Task-trainer registry (reference tasks/__init__.py:9-20)."""
+
+from __future__ import annotations
+
+
+def _lookup():
+    from .forecasting import ForecastTask
+    from .reconstruction import ReconstructionTask
+    from .anomaly_detection import AnomalyDetectionTask
+    from .segmentation import SegmentationTask
+    from .semantic_segmentation import SemanticSegmentationTask
+    from .pretraining import PretrainingTask
+    return {
+        "forecasting": ForecastTask,
+        "reconstruction": ReconstructionTask,
+        "anomaly_detection": AnomalyDetectionTask,
+        "segmentation": SegmentationTask,
+        "semantic_segmentation": SemanticSegmentationTask,
+        "pretraining": PretrainingTask,
+    }
+
+
+class _TaskLookup(dict):
+    def __missing__(self, key):
+        self.update(_lookup())
+        return dict.__getitem__(self, key)
+
+
+task_lookup = _TaskLookup()
+
+
+def get_trainer(run_id, config):
+    if config.task not in ("forecasting", "reconstruction", "anomaly_detection",
+                           "segmentation", "semantic_segmentation", "pretraining"):
+        raise ValueError(f"Unknown task {config.task!r}")
+    return task_lookup[config.task](run_id, config)
