@@ -94,12 +94,15 @@ class DLinear(nn.Module):
             out_size = (self.pred_len * self.n_classes if self.n_classes > 2
                         else self.pred_len)
             out = nn.Dense(out_size, name="projection")(out)
-            if not training:
-                if self.n_classes > 2:
-                    out = out.reshape(out.shape[0], self.pred_len, self.n_classes)
+            if self.n_classes > 2:
+                # always emit [B, L, C]; the reference leaves training-time
+                # multiclass output flat (dlinear.py:96-103), which its own
+                # CE trainer cannot consume — structured shape fixes that
+                out = out.reshape(out.shape[0], self.pred_len, self.n_classes)
+                if not training:
                     out = nn.softmax(out, axis=-1)
-                else:
-                    out = nn.sigmoid(out)
+            elif not training:
+                out = nn.sigmoid(out)
             return out
         if self.task == "segmentation":
             out = nn.gelu(enc, approximate=False).reshape(enc.shape[0], -1)

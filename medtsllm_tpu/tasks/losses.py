@@ -44,9 +44,9 @@ def bce_with_logits(pred, target, valid):
 
 
 def cross_entropy(logits, labels, valid):
-    """logits [B, n_classes, L] (reference permutes for CE,
-    semantic_segmentation.py:36-38), labels [B, L] int."""
-    logits = jnp.swapaxes(logits, 1, 2)  # [B, L, C]
+    """logits [B, L, n_classes], labels [B, L] int. (The reference permutes
+    to channel-first for torch CE, semantic_segmentation.py:36-38; jax CE
+    takes class-last directly.)"""
     loss = optax.softmax_cross_entropy_with_integer_labels(
         logits, labels.astype(jnp.int32))
     return _masked_mean(_per_sample(loss), valid)
@@ -132,8 +132,7 @@ def build_loss(name: str, task: str, n_classes: int = 0):
         case ("bce" | "ce" | "cross_entropy" | "auto", "semantic_segmentation") if is_binary:
             return lambda p, b, v: bce_with_logits(p, b["labels"], v)
         case ("ce" | "cross_entropy" | "auto", "semantic_segmentation"):
-            # model emits [B, L, C]; reference permutes to [B, C, L] for CE
-            return lambda p, b, v: cross_entropy(jnp.swapaxes(p, 1, 2), b["labels"], v)
+            return lambda p, b, v: cross_entropy(p, b["labels"], v)
         case ("iou" | "jaccard", _):
             return lambda p, b, v: jaccard_loss(p, b["labels"], v, binary=is_binary)
         case ("lovasz" | "lovasz-hinge", _) if is_binary:

@@ -1,0 +1,146 @@
+"""Every task runs end-to-end with DLinear on synthetic data."""
+
+import numpy as np
+import pytest
+
+from medtsllm_tpu.tasks import get_trainer
+from medtsllm_tpu.tasks.postproc import adjust_anomalies, all_pairs_iou, running_mean
+from conftest import make_config
+
+
+def _cfg(task, tmp_path, **kw):
+    cfg = make_config(task=task, model="dlinear", hist=32, pred=32, step=16, **kw)
+    cfg["models"] = {"dlinear": {"individual": False, "moving_avg": 13}}
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.training.epochs = 1
+    cfg.datasets.synthetic.n_points = 768
+    return cfg
+
+
+def test_anomaly_detection(tmp_path):
+    cfg = _cfg("anomaly_detection", tmp_path, eval_metric="f1", eval_dir="max")
+    trainer = get_trainer("ad", cfg)
+    trainer.train()
+    scores = trainer.test()
+    for k in ("test/accuracy", "test/f1", "test/auroc", "test/iou",
+              "test/recon_mse", "test/anomaly_threshold"):
+        assert k in scores
+    assert 0 <= scores["test/f1"] <= 1
+
+
+def test_anomaly_detection_fixed_threshold(tmp_path):
+    cfg = _cfg("anomaly_detection", tmp_path)
+    cfg.tasks.anomaly_detection.threshold = 0.05
+    trainer = get_trainer("ad2", cfg)
+    scores = trainer.test()
+    assert scores["test/anomaly_quantile"] == pytest.approx(0.95)
+
+
+def test_segmentation_boundary(tmp_path):
+    cfg = _cfg("segmentation", tmp_path, loss="bce",
+               eval_metric="segment_miou", eval_dir="max")
+    trainer = get_trainer("seg", cfg)
+    trainer.train()
+    scores = trainer.test()
+    assert "test/segment_miou" in scores and "test/point_mae" in scores
+    assert 0 <= scores["test/segment_miou"] <= 1
+
+
+def test_segmentation_steps_to_boundary(tmp_path):
+    cfg = _cfg("segmentation", tmp_path, loss="mse",
+               eval_metric="segment_miou", eval_dir="max")
+    cfg.tasks.segmentation.mode = "steps-to-boundary"
+    trainer = get_trainer("seg2", cfg)
+    scores = trainer.test()
+    assert "test/segment_miou" in scores
+
+
+def test_semantic_segmentation_binary(tmp_path):
+    cfg = _cfg("semantic_segmentation", tmp_path, loss="auto",
+               eval_metric="iou", eval_dir="max")
+    trainer = get_trainer("sem", cfg)
+    trainer.train()
+    scores = trainer.test()
+    assert 0 <= scores["test/iou"] <= 1
+
+
+def test_semantic_segmentation_multiclass(tmp_path):
+    cfg = _cfg("semantic_segmentation", tmp_path, loss="ce",
+               eval_metric="iou", eval_dir="max")
+    cfg.datasets.synthetic.n_classes = 4
+    trainer = get_trainer("sem4", cfg)
+    trainer.train()
+    scores = trainer.test()
+    assert 0 <= scores["test/accuracy"] <= 1
+
+
+def test_pretraining_dataset_mixture(tmp_path):
+    # the PretrainingTask trainer itself is exercised in test_medtsllm.py
+    # (only MedTsLLM supports the pretraining task, like the reference);
+    # here we check the mixture dataset contract
+    from medtsllm_tpu.data import get_dataset
+    from medtsllm_tpu.data.util import PretrainingDataset
+    base = _cfg("reconstruction", tmp_path)
+    mix = {}
+    for name in ("a", "b"):
+        cfg = base.copy()
+        cfg.datasets.synthetic.n_features = 2 if name == "a" else 4
+        mix[name] = get_dataset(cfg, "train")
+    ds = PretrainingDataset(mix, downsample_pct=0.5, n_features="auto", seed=0)
+    assert ds.n_features == 4
+    item = ds[0]
+    assert item["x_enc"].shape[1] == 4
+    assert "dataset_description" in item
+    assert len(ds) == sum(max(1, int(0.5 * len(d))) for d in mix.values())
+
+
+# -- post-processing numerics ------------------------------------------------
+
+def _reference_adjust(pred, gt):
+    """Direct port of the reference numba loop for parity checking
+    (tasks/anomaly_detection.py:215-237)."""
+    pred, gt = pred.copy(), gt.copy()
+    anomaly_state = False
+    for i in range(len(gt)):
+        if gt[i] == 1 and pred[i] == 1 and not anomaly_state:
+            anomaly_state = True
+            for j in range(i, 0, -1):
+                if gt[j] == 0:
+                    break
+                if pred[j] == 0:
+                    pred[j] = 1
+            for j in range(i, len(gt)):
+                if gt[j] == 0:
+                    break
+                if pred[j] == 0:
+                    pred[j] = 1
+        elif gt[i] == 0:
+            anomaly_state = False
+        if anomaly_state:
+            pred[i] = 1
+    return pred
+
+
+def test_point_adjust_matches_reference_loop():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        gt = (rng.random(300) < 0.15).astype(np.int64)
+        pred = (rng.random(300) < 0.1).astype(np.int64)
+        expected = _reference_adjust(pred, gt)
+        got = adjust_anomalies(pred, gt)
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_all_pairs_iou():
+    s1 = np.array([[0, 10], [10, 20]])
+    s2 = np.array([[5, 15]])
+    iou = all_pairs_iou(s1, s2)
+    assert iou.shape == (2, 1)
+    np.testing.assert_allclose(iou[:, 0], [5 / 15, 5 / 15])
+
+
+def test_running_mean_same_length():
+    x = np.arange(50, dtype=np.float64)
+    m = running_mean(x, 5)
+    assert m.shape == x.shape
+    np.testing.assert_allclose(m[10], x[8:13].mean())
