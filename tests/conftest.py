@@ -2,10 +2,16 @@
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# the sandbox's sitecustomize pins JAX_PLATFORMS=axon (the TPU tunnel);
+# unit tests must run on the virtual 8-device CPU mesh
+jax.config.update("jax_platforms", "cpu")
 
 import warnings  # noqa: E402
 
