@@ -1,0 +1,482 @@
+"""Multiwavelet ops (reference models/layers/MultiWaveletCorrelation.py).
+
+Legendre/Chebyshev filter synthesis runs on host at module construction
+(sympy + scipy, exactly like the reference's init path,
+MultiWaveletCorrelation.py:16-254); the runtime decompose/attend/reconstruct
+cascade is pure jnp with static trip counts (ns = floor(log2(N)) with N
+static under jit), so the whole transform compiles to one XLA graph.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# host-side filter synthesis (MultiWaveletCorrelation.py:16-254)
+# ---------------------------------------------------------------------------
+
+def _legendre_der(k, x):
+    from scipy.special import eval_legendre
+
+    def _legendre(kk, xx):
+        return (2 * kk + 1) * eval_legendre(kk, xx)
+
+    out = 0
+    for i in np.arange(k - 1, -1, -2):
+        out += _legendre(i, x)
+    return out
+
+
+def _phi_eval(phi_c, x, lb=0.0, ub=1.0):
+    mask = np.logical_or(x < lb, x > ub) * 1.0
+    return np.polynomial.polynomial.Polynomial(phi_c)(x) * (1 - mask)
+
+
+@lru_cache(maxsize=8)
+def get_phi_psi(k: int, base: str):
+    """Scaling/wavelet polynomial synthesis (MultiWaveletCorrelation.py:31-167)."""
+    from sympy import Poly, Symbol, chebyshevt, legendre
+
+    x = Symbol("x")
+    phi_coeff = np.zeros((k, k))
+    phi_2x_coeff = np.zeros((k, k))
+    if base == "legendre":
+        for ki in range(k):
+            coeff_ = Poly(legendre(ki, 2 * x - 1), x).all_coeffs()
+            phi_coeff[ki, :ki + 1] = np.flip(
+                np.sqrt(2 * ki + 1) * np.array(coeff_, dtype=np.float64))
+            coeff_ = Poly(legendre(ki, 4 * x - 1), x).all_coeffs()
+            phi_2x_coeff[ki, :ki + 1] = np.flip(
+                np.sqrt(2) * np.sqrt(2 * ki + 1)
+                * np.array(coeff_, dtype=np.float64))
+
+        psi1_coeff = np.zeros((k, k))
+        psi2_coeff = np.zeros((k, k))
+
+        def proj(a, b):
+            prod_ = np.convolve(a, b)
+            prod_[np.abs(prod_) < 1e-8] = 0
+            return (prod_ / (np.arange(len(prod_)) + 1)
+                    * np.power(0.5, 1 + np.arange(len(prod_)))).sum()
+
+        for ki in range(k):
+            psi1_coeff[ki, :] = phi_2x_coeff[ki, :]
+            for i in range(k):
+                p = proj(phi_2x_coeff[ki, :ki + 1], phi_coeff[i, :i + 1])
+                psi1_coeff[ki, :] -= p * phi_coeff[i, :]
+                psi2_coeff[ki, :] -= p * phi_coeff[i, :]
+            for j in range(ki):
+                p = proj(phi_2x_coeff[ki, :ki + 1], psi1_coeff[j, :])
+                psi1_coeff[ki, :] -= p * psi1_coeff[j, :]
+                psi2_coeff[ki, :] -= p * psi2_coeff[j, :]
+
+            a = psi1_coeff[ki, :]
+            prod_ = np.convolve(a, a)
+            prod_[np.abs(prod_) < 1e-8] = 0
+            norm1 = (prod_ / (np.arange(len(prod_)) + 1)
+                     * np.power(0.5, 1 + np.arange(len(prod_)))).sum()
+            a = psi2_coeff[ki, :]
+            prod_ = np.convolve(a, a)
+            prod_[np.abs(prod_) < 1e-8] = 0
+            norm2 = (prod_ / (np.arange(len(prod_)) + 1)
+                     * (1 - np.power(0.5, 1 + np.arange(len(prod_))))).sum()
+            norm_ = np.sqrt(norm1 + norm2)
+            psi1_coeff[ki, :] /= norm_
+            psi2_coeff[ki, :] /= norm_
+            psi1_coeff[np.abs(psi1_coeff) < 1e-8] = 0
+            psi2_coeff[np.abs(psi2_coeff) < 1e-8] = 0
+
+        phi = [np.poly1d(np.flip(phi_coeff[i, :])) for i in range(k)]
+        psi1 = [np.poly1d(np.flip(psi1_coeff[i, :])) for i in range(k)]
+        psi2 = [np.poly1d(np.flip(psi2_coeff[i, :])) for i in range(k)]
+        return phi, psi1, psi2
+
+    elif base == "chebyshev":
+        for ki in range(k):
+            if ki == 0:
+                phi_coeff[ki, :ki + 1] = np.sqrt(2 / np.pi)
+                phi_2x_coeff[ki, :ki + 1] = np.sqrt(2 / np.pi) * np.sqrt(2)
+            else:
+                coeff_ = Poly(chebyshevt(ki, 2 * x - 1), x).all_coeffs()
+                phi_coeff[ki, :ki + 1] = np.flip(
+                    2 / np.sqrt(np.pi) * np.array(coeff_, dtype=np.float64))
+                coeff_ = Poly(chebyshevt(ki, 4 * x - 1), x).all_coeffs()
+                phi_2x_coeff[ki, :ki + 1] = np.flip(
+                    np.sqrt(2) * 2 / np.sqrt(np.pi)
+                    * np.array(coeff_, dtype=np.float64))
+
+        phi = [partial(_phi_eval, phi_coeff[i, :]) for i in range(k)]
+        kUse = 2 * k
+        # chebyshev roots of T_kUse(2x-1) are analytic
+        x_m = (np.cos((2 * np.arange(kUse) + 1) * np.pi / (2 * kUse)) + 1) / 2
+        wm = np.pi / kUse / 2
+
+        psi1_coeff = np.zeros((k, k))
+        psi2_coeff = np.zeros((k, k))
+        psi1 = [None] * k
+        psi2 = [None] * k
+        for ki in range(k):
+            psi1_coeff[ki, :] = phi_2x_coeff[ki, :]
+            for i in range(k):
+                p = (wm * phi[i](x_m) * np.sqrt(2)
+                     * _phi_eval(phi_2x_coeff[ki, :], x_m)).sum()
+                psi1_coeff[ki, :] -= p * phi_coeff[i, :]
+                psi2_coeff[ki, :] -= p * phi_coeff[i, :]
+            for j in range(ki):
+                p = (wm * psi1[j](x_m) * np.sqrt(2)
+                     * _phi_eval(phi_2x_coeff[ki, :], x_m)).sum()
+                psi1_coeff[ki, :] -= p * psi1_coeff[j, :]
+                psi2_coeff[ki, :] -= p * psi2_coeff[j, :]
+
+            psi1[ki] = partial(_phi_eval, psi1_coeff[ki, :], lb=0, ub=0.5)
+            psi2[ki] = partial(_phi_eval, psi2_coeff[ki, :], lb=0.5, ub=1)
+            norm1 = (wm * psi1[ki](x_m) * psi1[ki](x_m)).sum()
+            norm2 = (wm * psi2[ki](x_m) * psi2[ki](x_m)).sum()
+            norm_ = np.sqrt(norm1 + norm2)
+            psi1_coeff[ki, :] /= norm_
+            psi2_coeff[ki, :] /= norm_
+            psi1_coeff[np.abs(psi1_coeff) < 1e-8] = 0
+            psi2_coeff[np.abs(psi2_coeff) < 1e-8] = 0
+            psi1[ki] = partial(_phi_eval, psi1_coeff[ki, :], lb=0, ub=0.5 + 1e-16)
+            psi2[ki] = partial(_phi_eval, psi2_coeff[ki, :], lb=0.5 + 1e-16, ub=1)
+        return phi, psi1, psi2
+    raise ValueError(f"Base {base} not supported")
+
+
+@lru_cache(maxsize=8)
+def get_filter(base: str, k: int):
+    """Decomposition/reconstruction filter banks
+    (MultiWaveletCorrelation.py:170-254)."""
+    from scipy.special import eval_legendre
+    from sympy import Poly, Symbol, chebyshevt, legendre
+
+    def psi(psi1, psi2, i, inp):
+        mask = (inp <= 0.5) * 1.0
+        return psi1[i](inp) * mask + psi2[i](inp) * (1 - mask)
+
+    if base not in ("legendre", "chebyshev"):
+        raise ValueError("Base not supported")
+
+    x = Symbol("x")
+    H0 = np.zeros((k, k))
+    H1 = np.zeros((k, k))
+    G0 = np.zeros((k, k))
+    G1 = np.zeros((k, k))
+    PHI0 = np.zeros((k, k))
+    PHI1 = np.zeros((k, k))
+    phi, psi1, psi2 = get_phi_psi(k, base)
+
+    if base == "legendre":
+        roots = Poly(legendre(k, 2 * x - 1)).all_roots()
+        x_m = np.array([rt.evalf(20) for rt in roots], dtype=np.float64)
+        wm = (1 / k / _legendre_der(k, 2 * x_m - 1)
+              / eval_legendre(k - 1, 2 * x_m - 1))
+        for ki in range(k):
+            for kpi in range(k):
+                H0[ki, kpi] = (wm * phi[ki](x_m / 2) * phi[kpi](x_m)).sum() / np.sqrt(2)
+                G0[ki, kpi] = (wm * psi(psi1, psi2, ki, x_m / 2)
+                               * phi[kpi](x_m)).sum() / np.sqrt(2)
+                H1[ki, kpi] = (wm * phi[ki]((x_m + 1) / 2)
+                               * phi[kpi](x_m)).sum() / np.sqrt(2)
+                G1[ki, kpi] = (wm * psi(psi1, psi2, ki, (x_m + 1) / 2)
+                               * phi[kpi](x_m)).sum() / np.sqrt(2)
+        PHI0 = np.eye(k)
+        PHI1 = np.eye(k)
+    else:
+        kUse = 2 * k
+        x_m = (np.cos((2 * np.arange(kUse) + 1) * np.pi / (2 * kUse)) + 1) / 2
+        wm = np.pi / kUse / 2
+        for ki in range(k):
+            for kpi in range(k):
+                H0[ki, kpi] = (wm * phi[ki](x_m / 2) * phi[kpi](x_m)).sum() / np.sqrt(2)
+                G0[ki, kpi] = (wm * psi(psi1, psi2, ki, x_m / 2)
+                               * phi[kpi](x_m)).sum() / np.sqrt(2)
+                H1[ki, kpi] = (wm * phi[ki]((x_m + 1) / 2)
+                               * phi[kpi](x_m)).sum() / np.sqrt(2)
+                G1[ki, kpi] = (wm * psi(psi1, psi2, ki, (x_m + 1) / 2)
+                               * phi[kpi](x_m)).sum() / np.sqrt(2)
+                PHI0[ki, kpi] = (wm * phi[ki](2 * x_m) * phi[kpi](2 * x_m)).sum() * 2
+                PHI1[ki, kpi] = (wm * phi[ki](2 * x_m - 1)
+                                 * phi[kpi](2 * x_m - 1)).sum() * 2
+        PHI0[np.abs(PHI0) < 1e-8] = 0
+        PHI1[np.abs(PHI1) < 1e-8] = 0
+
+    for M in (H0, H1, G0, G1):
+        M[np.abs(M) < 1e-8] = 0
+    return H0, H1, G0, G1, PHI0, PHI1
+
+
+def filter_bank(base: str, k: int):
+    """Returns (ec_s, ec_d, rc_e, rc_o) as float32 numpy arrays
+    (the register_buffer tensors, MultiWaveletCorrelation.py:383-388)."""
+    H0, H1, G0, G1, PHI0, PHI1 = get_filter(base, k)
+    H0r = H0 @ PHI0
+    G0r = G0 @ PHI0
+    H1r = H1 @ PHI1
+    G1r = G1 @ PHI1
+    for M in (H0r, H1r, G0r, G1r):
+        M[np.abs(M) < 1e-8] = 0
+    ec_s = np.concatenate((H0.T, H1.T), axis=0).astype(np.float32)
+    ec_d = np.concatenate((G0.T, G1.T), axis=0).astype(np.float32)
+    rc_e = np.concatenate((H0r, G0r), axis=0).astype(np.float32)
+    rc_o = np.concatenate((H1r, G1r), axis=0).astype(np.float32)
+    return ec_s, ec_d, rc_e, rc_o
+
+
+# ---------------------------------------------------------------------------
+# runtime cascade
+# ---------------------------------------------------------------------------
+
+def _wavelet_transform(x, ec_d, ec_s):
+    """x [B,N,c,k] -> (d, s) each [B,N/2,c,k]
+    (MultiWaveletCorrelation.py:471-481)."""
+    xa = jnp.concatenate([x[:, ::2], x[:, 1::2]], axis=-1)  # [B,N/2,c,2k]
+    return xa @ ec_d, xa @ ec_s
+
+
+def _even_odd(x, rc_e, rc_o, k):
+    """Inverse step: [B,N,c,2k] -> interleaved [B,2N,c,k]
+    (MultiWaveletCorrelation.py:483-492)."""
+    x_e = x @ rc_e
+    x_o = x @ rc_o
+    B, N, c, _ = x.shape
+    return jnp.stack([x_e, x_o], axis=2).reshape(B, 2 * N, c, k)
+
+
+def _pad_pow2(x):
+    """Wrap-pad the length axis to the next power of two
+    (MultiWaveletCorrelation.py:418-425)."""
+    N = x.shape[1]
+    nl = 2 ** math.ceil(math.log2(N)) if N > 1 else 1
+    if nl > N:
+        x = jnp.concatenate([x, x[:, :nl - N]], axis=1)
+    return x
+
+
+class SparseKernelFT1d(nn.Module):
+    """Low-mode Fourier kernel on the flattened c*k channel axis
+    (MultiWaveletCorrelation.py:581-634)."""
+
+    k: int
+    alpha: int  # modes
+    c: int = 1
+
+    @nn.compact
+    def __call__(self, x):  # [B, N, c, k]
+        B, N, c, k = x.shape
+        ck = c * k
+        scale = 1 / (ck * ck)
+
+        def uniform(key, shape, dtype=jnp.float32):
+            return scale * jax.random.uniform(key, shape, dtype)
+
+        w_re = self.param("weights1", uniform, (ck, ck, self.alpha))
+        w_im = self.param("weights2", uniform, (ck, ck, self.alpha))
+
+        xf = jnp.fft.rfft(x.reshape(B, N, ck).transpose(0, 2, 1).astype(jnp.float32))
+        l = min(self.alpha, N // 2 + 1)
+        weights = (w_re + 1j * w_im).astype(jnp.complex64)[:, :, :l]
+        out_low = jnp.einsum("bix,iox->box", xf[:, :, :l], weights)
+        out_ft = jnp.zeros((B, ck, N // 2 + 1), dtype=jnp.complex64)
+        out_ft = out_ft.at[:, :, :l].set(out_low)
+        out = jnp.fft.irfft(out_ft, n=N)
+        return out.transpose(0, 2, 1).reshape(B, N, c, k).astype(x.dtype)
+
+
+class MWT_CZ1d(nn.Module):
+    """One multiwavelet cascade (MultiWaveletCorrelation.py:638-715)."""
+
+    k: int = 3
+    alpha: int = 64
+    L: int = 0
+    c: int = 1
+    base: str = "legendre"
+
+    @nn.compact
+    def __call__(self, x):  # [B, N, c, k]
+        ec_s, ec_d, rc_e, rc_o = (jnp.asarray(m)
+                                  for m in filter_bank(self.base, self.k))
+        N = x.shape[1]
+        ns = math.floor(math.log2(N))
+        x = _pad_pow2(x)
+
+        A = SparseKernelFT1d(self.k, self.alpha, self.c, name="A")
+        Bk = SparseKernelFT1d(self.k, self.alpha, self.c, name="B")
+        C = SparseKernelFT1d(self.k, self.alpha, self.c, name="C")
+        T0 = nn.Dense(self.k, name="T0")
+
+        Ud, Us = [], []
+        for _ in range(ns - self.L):
+            d, x = _wavelet_transform(x, ec_d, ec_s)
+            Ud.append(A(d) + Bk(x))
+            Us.append(C(d))
+        x = T0(x)
+        for i in range(ns - 1 - self.L, -1, -1):
+            x = x + Us[i]
+            x = jnp.concatenate([x, Ud[i]], axis=-1)
+            x = _even_odd(x, rc_e, rc_o, self.k)
+        return x[:, :N]
+
+
+class MultiWaveletTransform(nn.Module):
+    """Self-attention replacement (MultiWaveletCorrelation.py:257-304)."""
+
+    ich: int = 1
+    k: int = 8
+    alpha: int = 16
+    c: int = 128
+    nCZ: int = 1
+    L: int = 0
+    base: str = "legendre"
+
+    @nn.compact
+    def __call__(self, queries, keys, values, attn_mask=None, *,
+                 deterministic: bool = True):
+        B, L, H, E = queries.shape
+        S = values.shape[1]
+        if L > S:
+            pad = jnp.zeros((B, L - S, H, E), dtype=values.dtype)
+            values = jnp.concatenate([values, pad], axis=1)
+        else:
+            values = values[:, :L]
+        values = values.reshape(B, L, -1)
+
+        V = nn.Dense(self.c * self.k, name="Lk0")(values).reshape(B, L, self.c, -1)
+        for i in range(self.nCZ):
+            V = MWT_CZ1d(self.k, self.alpha, self.L, self.c, self.base,
+                         name=f"MWT_CZ_{i}")(V)
+            if i < self.nCZ - 1:
+                V = nn.relu(V)
+        V = nn.Dense(self.ich, name="Lk1")(V.reshape(B, L, -1))
+        return V.reshape(B, L, -1, E), None
+
+
+class FourierCrossAttentionW(nn.Module):
+    """Low-mode Fourier cross attention on [B, N, c, k] wavelet coefficients
+    (MultiWaveletCorrelation.py:495-578)."""
+
+    in_channels: int
+    out_channels: int
+    modes: int = 16
+    activation: str = "tanh"
+
+    @nn.compact
+    def __call__(self, q, k, v, attn_mask=None, *, deterministic: bool = True):
+        B, L, E, H = q.shape
+        xq = jnp.transpose(q, (0, 3, 2, 1)).astype(jnp.float32)  # [B,H,E,L]
+        xk = jnp.transpose(k, (0, 3, 2, 1)).astype(jnp.float32)
+        Lkv = v.shape[1]
+        mq = min(L // 2, self.modes)
+        mkv = min(Lkv // 2, self.modes)
+
+        xq_ft = jnp.fft.rfft(xq, axis=-1)[..., :mq]
+        xk_ft = jnp.fft.rfft(xk, axis=-1)[..., :mkv]
+
+        xqk_ft = jnp.einsum("bhex,bhey->bhxy", xq_ft, xk_ft)
+        if self.activation == "tanh":
+            xqk_ft = jnp.tanh(xqk_ft.real) + 1j * jnp.tanh(xqk_ft.imag)
+        elif self.activation == "softmax":
+            a = jnp.abs(xqk_ft)
+            a = jnp.exp(a - a.max(axis=-1, keepdims=True))
+            a = (a / a.sum(axis=-1, keepdims=True))
+            xqk_ft = a.astype(jnp.complex64)
+        else:
+            raise ValueError(f"{self.activation} activation is not implemented")
+        xqkv_ft = jnp.einsum("bhxy,bhey->bhex", xqk_ft, xk_ft)
+
+        out_ft = jnp.zeros((B, H, E, L // 2 + 1), dtype=jnp.complex64)
+        out_ft = out_ft.at[..., :mq].set(xqkv_ft)
+        out = jnp.fft.irfft(out_ft / self.in_channels / self.out_channels,
+                            n=L, axis=-1)
+        return jnp.transpose(out, (0, 3, 2, 1)).astype(q.dtype), None
+
+
+class MultiWaveletCross(nn.Module):
+    """Multiwavelet cross attention (MultiWaveletCorrelation.py:307-492):
+    wavelet-decompose q/k/v, Fourier cross attention per level, even/odd
+    reconstruct."""
+
+    in_channels: int
+    out_channels: int
+    seq_len_q: int
+    seq_len_kv: int
+    modes: int
+    c: int = 64
+    k: int = 8
+    ich: int = 512
+    L: int = 0
+    base: str = "legendre"
+    activation: str = "tanh"
+
+    @nn.compact
+    def __call__(self, q, k, v, attn_mask=None, *, deterministic: bool = True):
+        B, N, H, E = q.shape
+        S = k.shape[1]
+        ec_s, ec_d, rc_e, rc_o = (jnp.asarray(m)
+                                  for m in filter_bank(self.base, self.k))
+
+        q = nn.Dense(self.c * self.k, name="Lq")(q.reshape(B, N, -1))
+        q = q.reshape(B, N, self.c, self.k)
+        kk = nn.Dense(self.c * self.k, name="Lk")(k.reshape(B, S, -1))
+        kk = kk.reshape(B, S, self.c, self.k)
+        vv = nn.Dense(self.c * self.k, name="Lv")(v.reshape(B, S, -1))
+        vv = vv.reshape(B, S, self.c, self.k)
+        k, v = kk, vv
+
+        if N > S:
+            pad = jnp.zeros((B, N - S, self.c, self.k), dtype=v.dtype)
+            v = jnp.concatenate([v, pad], axis=1)
+            k = jnp.concatenate([k, pad], axis=1)
+        else:
+            v = v[:, :N]
+            k = k[:, :N]
+
+        ns = math.floor(math.log2(N))
+        q, k, v = _pad_pow2(q), _pad_pow2(k), _pad_pow2(v)
+
+        attn_kw = dict(in_channels=self.in_channels,
+                       out_channels=self.out_channels, modes=self.modes,
+                       activation=self.activation)
+        attn1 = FourierCrossAttentionW(**attn_kw, name="attn1")
+        attn2 = FourierCrossAttentionW(**attn_kw, name="attn2")
+        attn3 = FourierCrossAttentionW(**attn_kw, name="attn3")
+        attn4 = FourierCrossAttentionW(**attn_kw, name="attn4")
+
+        Ud_q, Ud_k, Ud_v = [], [], []
+        Us_q, Us_k, Us_v = [], [], []
+        for _ in range(ns - self.L):
+            d, q = _wavelet_transform(q, ec_d, ec_s)
+            Ud_q.append((d, q))
+            Us_q.append(d)
+        for _ in range(ns - self.L):
+            d, k = _wavelet_transform(k, ec_d, ec_s)
+            Ud_k.append((d, k))
+            Us_k.append(d)
+        for _ in range(ns - self.L):
+            d, v = _wavelet_transform(v, ec_d, ec_s)
+            Ud_v.append((d, v))
+            Us_v.append(d)
+
+        Ud, Us = [], []
+        for i in range(ns - self.L):
+            dq, sq = Ud_q[i], Us_q[i]
+            dk, sk = Ud_k[i], Us_k[i]
+            dv, sv = Ud_v[i], Us_v[i]
+            Ud.append(attn1(dq[0], dk[0], dv[0])[0]
+                      + attn2(dq[1], dk[1], dv[1])[0])
+            Us.append(attn3(sq, sk, sv)[0])
+        v = attn4(q, k, v)[0]
+
+        for i in range(ns - 1 - self.L, -1, -1):
+            v = v + Us[i]
+            v = jnp.concatenate([v, Ud[i]], axis=-1)
+            v = _even_odd(v, rc_e, rc_o, self.k)
+        v = nn.Dense(self.ich, name="out")(v[:, :N].reshape(B, N, -1))
+        return v, None
