@@ -1,0 +1,210 @@
+"""Backbone construction + HF weight loading.
+
+The reference calls AutoModel.from_pretrained over the network
+(models/medtsllm.py:175-185, gpt4ts.py:44). This environment has zero
+egress, so resolution order is:
+  1. a local HF snapshot (config.json + *.safetensors) under
+     `paths.llm_path` or the HF cache,
+  2. a built-in architecture preset with deterministic random init
+     (clearly warned — task metrics with a random backbone are not
+     meaningful, but shapes/throughput are identical).
+
+Layer truncation (`llm_layers` > 0) mirrors medtsllm.py:145-146.
+"""
+
+from __future__ import annotations
+
+import json
+import warnings
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from .transformer import DecoderConfig, LoraSpec, TransformerDecoder
+
+# architecture presets (shapes match the HF configs of the models the
+# reference targets)
+PRESETS = {
+    "gpt2": DecoderConfig(style="gpt2", vocab_size=50257, d_model=768,
+                          n_layers=12, n_heads=12, d_ff=3072,
+                          max_position=1024, dropout=0.1,
+                          bos_token_id=50256, eos_token_id=50256),
+    "meta-llama/Llama-2-7b-hf": DecoderConfig(
+        style="llama", vocab_size=32000, d_model=4096, n_layers=32,
+        n_heads=32, d_ff=11008, max_position=4096, norm_eps=1e-5,
+        bos_token_id=1, eos_token_id=2),
+    "llama-tiny": DecoderConfig(  # test-sized llama-style backbone
+        style="llama", vocab_size=512, d_model=64, n_layers=2,
+        n_heads=4, d_ff=128, max_position=512, bos_token_id=1,
+        eos_token_id=2),
+    "gpt2-tiny": DecoderConfig(  # test-sized gpt2-style backbone
+        style="gpt2", vocab_size=512, d_model=64, n_layers=2,
+        n_heads=4, d_ff=128, max_position=512, dropout=0.1,
+        bos_token_id=0, eos_token_id=0),
+}
+
+
+def find_snapshot(llm_id: str, cache_dir: str | None) -> Path | None:
+    """Locate a local HF snapshot directory for `llm_id`."""
+    candidates = []
+    if cache_dir:
+        candidates.append(Path(cache_dir))
+        candidates.append(Path(cache_dir) / llm_id)
+    candidates.append(Path.home() / ".cache" / "huggingface" / "hub"
+                      / f"models--{llm_id.replace('/', '--')}" / "snapshots")
+    for cand in candidates:
+        if not cand or not cand.exists():
+            continue
+        if (cand / "config.json").exists():
+            return cand
+        for sub in sorted(cand.glob("*/")):
+            if (sub / "config.json").exists():
+                return sub
+    return None
+
+
+def config_from_hf_json(path: Path) -> DecoderConfig:
+    hf = json.loads((path / "config.json").read_text())
+    model_type = hf.get("model_type", "gpt2")
+    if model_type == "gpt2":
+        return DecoderConfig(
+            style="gpt2", vocab_size=hf["vocab_size"],
+            d_model=hf["n_embd"], n_layers=hf["n_layer"],
+            n_heads=hf["n_head"], d_ff=hf.get("n_inner") or 4 * hf["n_embd"],
+            max_position=hf["n_positions"],
+            norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+            dropout=hf.get("resid_pdrop", 0.1),
+            bos_token_id=hf.get("bos_token_id"),
+            eos_token_id=hf.get("eos_token_id"))
+    if model_type in ("llama", "mistral"):
+        return DecoderConfig(
+            style="llama", vocab_size=hf["vocab_size"],
+            d_model=hf["hidden_size"], n_layers=hf["num_hidden_layers"],
+            n_heads=hf["num_attention_heads"],
+            n_kv_heads=hf.get("num_key_value_heads"),
+            d_ff=hf["intermediate_size"],
+            max_position=hf.get("max_position_embeddings", 4096),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            norm_eps=hf.get("rms_norm_eps", 1e-5),
+            bos_token_id=hf.get("bos_token_id"),
+            eos_token_id=hf.get("eos_token_id"))
+    raise ValueError(f"Unsupported HF model_type {model_type!r}")
+
+
+def _truncate(cfg: DecoderConfig, llm_layers: int) -> DecoderConfig:
+    if llm_layers and 0 < llm_layers < cfg.n_layers:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, n_layers=llm_layers)
+    return cfg
+
+
+def resolve_config(llm_id: str, cache_dir: str | None = None,
+                   llm_layers: int = -1) -> tuple[DecoderConfig, Path | None]:
+    snap = find_snapshot(llm_id, cache_dir)
+    if snap is not None:
+        cfg = config_from_hf_json(snap)
+    elif llm_id in PRESETS:
+        cfg = PRESETS[llm_id]
+    else:
+        raise ValueError(
+            f"No local snapshot for {llm_id!r} and no built-in preset; "
+            f"set paths.llm_path or use one of {sorted(PRESETS)}")
+    return _truncate(cfg, llm_layers), snap
+
+
+# ---------------------------------------------------------------------------
+# HF tensor name -> flax param tree
+# ---------------------------------------------------------------------------
+
+def _hf_to_tree(cfg: DecoderConfig, tensors: dict) -> dict:
+    """Map HF state-dict names to the TransformerDecoder param tree.
+    GPT-2 Conv1D weights are already [in, out]; torch Linear weights are
+    [out, in] and get transposed."""
+    tree: dict = {}
+
+    def put(path: str, value: np.ndarray):
+        node = tree
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(value)
+
+    if cfg.style == "gpt2":
+        put("wte", tensors["wte.weight"])
+        put("wpe", tensors["wpe.weight"])
+        put("ln_f/scale", tensors["ln_f.weight"])
+        put("ln_f/bias", tensors["ln_f.bias"])
+        for i in range(cfg.n_layers):
+            p = f"h.{i}."
+            put(f"h_{i}/ln_1/scale", tensors[p + "ln_1.weight"])
+            put(f"h_{i}/ln_1/bias", tensors[p + "ln_1.bias"])
+            put(f"h_{i}/ln_2/scale", tensors[p + "ln_2.weight"])
+            put(f"h_{i}/ln_2/bias", tensors[p + "ln_2.bias"])
+            put(f"h_{i}/attn/c_attn/base/kernel", tensors[p + "attn.c_attn.weight"])
+            put(f"h_{i}/attn/c_attn/base/bias", tensors[p + "attn.c_attn.bias"])
+            put(f"h_{i}/attn/c_proj/base/kernel", tensors[p + "attn.c_proj.weight"])
+            put(f"h_{i}/attn/c_proj/base/bias", tensors[p + "attn.c_proj.bias"])
+            put(f"h_{i}/mlp/c_fc/kernel", tensors[p + "mlp.c_fc.weight"])
+            put(f"h_{i}/mlp/c_fc/bias", tensors[p + "mlp.c_fc.bias"])
+            put(f"h_{i}/mlp/c_proj/kernel", tensors[p + "mlp.c_proj.weight"])
+            put(f"h_{i}/mlp/c_proj/bias", tensors[p + "mlp.c_proj.bias"])
+    else:
+        put("wte", tensors["embed_tokens.weight"])
+        put("norm/weight", tensors["norm.weight"])
+        for i in range(cfg.n_layers):
+            p = f"layers.{i}."
+            put(f"h_{i}/input_layernorm/weight", tensors[p + "input_layernorm.weight"])
+            put(f"h_{i}/post_attention_layernorm/weight",
+                tensors[p + "post_attention_layernorm.weight"])
+            for hf_n, fx_n in (("q_proj", "q_proj"), ("k_proj", "k_proj"),
+                               ("v_proj", "v_proj"), ("o_proj", "o_proj")):
+                put(f"h_{i}/attn/{fx_n}/base/kernel",
+                    tensors[p + f"self_attn.{hf_n}.weight"].T)
+            for hf_n in ("gate_proj", "up_proj", "down_proj"):
+                put(f"h_{i}/mlp/{hf_n}/kernel",
+                    tensors[p + f"mlp.{hf_n}.weight"].T)
+    return tree
+
+
+def _load_safetensors(snap: Path) -> dict:
+    from safetensors import safe_open
+    tensors = {}
+    for f in sorted(snap.glob("*.safetensors")):
+        with safe_open(str(f), framework="numpy") as sf:
+            for name in sf.keys():
+                short = name
+                for prefix in ("model.", "transformer."):
+                    if short.startswith(prefix):
+                        short = short[len(prefix):]
+                tensors[short] = sf.get_tensor(name)
+    return tensors
+
+
+def load_backbone(llm_id: str, cache_dir: str | None = None,
+                  llm_layers: int = -1, lora: LoraSpec | None = None,
+                  dtype=np.float32, rng=None, remat: bool = False):
+    """Returns (module, params, cfg). Params are loaded from a local
+    snapshot when available, otherwise random-init with a warning."""
+    cfg, snap = resolve_config(llm_id, cache_dir, llm_layers)
+    module = TransformerDecoder(cfg, lora=lora, remat=remat)
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+    dummy = jnp.zeros((1, 8, cfg.d_model), dtype=dtype)
+    params = module.init({"params": rng, "dropout": rng},
+                         inputs_embeds=dummy)["params"]
+
+    if snap is not None and list(snap.glob("*.safetensors")):
+        from ...runtime.checkpoint import restore_partial
+        tensors = _load_safetensors(snap)
+        tree = _hf_to_tree(cfg, tensors)
+        merged, _ = restore_partial(jax.device_get(params), tree)
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), merged)
+    else:
+        warnings.warn(
+            f"LLM {llm_id!r}: no local weights found — using random init "
+            f"(shapes/throughput faithful; task quality not meaningful)")
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+    return module, params, cfg

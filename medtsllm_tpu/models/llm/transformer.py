@@ -1,0 +1,239 @@
+"""Decoder-only transformer backbones (GPT-2 and LLaMA styles) in flax.
+
+One module covers both families the reference uses via HF AutoModel
+(models/medtsllm.py:175, models/gpt4ts.py:44):
+  - gpt2: learned positions, pre-LN, fused qkv (Conv1D layout), tanh-GELU MLP
+  - llama: RMSNorm, rotary positions, GQA-ready separate q/k/v, SwiGLU MLP
+
+Attention runs through the Pallas flash kernel on TPU
+(ops/pallas/flash_attention.py). LoRA adapters (reference peft usage,
+medtsllm.py:187-204) are implemented as `lora_a`/`lora_b` params inside
+LoRADense — the naming prefix is what the trainable/frozen partitioning
+keys on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...ops.pallas.flash_attention import flash_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class LoraSpec:
+    rank: int = 8
+    alpha: int = 16
+    dropout: float = 0.0
+    rslora: bool = True
+    # which projections get adapters; peft defaults: llama q/v, gpt2 c_attn
+    targets: tuple = ("q", "v")
+
+    @property
+    def scaling(self) -> float:
+        return (self.alpha / math.sqrt(self.rank) if self.rslora
+                else self.alpha / self.rank)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    style: str  # "gpt2" | "llama"
+    vocab_size: int
+    d_model: int
+    n_layers: int
+    n_heads: int
+    d_ff: int
+    n_kv_heads: int | None = None
+    max_position: int = 2048
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    dropout: float = 0.0
+    bos_token_id: int | None = None
+    eos_token_id: int | None = None
+    pad_token_id: int | None = None
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads or self.n_heads
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        xn = x * jax.lax.rsqrt(var + self.eps).astype(x.dtype)
+        return xn * w
+
+
+def rotary_embedding(x, positions, theta: float):
+    """Apply RoPE to [B, H, L, D] given positions [L]."""
+    D = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D))
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [L, D/2]
+    cos = jnp.cos(angles)[None, None, :, :]
+    sin = jnp.sin(angles)[None, None, :, :]
+    x1, x2 = x[..., : D // 2], x[..., D // 2:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class LoRADense(nn.Module):
+    """Dense with optional low-rank adapter: y = xW + b + scale * (x A) B."""
+
+    features: int
+    use_bias: bool = True
+    lora: LoraSpec | None = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        y = nn.Dense(self.features, use_bias=self.use_bias, name="base")(x)
+        if self.lora is not None:
+            a = self.param("lora_a",
+                           nn.initializers.he_uniform(),
+                           (x.shape[-1], self.lora.rank))
+            b = self.param("lora_b", nn.initializers.zeros,
+                           (self.lora.rank, self.features))
+            xd = nn.Dropout(self.lora.dropout)(x, deterministic=deterministic)
+            y = y + (xd @ a.astype(x.dtype)) @ b.astype(x.dtype) * self.lora.scaling
+        return y
+
+
+class Attention(nn.Module):
+    cfg: DecoderConfig
+    lora: LoraSpec | None = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        cfg = self.cfg
+        B, L, _ = x.shape
+        H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
+
+        def proj(name, features, key):
+            spec = self.lora if (self.lora and key in self.lora.targets) else None
+            return LoRADense(features, use_bias=(cfg.style == "gpt2"),
+                             lora=spec, name=name)(x, deterministic=deterministic)
+
+        if cfg.style == "gpt2":
+            qkv = proj("c_attn", 3 * cfg.d_model, "q")  # fused, lora on whole qkv
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = proj("q_proj", H * D, "q")
+            k = proj("k_proj", KV * D, "k")
+            v = proj("v_proj", KV * D, "v")
+
+        q = q.reshape(B, L, H, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, L, KV, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, KV, D).transpose(0, 2, 1, 3)
+
+        if cfg.style == "llama":
+            positions = jnp.arange(L)
+            q = rotary_embedding(q, positions, cfg.rope_theta)
+            k = rotary_embedding(k, positions, cfg.rope_theta)
+
+        if KV != H:  # grouped-query attention: repeat kv heads
+            rep = H // KV
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+
+        out = flash_attention(q, k, v, causal=True)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, H * D)
+        out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+
+        o_spec = self.lora if (self.lora and "o" in self.lora.targets) else None
+        name = "c_proj" if cfg.style == "gpt2" else "o_proj"
+        return LoRADense(cfg.d_model, use_bias=(cfg.style == "gpt2"),
+                         lora=o_spec, name=name)(out, deterministic=deterministic)
+
+
+class MLP(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        cfg = self.cfg
+        if cfg.style == "gpt2":
+            h = nn.Dense(cfg.d_ff, name="c_fc")(x)
+            h = nn.gelu(h, approximate=True)
+            h = nn.Dense(cfg.d_model, name="c_proj")(h)
+            return nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        gate = nn.Dense(cfg.d_ff, use_bias=False, name="gate_proj")(x)
+        up = nn.Dense(cfg.d_ff, use_bias=False, name="up_proj")(x)
+        return nn.Dense(cfg.d_model, use_bias=False,
+                        name="down_proj")(nn.silu(gate) * up)
+
+
+class Block(nn.Module):
+    cfg: DecoderConfig
+    lora: LoraSpec | None = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        cfg = self.cfg
+        if cfg.style == "gpt2":
+            norm1 = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_1")
+            norm2 = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_2")
+        else:
+            norm1 = RMSNorm(eps=cfg.norm_eps, name="input_layernorm")
+            norm2 = RMSNorm(eps=cfg.norm_eps, name="post_attention_layernorm")
+        x = x + Attention(cfg, self.lora, name="attn")(
+            norm1(x), deterministic=deterministic)
+        x = x + MLP(cfg, name="mlp")(norm2(x), deterministic=deterministic)
+        return x
+
+
+class TransformerDecoder(nn.Module):
+    """Returns the last hidden state, like HF `AutoModel` without an LM head
+    (the reference only consumes `.last_hidden_state`, medtsllm.py:350)."""
+
+    cfg: DecoderConfig
+    lora: LoraSpec | None = None
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, inputs_embeds=None, input_ids=None, *,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        # always materialize the token table: fusion models read it for
+        # prompt embedding + vocab mapping even when feeding inputs_embeds
+        wte = self.param("wte", nn.initializers.normal(0.02),
+                         (cfg.vocab_size, cfg.d_model))
+        if inputs_embeds is None:
+            inputs_embeds = jnp.take(wte, input_ids, axis=0)
+        x = inputs_embeds
+        L = x.shape[1]
+
+        if cfg.style == "gpt2":
+            wpe = self.param("wpe", nn.initializers.normal(0.01),
+                             (cfg.max_position, cfg.d_model))
+            x = x + wpe[None, :L, :].astype(x.dtype)
+            x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(Block, static_argnums=())
+        for i in range(cfg.n_layers):
+            x = block_cls(cfg, self.lora, name=f"h_{i}")(
+                x, deterministic=deterministic)
+
+        if cfg.style == "gpt2":
+            x = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_f")(x)
+        else:
+            x = RMSNorm(eps=cfg.norm_eps, name="norm")(x)
+        return x
+
+    def embed_tokens(self, params: dict, token_ids) -> jnp.ndarray:
+        """Input-embedding lookup (the reference's
+        llm.get_input_embeddings(), medtsllm.py:301)."""
+        wte = params["wte"]
+        return jnp.take(wte, token_ids, axis=0)

@@ -1,0 +1,161 @@
+"""Flash attention (TPU Pallas) with jnp fallback.
+
+TPU-native replacement for the reference's flash-attn dependency
+(models/medtsllm.py:159, recommended.txt:4 — which its own dead-condition
+bug never enables, medtsllm.py:160). Online-softmax blocked attention:
+HBM->VMEM tiles feed the MXU per (q_block, k_block) step; running max/sum
+and the output accumulator live in VMEM scratch, so the full [L, S] score
+matrix never materializes in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+
+_DEF_BLOCK_Q = 256
+_DEF_BLOCK_K = 256
+_NEG_INF = -1e30
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("MEDTSLLM_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _attention_reference(q, k, v, causal: bool, sm_scale: float):
+    """jnp fallback (and numerics oracle for the kernel)."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * sm_scale
+    if causal:
+        L, S = scores.shape[-2], scores.shape[-1]
+        # align diagonals at the END: query i attends keys <= i + (S - L)
+        mask = jnp.tril(jnp.ones((L, S), dtype=bool), k=S - L)
+        scores = jnp.where(mask, scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  sm_scale: float, causal: bool, block_q: int, block_k: int,
+                  q_len: int, kv_len: int):
+    from jax.experimental import pallas as pl
+
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def compute():
+        q = q_ref[0]  # [block_q, d]
+        k = k_ref[0]  # [block_k, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # [bq, bk]
+
+        if causal:
+            offs = kv_len - q_len  # diagonal offset for self-attn suffix
+            q_ids = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_ids = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_ids <= q_ids + offs, s, _NEG_INF)
+
+        m_prev = m_scr[:]  # [bq, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [bq, bk]
+        l_new = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+        l_scr[:] = l_new
+
+    if causal:
+        # skip fully-masked k blocks above the diagonal
+        offs = kv_len - q_len
+
+        @pl.when(ki * block_k <= qi * block_q + (block_q - 1) + offs)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_attention_pallas(q, k, v, causal: bool, sm_scale: float,
+                            block_q: int, block_k: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, L, D = q.shape
+    S = k.shape[2]
+    BH = B * H
+    q3 = q.reshape(BH, L, D)
+    k3 = k.reshape(BH, S, D)
+    v3 = v.reshape(BH, S, D)
+
+    block_q = min(block_q, L)
+    block_k = min(block_k, S)
+    grid = (BH, pl.cdiv(L, block_q), pl.cdiv(S, block_k))
+
+    kernel = functools.partial(
+        _flash_kernel, sm_scale=sm_scale, causal=causal,
+        block_q=block_q, block_k=block_k, q_len=L, kv_len=S)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, L, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(q3, k3, v3)
+    return out.reshape(B, H, L, D)
+
+
+def flash_attention(q, k, v, causal: bool = True, sm_scale: float | None = None,
+                    block_q: int = _DEF_BLOCK_Q, block_k: int = _DEF_BLOCK_K):
+    """q [B,H,L,D], k/v [B,H,S,D] -> [B,H,L,D].
+
+    Uses the Pallas kernel on TPU when shapes tile cleanly; jnp fallback
+    otherwise. Causal masking aligns the diagonal at the sequence end
+    (query i attends keys <= i + S - L), matching decoder-only semantics
+    with a prompt prefix.
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    L, S, D = q.shape[2], k.shape[2], q.shape[-1]
+    tile_ok = (D % 128 == 0) and (L % 8 == 0) and (S % 8 == 0)
+    if _use_pallas() and tile_ok and L >= 128 and S >= 128:
+        return _flash_attention_pallas(q, k, v, causal, sm_scale,
+                                       block_q, block_k)
+    return _attention_reference(q, k, v, causal, sm_scale)

@@ -1,0 +1,86 @@
+"""Parameter/batch sharding rules.
+
+Megatron-style tensor parallelism for the decoder backbones: column-shard
+the fan-out projections (q/k/v, mlp up/gate), row-shard the fan-in
+projections (attention out, mlp down) — XLA inserts the all-reduce at the
+row-sharded matmul output. Vocab table sharded over rows. Everything else
+replicated. Batch arrays shard over "data".
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (regex over the /-joined param path, spec) — first match wins
+LLM_PARTITION_RULES = (
+    # fused gpt2 qkv + separate llama q/k/v: shard output features
+    (r".*(c_attn|q_proj|k_proj|v_proj)/base/kernel$", P(None, "tensor")),
+    (r".*(c_attn|q_proj|k_proj|v_proj)/base/bias$", P("tensor")),
+    # attention out / mlp down: shard input features (row-parallel)
+    (r".*attn/(c_proj|o_proj)/base/kernel$", P("tensor", None)),
+    # mlp fan-out
+    (r".*mlp/(c_fc|gate_proj|up_proj)/kernel$", P(None, "tensor")),
+    (r".*mlp/(c_fc|gate_proj|up_proj)/bias$", P("tensor")),
+    # mlp fan-in
+    (r".*mlp/(c_proj|down_proj)/kernel$", P("tensor", None)),
+    # token table: shard the embedding rows (vocab)
+    (r".*/wte$|^wte$", P("tensor", None)),
+    # lora adapters: a column-sharded on rank? keep replicated (tiny)
+)
+
+
+def partition_spec_for(path: str, shape, rules=LLM_PARTITION_RULES) -> P:
+    for pattern, spec in rules:
+        if re.match(pattern, path):
+            # drop axes the shape can't support
+            if len(spec) <= len(shape):
+                return spec
+    return P()
+
+
+def _iter_paths(params):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for keypath, leaf in flat:
+        path = "/".join(str(getattr(k, "key", k)) for k in keypath)
+        yield path, leaf
+
+
+def shard_params(params, mesh: Mesh, rules=LLM_PARTITION_RULES,
+                 divisibility_fallback: bool = True):
+    """device_put each param with its NamedSharding. Params whose sharded
+    dim is not divisible by the mesh axis fall back to replication."""
+    def place(path, leaf):
+        spec = partition_spec_for(path, np.shape(leaf), rules)
+        if divisibility_fallback and spec != P():
+            for dim, axis in enumerate(spec):
+                if axis is None:
+                    continue
+                size = mesh.shape[axis]
+                if np.shape(leaf)[dim] % size != 0:
+                    spec = P()
+                    break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    leaves = [place("/".join(str(getattr(k, "key", k)) for k in kp), leaf)
+              for kp, leaf in flat[0]]
+    return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
+def batch_spec(ndim: int) -> P:
+    return P("data", *([None] * (ndim - 1)))
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "ndim"):
+            out[k] = jax.device_put(
+                v, NamedSharding(mesh, batch_spec(v.ndim)))
+        else:
+            out[k] = v
+    return out

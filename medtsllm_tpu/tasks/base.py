@@ -103,21 +103,38 @@ class BaseTask:
         variables = self.model.init(
             {"params": init_rng, "dropout": init_rng}, arrays, training=False)
         params = variables["params"]
+        if hasattr(self.model, "pretrained_param_loader"):
+            # pull pretrained backbone weights (HF snapshot or random-init
+            # warning) into the fresh tree
+            params = self.model.pretrained_param_loader()(jax.device_get(params))
+            params = jax.tree.map(jnp.asarray, params)
+
+        self.param_label_tree = (self.model.param_labels(params)
+                                 if hasattr(self.model, "param_labels")
+                                 else jax.tree.map(lambda _: "new", params))
         n_total = count_params(params)
-        n_train = count_params(self.trainable_subtree(params))
+        n_frozen = sum(
+            int(np.prod(np.shape(p))) for p, l in zip(
+                jax.tree.leaves(params), jax.tree.leaves(self.param_label_tree))
+            if l == "frozen")
         print(f"Total number of parameters: {n_total:,}")
-        print(f"Number of trainable parameters: {n_train:,}")
+        print(f"Number of trainable parameters: {n_total - n_frozen:,}")
         return params
 
     def build_optimizer(self):
-        labels = None
+        labels = self.param_label_tree
         if self.finetuning:
             loaded = set(self.loaded_params)
 
-            def label(path, _):
+            def overlay(path, label):
                 name = "/".join(str(getattr(k, "key", k)) for k in path)
-                return "loaded" if name in loaded else "new"
-            labels = jax.tree_util.tree_map_with_path(label, self.params)
+                if label == "frozen":
+                    return label
+                return "loaded" if name in loaded else label
+            labels = jax.tree_util.tree_map_with_path(
+                lambda p, l: overlay(p, l), labels)
+        if set(jax.tree.leaves(labels)) == {"new"}:
+            labels = None
         return Optimizer(self.config, labels)
 
     def build_loss(self):
@@ -159,11 +176,6 @@ class BaseTask:
             return self.model.preprocess_batch(batch)
         return {k: v for k, v in batch.items() if k in ARRAY_BATCH_KEYS}
 
-    def trainable_subtree(self, params):
-        if hasattr(self.model, "trainable_subtree"):
-            return self.model.trainable_subtree(params)
-        return params
-
     def checkpoint_params(self):
         """Param tree to persist; models can exclude frozen backbones
         (reference medtsllm.py:235-246)."""
@@ -182,11 +194,16 @@ class BaseTask:
         model = self.model
         loss_fn = self.loss_fn
         mixed = self.precision.mixed
-        frozen_mask = getattr(model, "frozen_mask", None)
+        labels = self.param_label_tree
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, arrays, valid, rng):
             def compute_loss(p):
+                # stop_gradient on frozen leaves lets XLA prune their whole
+                # backward paths (the reference sets requires_grad=False)
+                p = jax.tree.map(
+                    lambda x, l: jax.lax.stop_gradient(x) if l == "frozen" else x,
+                    p, labels)
                 if mixed:
                     p = self._cast_for_compute(p)
                     arr = self._cast_for_compute(arrays)
@@ -198,10 +215,6 @@ class BaseTask:
                 return loss_fn(pred, arrays, valid)
 
             loss, grads = jax.value_and_grad(compute_loss)(params)
-            if frozen_mask is not None:
-                grads = jax.tree.map(
-                    lambda g, f: jnp.zeros_like(g) if f else g,
-                    grads, frozen_mask(grads))
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
