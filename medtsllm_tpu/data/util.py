@@ -87,6 +87,11 @@ class PretrainingDataset:
     def __getitem__(self, index: int) -> dict:
         d, local = self._locate(index)
         item = self.datasets[d][local]
+        # per-clip descriptions exist only for some member datasets; a
+        # mixed batch cannot collate heterogeneous keys (the reference's
+        # default_collate has the same constraint), so the mixture exposes
+        # only the per-dataset description
+        item.pop("descriptions", None)
         item["x_enc"] = self.adjust_n_features(item["x_enc"])
         if "y" in item:
             item["y"] = self.adjust_n_features(item["y"])

@@ -194,46 +194,55 @@ class Block(nn.Module):
 
 class TransformerDecoder(nn.Module):
     """Returns the last hidden state, like HF `AutoModel` without an LM head
-    (the reference only consumes `.last_hidden_state`, medtsllm.py:350)."""
+    (the reference only consumes `.last_hidden_state`, medtsllm.py:350).
+
+    setup()-style so fusion models can both read the token table (`embed`,
+    `word_embeddings` — the reference's llm.get_input_embeddings(),
+    medtsllm.py:219,301) and run the stack in one apply.
+    """
 
     cfg: DecoderConfig
     lora: LoraSpec | None = None
     remat: bool = False
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.wte = self.param("wte", nn.initializers.normal(0.02),
+                              (cfg.vocab_size, cfg.d_model))
+        if cfg.style == "gpt2":
+            self.wpe = self.param("wpe", nn.initializers.normal(0.01),
+                                  (cfg.max_position, cfg.d_model))
+            self.ln_f = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_f")
+            self.embed_drop = nn.Dropout(cfg.dropout)
+        else:
+            self.norm = RMSNorm(eps=cfg.norm_eps, name="norm")
+        block_cls = nn.remat(Block) if self.remat else Block
+        self.blocks = [block_cls(cfg, self.lora, name=f"h_{i}")
+                       for i in range(cfg.n_layers)]
+
+    def embed(self, token_ids) -> jnp.ndarray:
+        return jnp.take(self.wte, token_ids, axis=0)
+
+    def word_embeddings(self) -> jnp.ndarray:
+        return self.wte
+
     def __call__(self, inputs_embeds=None, input_ids=None, *,
                  deterministic: bool = True):
         cfg = self.cfg
-        # always materialize the token table: fusion models read it for
-        # prompt embedding + vocab mapping even when feeding inputs_embeds
-        wte = self.param("wte", nn.initializers.normal(0.02),
-                         (cfg.vocab_size, cfg.d_model))
         if inputs_embeds is None:
-            inputs_embeds = jnp.take(wte, input_ids, axis=0)
+            inputs_embeds = self.embed(input_ids)
         x = inputs_embeds
         L = x.shape[1]
 
         if cfg.style == "gpt2":
-            wpe = self.param("wpe", nn.initializers.normal(0.01),
-                             (cfg.max_position, cfg.d_model))
-            x = x + wpe[None, :L, :].astype(x.dtype)
-            x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+            x = x + self.wpe[None, :L, :].astype(x.dtype)
+            x = self.embed_drop(x, deterministic=deterministic)
 
-        block_cls = Block
-        if self.remat:
-            block_cls = nn.remat(Block, static_argnums=())
-        for i in range(cfg.n_layers):
-            x = block_cls(cfg, self.lora, name=f"h_{i}")(
-                x, deterministic=deterministic)
+        for block in self.blocks:
+            x = block(x, deterministic=deterministic)
 
         if cfg.style == "gpt2":
-            x = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_f")(x)
+            x = self.ln_f(x)
         else:
-            x = RMSNorm(eps=cfg.norm_eps, name="norm")(x)
+            x = self.norm(x)
         return x
-
-    def embed_tokens(self, params: dict, token_ids) -> jnp.ndarray:
-        """Input-embedding lookup (the reference's
-        llm.get_input_embeddings(), medtsllm.py:301)."""
-        wte = params["wte"]
-        return jnp.take(wte, token_ids, axis=0)

@@ -1,12 +1,647 @@
-"""Placeholder: implemented later this round."""
+"""MedTsLLM — the flagship model: frozen/LoRA LLM backbone fused with
+patched time-series embeddings via a reprogramming cross-attention, plus
+text prompts (dataset/clip/statistics/task descriptions).
 
+Re-design of reference models/medtsllm.py:24-591, split TPU-first into:
+  - `PromptBuilder` (host): builds per-sample prompt strings, computes
+    input statistics in numpy (the reference computes them on-device then
+    syncs with .tolist(), medtsllm.py:476-481), tokenizes, and LEFT-pads
+    token ids to a growing bucket length so one compiled graph serves all
+    batches (vs the reference's per-batch max-length pad + per-sample
+    tokenize inside forward, medtsllm.py:328-339);
+  - `MedTsLLM` (flax module, one jit graph): RevIN -> patch-unfold ->
+    conv patch embedding -> vocab-mapped reprogramming cross-attention ->
+    [prompt embeds | ts embeds] -> decoder-only LLM -> d_ff downsample ->
+    FlattenHead -> covariate merge -> RevIN denorm.
+
+Pad tokens are embedded and attended like the reference (no attention
+mask is passed to the LLM there either, medtsllm.py:349-350).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import jax
+import jax.numpy as jnp
 import flax.linen as nn
+import numpy as np
+
+from ..ops.embed import PatchEmbedding
+from ..ops.revin import revin_denorm, revin_norm
+from .llm.loader import resolve_config
+from .llm.tokenizer import get_tokenizer
+from .llm.transformer import LoraSpec, TransformerDecoder
+
+VOCAB_SUBSAMPLE_LIMIT = 100_000  # medtsllm.py:220-222
+
+
+class ReprogrammingLayer(nn.Module):
+    """Cross-attention from patch embeddings (queries) into a compressed
+    text-token basis (keys/values) — medtsllm.py:555-591."""
+
+    d_model: int
+    n_heads: int
+    d_keys: int
+    d_llm: int
+    attention_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, target, source, value, *, deterministic: bool = True):
+        B, L, _ = target.shape
+        S = source.shape[0]
+        H = self.n_heads
+
+        q = nn.Dense(self.d_keys * H, name="query_projection")(target)
+        k = nn.Dense(self.d_keys * H, name="key_projection")(source)
+        v = nn.Dense(self.d_keys * H, name="value_projection")(value)
+        q = q.reshape(B, L, H, self.d_keys)
+        k = k.reshape(S, H, self.d_keys)
+        v = v.reshape(S, H, self.d_keys)
+
+        scale = 1.0 / jnp.sqrt(self.d_keys).astype(q.dtype)
+        scores = jnp.einsum("blhe,she->bhls", q, k)
+        A = jax.nn.softmax(scale * scores, axis=-1)
+        A = nn.Dropout(self.attention_dropout)(A, deterministic=deterministic)
+        out = jnp.einsum("bhls,she->blhe", A, v).reshape(B, L, -1)
+        return nn.Dense(self.d_llm, name="out_projection")(out)
 
 
 class MedTsLLM(nn.Module):
-    supported_tasks = ()
-    supported_modes = ()
+    task: str
+    seq_len: int
+    pred_len: int
+    n_features: int
+    n_classes: int
+    n_outputs_per_step: int
+    d_model: int
+    d_ff: int
+    n_heads: int
+    num_tokens: int
+    patch_len: int
+    stride: int
+    covariate_mode: str
+    embedding_downsample_mode: str
+    dropout: float
+    llm_enabled: bool
+    llm_cfg: object  # DecoderConfig
+    llm_id: str = "gpt2"
+    cache_dir: str | None = None
+    lora: LoraSpec | None = None
+    seg_mode: str | None = None
+    remat: bool = False
+
+    supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
+                       "semantic_segmentation", "segmentation", "pretraining")
+    supported_modes = ("univariate", "multivariate")
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def model_config(cls, config):
+        models = config.models
+        return models.medtsllm if "medtsllm" in models else models.timellm
 
     @classmethod
     def from_config(cls, config, dataset):
-        raise NotImplementedError("MedTsLLM is not implemented yet")
+        mc = cls.model_config(config)
+        task = config.task
+
+        n_classes = (dataset.n_classes
+                     if task in ("classification", "semantic_segmentation") else 0)
+        if task in ("forecasting", "reconstruction", "anomaly_detection",
+                    "pretraining"):
+            n_outputs_per_step = dataset.n_features
+        elif task == "semantic_segmentation":
+            n_outputs_per_step = n_classes if n_classes > 2 else 1
+        elif task == "segmentation":
+            n_outputs_per_step = 1
+            assert config.tasks.segmentation.mode in (
+                "boundary-prediction", "steps-to-boundary")
+        else:
+            raise ValueError(f"Task {task} is not supported.")
+
+        cache_dir = config.get("paths", {}).get("llm_path") or None
+        if cache_dir in ("", "none"):
+            cache_dir = None
+        llm_cfg, _ = resolve_config(mc.llm.llm, cache_dir,
+                                    mc.llm.get("llm_layers", -1))
+
+        lora = None
+        if "lora" in mc and mc.lora.enabled and mc.llm.enabled:
+            assert mc.lora.get("layers", "auto") == "auto"
+            targets = ("q", "v") if llm_cfg.style == "llama" else ("q",)
+            lora = LoraSpec(rank=mc.lora.rank, alpha=mc.lora.alpha,
+                            dropout=mc.lora.get("dropout", 0.0),
+                            rslora=mc.lora.get("rslora", True),
+                            targets=targets)
+
+        covariate_mode = mc.covariate_mode
+        if covariate_mode == "univariate":
+            assert dataset.n_features == 1
+
+        return cls(
+            task=task,
+            seq_len=config.history_len,
+            pred_len=config.pred_len,
+            n_features=dataset.n_features,
+            n_classes=n_classes,
+            n_outputs_per_step=n_outputs_per_step,
+            d_model=mc.d_model,
+            d_ff=mc.d_ff,
+            n_heads=mc.n_heads,
+            num_tokens=mc.num_tokens,
+            patch_len=mc.patching.patch_len,
+            stride=mc.patching.stride,
+            covariate_mode=covariate_mode,
+            embedding_downsample_mode=mc.embedding_downsample_mode,
+            dropout=config.training.dropout,
+            llm_enabled=mc.llm.enabled,
+            llm_cfg=llm_cfg,
+            llm_id=mc.llm.llm,
+            cache_dir=cache_dir,
+            lora=lora,
+            seg_mode=(config.tasks.segmentation.mode
+                      if task == "segmentation" else None),
+            remat=bool(mc.llm.get("remat", False)),
+        )
+
+    # derived sizes (medtsllm.py:52,71-87)
+    @property
+    def base_n_patches(self) -> int:
+        return int((self.seq_len - self.patch_len) / self.stride + 2)
+
+    @property
+    def n_patches(self) -> int:
+        n = self.base_n_patches
+        return n * self.n_features if self.covariate_mode == "interleave" else n
+
+    @property
+    def d_reprog(self) -> int:
+        """Query dim of the reprogramming layer (d_model, xC for concat)."""
+        return (self.d_model * self.n_features
+                if self.covariate_mode == "concat" else self.d_model)
+
+    @property
+    def d_llm(self) -> int:
+        return self.llm_cfg.d_model
+
+    @property
+    def n_outputs(self) -> int:
+        return self.n_outputs_per_step * self.pred_len
+
+    @property
+    def vocab_indices(self):
+        V = self.llm_cfg.vocab_size
+        if V > VOCAB_SUBSAMPLE_LIMIT:
+            return np.linspace(0, V - 1, VOCAB_SUBSAMPLE_LIMIT).astype(np.int32)
+        return None
+
+    # ------------------------------------------------------------------
+    # flax graph
+    # ------------------------------------------------------------------
+
+    def setup(self):
+        self.llm = TransformerDecoder(self.llm_cfg, lora=self.lora,
+                                      remat=self.remat, name="llm")
+        self.patch_embedding = PatchEmbedding(
+            self.d_model, self.patch_len, self.stride, self.dropout,
+            pos_embed=False, name="patch_embedding")
+        self.mapping_layer = nn.Dense(self.num_tokens, name="mapping_layer")
+        self.reprogramming_layer = ReprogrammingLayer(
+            self.d_reprog, self.n_heads, self.d_ff, self.d_llm,
+            attention_dropout=self.dropout, name="reprogramming_layer")
+        self.output_projection = nn.Dense(self.n_outputs,
+                                          name="output_projection")
+        if self.embedding_downsample_mode == "linear":
+            self.embedding_downsample_layer = nn.Dense(
+                self.d_ff, name="embedding_downsample_layer")
+        elif self.embedding_downsample_mode == "average":
+            assert self.d_llm % self.d_ff == 0
+        if self.covariate_mode == "merge-end":
+            self.feature_weighting = nn.Dense(
+                self.n_outputs_per_step, name="feature_weighting")
+        elif self.covariate_mode == "weighted-average":
+            self.feature_weighting = nn.Dense(1, name="feature_weighting")
+        if not self.llm_enabled:
+            self.llm_replacement = nn.Sequential([
+                nn.Dense(self.d_llm), nn.gelu, nn.Dense(self.d_ff),
+                nn.LayerNorm()])
+
+    def _word_embeddings(self):
+        wte = self.llm.word_embeddings()
+        if self.vocab_indices is not None:
+            wte = jnp.take(wte, jnp.asarray(self.vocab_indices), axis=0)
+        return jax.lax.stop_gradient(wte)
+
+    def encode_ts(self, x_enc, *, deterministic):
+        """RevIN -> patch embed -> reprogramming (medtsllm.py:263-297).
+        Returns (enc [B', P, d_llm], revin stats)."""
+        B, L, C = x_enc.shape
+        xn, stats = revin_norm(x_enc)
+        x = jnp.swapaxes(xn, 1, 2)  # [B, C, L]
+        enc, _ = self.patch_embedding(x, deterministic=deterministic)
+        # enc: [B*C, P, d_model]
+        P = enc.shape[1]
+
+        if self.covariate_mode == "concat":
+            enc = enc.reshape(B, C, P, self.d_model)
+            enc = jnp.transpose(enc, (0, 2, 1, 3)).reshape(B, P, C * self.d_model)
+
+        wte = self._word_embeddings()
+        source = self.mapping_layer(wte.T).T  # [num_tokens, d_llm]
+        enc = self.reprogramming_layer(enc, source, source,
+                                       deterministic=deterministic)
+
+        if self.covariate_mode == "add":
+            enc = enc.reshape(B, C, P, self.d_llm).mean(axis=1)
+        elif self.covariate_mode == "weighted-average":
+            enc = enc.reshape(B, C, P, self.d_llm)
+            enc = jnp.transpose(enc, (0, 2, 3, 1))  # [B,P,d_llm,C]
+            enc = self.feature_weighting(enc).squeeze(-1)
+        elif self.covariate_mode == "interleave":
+            enc = enc.reshape(B, C, -1, self.d_llm)
+            enc = jnp.transpose(enc, (0, 2, 1, 3)).reshape(B, -1, self.d_llm)
+        return enc, stats
+
+    def __call__(self, inputs: dict, training: bool = False):
+        det = not training
+        x_enc = inputs["x_enc"]
+        if x_enc.ndim == 2:
+            x_enc = x_enc[..., None]
+        B, L, C = x_enc.shape
+
+        ts_emb, stats = self.encode_ts(x_enc, deterministic=det)
+
+        # prompt order (medtsllm.py:424-437): [bos+dataset(+example text)]
+        # -> example TS embedding -> [clip+stats+task+"Time series:"]
+        parts = []
+        prompt_ids = inputs.get("prompt_ids")
+        if prompt_ids is not None:
+            parts.append(self.llm.embed(prompt_ids).astype(ts_emb.dtype))
+        example_ts = inputs.get("example_ts")
+        if example_ts is not None:
+            assert self.covariate_mode not in ("independent", "merge-end"), \
+                "in-context examples require a batch-preserving covariate mode"
+            ex_emb, _ = self.encode_ts(example_ts.astype(x_enc.dtype),
+                                       deterministic=det)
+            parts.append(ex_emb)
+        post_ids = inputs.get("post_prompt_ids")
+        if post_ids is not None:
+            parts.append(self.llm.embed(post_ids).astype(ts_emb.dtype))
+        prompt_emb = (jnp.concatenate(parts, axis=1) if parts
+                      else jnp.zeros((B, 0, self.d_llm), dtype=ts_emb.dtype))
+
+        if self.covariate_mode in ("independent", "merge-end"):
+            # per-channel rows through the LLM; prompt repeated per channel
+            prompt_emb = jnp.repeat(prompt_emb, C, axis=0)
+
+        enc = jnp.concatenate([prompt_emb, ts_emb], axis=1)
+
+        if self.llm_enabled:
+            dec_out = self.llm(inputs_embeds=enc, deterministic=det)
+            dec_out = dec_out[:, -self.n_patches:, :]
+            if self.embedding_downsample_mode == "truncate":
+                dec_out = dec_out[:, :, :self.d_ff]
+            elif self.embedding_downsample_mode == "linear":
+                dec_out = self.embedding_downsample_layer(dec_out)
+            elif self.embedding_downsample_mode == "average":
+                dec_out = dec_out.reshape(dec_out.shape[0], self.n_patches,
+                                          self.d_ff, -1).mean(axis=-1)
+            else:
+                raise ValueError(
+                    f"Unknown embedding downsample mode "
+                    f"{self.embedding_downsample_mode}")
+        else:
+            # ablation path (medtsllm.py:103-109): a small MLP replaces the
+            # LLM + downsample
+            dec_out = self.llm_replacement(enc)[:, -self.n_patches:, :]
+
+        # FlattenHead (medtsllm.py:541-552) on [B, d_ff, P]
+        dec_out = jnp.swapaxes(dec_out, 1, 2)
+        dec_out = dec_out.reshape(dec_out.shape[0], -1)
+        dec_out = self.output_projection(dec_out)  # [B', n_outputs]
+
+        if self.covariate_mode == "independent":
+            dec_out = dec_out.reshape(B, C, self.pred_len, self.n_outputs_per_step)
+            dec_out = dec_out.mean(axis=1)
+        elif self.covariate_mode == "merge-end":
+            dec_out = dec_out.reshape(B, C, self.pred_len, self.n_outputs_per_step)
+            dec_out = jnp.transpose(dec_out, (0, 2, 3, 1)).reshape(B, self.pred_len, -1)
+            dec_out = self.feature_weighting(dec_out)
+        else:
+            dec_out = dec_out.reshape(B, self.pred_len, self.n_outputs_per_step)
+
+        if self.task in ("forecasting", "reconstruction", "anomaly_detection",
+                         "pretraining"):
+            dec_out = revin_denorm(dec_out, stats)
+        else:
+            dec_out = dec_out.squeeze(-1) if dec_out.shape[-1] == 1 else dec_out
+
+        # eval-time activations (medtsllm.py:248-261)
+        if not training:
+            if self.task == "semantic_segmentation":
+                dec_out = (nn.softmax(dec_out, axis=-1) if self.n_classes > 2
+                           else nn.sigmoid(dec_out))
+            elif self.task == "segmentation" and self.seg_mode == "boundary-prediction":
+                dec_out = nn.sigmoid(dec_out)
+        return dec_out
+
+    # ------------------------------------------------------------------
+    # trainer hooks
+    # ------------------------------------------------------------------
+
+    def param_labels(self, params):
+        """LLM backbone frozen (lora_a/lora_b train when enabled); all
+        fusion-layer params train (medtsllm.py:231-233)."""
+        def label(path, _):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if name.startswith("llm/") or name == "llm":
+                if "lora_" in name:
+                    return "new"
+                return "frozen"
+            return "new"
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    def checkpoint_tree(self, params):
+        """Exclude the frozen LLM from checkpoints (medtsllm.py:235-246);
+        LoRA adapters are kept (the reference saves them to a separate
+        file via save_pretrained)."""
+        out = {k: v for k, v in params.items() if k != "llm"}
+        if self.lora is not None and "llm" in params:
+            lora = _filter_tree(params["llm"], lambda p: "lora_" in p)
+            if lora:
+                out["llm"] = lora
+        return out
+
+    def drop_pretrained_heads(self, saved: dict) -> dict:
+        """Pretrain->finetune transfer drops the output head
+        (medtsllm.py:515-527; word embeddings are never checkpointed here)."""
+        saved = dict(saved)
+        saved.pop("output_projection", None)
+        saved.pop("word_embeddings", None)
+        return saved
+
+    def pretrained_param_loader(self):
+        from .llm.loader import load_backbone
+
+        def load(params):
+            if not self.llm_enabled:
+                return params
+            _, loaded, _ = load_backbone(
+                self.llm_id, self.cache_dir, self.llm_cfg.n_layers,
+                lora=self.lora)
+            params = dict(params)
+            params["llm"] = loaded
+            return params
+        return load
+
+    @classmethod
+    def make_preprocessor(cls, config, dataset, model):
+        return PromptBuilder(config, dataset, model)
+
+
+def _filter_tree(tree: dict, pred) -> dict:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            sub = _filter_tree(v, pred)
+            if sub:
+                out[k] = sub
+        elif pred(str(k)):
+            out[k] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# host-side prompt construction
+# ---------------------------------------------------------------------------
+
+def calculate_lags(x: np.ndarray, n_lags: int = 5) -> np.ndarray:
+    """Top-k FFT autocorrelation lags (medtsllm.py:530-538), numpy."""
+    x = np.transpose(x, (0, 2, 1)) if x.ndim == 3 else x[:, None, :]
+    q = np.fft.rfft(x, axis=-1)
+    corr = np.fft.irfft(q * np.conj(q), n=x.shape[-1], axis=-1)
+    mean_value = corr.mean(axis=1)
+    return np.argsort(-mean_value, axis=-1, kind="stable")[:, :n_lags]
+
+
+def _fmt_float(v):
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ", ".join(_fmt_float(x) for x in v) + "]"
+    return f"{float(v):.3f}"
+
+
+def _fmt_trend(v):
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ", ".join(_fmt_trend(x) for x in v) + "]"
+    return "upward" if v else "downward"
+
+
+class PromptBuilder:
+    """Host-side batch preprocessor: prompt text -> token ids, fixed-bucket
+    left padding, input statistics (medtsllm.py:386-495)."""
+
+    N_LAGS = 5
+
+    def __init__(self, config, dataset, model: MedTsLLM):
+        self.model = model
+        mc = MedTsLLM.model_config(config)
+        prompting = mc.get("prompting")
+        if prompting is None:
+            self.cfg = {"dataset": True, "clip": True, "input_stats": True,
+                        "task": True, "examples": False,
+                        "input_stats_dim": 0, "input_stats_select": "all"}
+        else:
+            self.cfg = {
+                "dataset": prompting.get("dataset", True),
+                "clip": prompting.get("clip", True),
+                "input_stats": prompting.get("input_stats", True),
+                "task": prompting.get("task", True),
+                "examples": prompting.get("examples", False),
+                "input_stats_dim": prompting.get("input_stats_dim", 0),
+                "input_stats_select": prompting.get("input_stats_select", "all"),
+            }
+        self.enabled = model.llm_enabled and any(
+            self.cfg[k] for k in ("dataset", "clip", "input_stats", "task",
+                                  "examples"))
+        if not model.llm_enabled and any(
+                self.cfg[k] for k in ("dataset", "clip", "input_stats",
+                                      "task", "examples")):
+            warnings.warn("llm.enabled=false: prompts are disabled")
+
+        cache_dir = config.get("paths", {}).get("llm_path") or None
+        self.tokenizer = get_tokenizer(mc.llm.llm, cache_dir,
+                                       vocab_size=model.llm_cfg.vocab_size)
+        self.pad_id = self.tokenizer.pad_token_id
+        if self.pad_id is None:
+            self.pad_id = self.tokenizer.eos_token_id or 0
+        self.bos = getattr(self.tokenizer, "bos_token", None)
+
+        self.dataset_description = dataset.description
+        self.task_description = self._task_description(config, dataset)
+        self.max_bucket = 16  # grows monotonically; few recompiles
+        self._cache: dict[str, list[int]] = {}
+
+    def _task_description(self, config, dataset) -> str:
+        override = getattr(dataset, "task_description", None)
+        if override:
+            return override
+        task, seq, pred = config.task, config.history_len, config.pred_len
+        if task in ("forecasting", "pretraining"):
+            return (f"Forecast the next {pred} steps given the previous "
+                    f"{seq} steps of data.")
+        if task in ("anomaly_detection", "reconstruction"):
+            return (f"Reconstruct the past {seq} steps of data as accurately "
+                    f"as possible using the following information.")
+        if task == "semantic_segmentation":
+            return (f"Classify the past {seq} steps of data as accurately as "
+                    f"possible using the following information.")
+        if task == "segmentation":
+            return (f"Identify the change points in the past {seq} steps of "
+                    f"data to segment the sequence.")
+        raise ValueError(f"Task {task} is not supported.")
+
+    def _encode(self, text: str) -> list[int]:
+        if text not in self._cache:
+            self._cache[text] = list(self.tokenizer(text).input_ids)
+            if len(self._cache) > 4096:
+                self._cache.clear()
+        return self._cache[text]
+
+    def _stats_prompts(self, x: np.ndarray) -> list[str]:
+        """Input-statistics prompt (medtsllm.py:441-495), numpy on host."""
+        if x.ndim == 2:
+            x = x[..., None]
+        assert self.cfg["input_stats_select"] == "all"
+        dim = self.cfg["input_stats_dim"]
+        if dim == "all":
+            insert, s = "per feature", "s"
+        else:
+            insert, s = f"feature {dim}", ""
+            x = x[:, :, int(dim)]
+
+        mins = x.min(axis=1)
+        maxs = x.max(axis=1)
+        medians = np.median(x.astype(np.float64), axis=1)
+        trends = np.diff(x, axis=1).sum(axis=1) > 0
+        lags = calculate_lags(x.astype(np.float64), self.N_LAGS)
+
+        prompts = []
+        for b in range(x.shape[0]):
+            lag_list = [int(v) for v in lags[b]]
+            prompts.append(
+                f"Input statistics ({insert}): "
+                f"min value{s} = {_fmt_float(mins[b])}, "
+                f"max value{s} = {_fmt_float(maxs[b])}, "
+                f"median value{s} = {_fmt_float(medians[b])}, "
+                f"the trend of input is {_fmt_trend(trends[b])}, "
+                f"the top {self.N_LAGS} lags are {lag_list}.")
+        return prompts
+
+    def build_prompts(self, batch: dict) -> list[list[str]]:
+        """Ordered prompt parts per sample (medtsllm.py:386-439); the
+        in-context example tensor is handled separately."""
+        x = np.asarray(batch["x_enc"])
+        bs = x.shape[0]
+        if not self.enabled:
+            return [[] for _ in range(bs)]
+
+        dataset_prompt = (f"Dataset: {self.dataset_description}"
+                          if self.cfg["dataset"] else "")
+        clip_prompts = (list(batch.get("descriptions", [""] * bs))
+                        if self.cfg["clip"] else [""] * bs)
+        stats_prompts = (self._stats_prompts(x)
+                         if self.cfg["input_stats"] else [""] * bs)
+        task_prompt = f"Task: {self.task_description}" if self.cfg["task"] else ""
+        if "dataset_description" in batch:  # pretraining mixture meta
+            per_sample_ds = [f"Dataset: {d}" if self.cfg["dataset"] else ""
+                             for d in batch["dataset_description"]]
+        else:
+            per_sample_ds = [dataset_prompt] * bs
+
+        bos = self.bos if self.bos is not None else ""
+        has_examples = self.cfg["examples"] and "examples" in batch
+        example_texts = ([e[0] for e in batch["examples"]]
+                         if has_examples else [""] * bs)
+
+        pre_prompts, post_prompts = [], []
+        for b in range(bs):
+            pre = [bos, per_sample_ds[b]]
+            if has_examples:
+                pre.append(example_texts[b])
+            post = [clip_prompts[b], stats_prompts[b], task_prompt,
+                    "Time series:"]
+            pre = [p for p in pre if p != ""]
+            post = [p for p in post if p != ""]
+            pre = [(p + " " if i != 0 else p) for i, p in enumerate(pre)]
+            post = [p + " " for p in post]
+            pre_prompts.append(pre)
+            post_prompts.append(post)
+        return pre_prompts, post_prompts
+
+    def _pad_ids(self, ids: list[list[int]], bucket: int) -> np.ndarray:
+        out = np.full((len(ids), bucket), self.pad_id, dtype=np.int32)
+        for b, seq in enumerate(ids):
+            out[b, bucket - len(seq):] = seq  # LEFT pad (medtsllm.py:304-311)
+        return out
+
+    def _bucket_for(self, maxlen: int) -> int:
+        while self.max_bucket < maxlen:
+            self.max_bucket *= 2
+        return self.max_bucket
+
+    def __call__(self, batch: dict) -> dict:
+        arrays = {k: v for k, v in batch.items()
+                  if k in ("x_enc", "y", "labels", "index", "valid")}
+        if not self.enabled:
+            return arrays
+        pre_prompts, post_prompts = self.build_prompts(batch)
+        if not pre_prompts or not (pre_prompts[0] or post_prompts[0]):
+            return arrays
+
+        has_examples = self.cfg["examples"] and "examples" in batch
+        pre_ids = [sum((self._encode(p) for p in parts), [])
+                   for parts in pre_prompts]
+        post_ids = [sum((self._encode(p) for p in parts), [])
+                    for parts in post_prompts]
+
+        if has_examples:
+            arrays["prompt_ids"] = self._pad_ids(
+                pre_ids, self._bucket_for(max(map(len, pre_ids))))
+            arrays["example_ts"] = self._example_tensor(batch)
+            arrays["post_prompt_ids"] = self._pad_ids(
+                post_ids, self._bucket_post(max(map(len, post_ids))))
+        else:
+            # single prompt, single left pad — exactly the reference layout
+            ids = [a + b for a, b in zip(pre_ids, post_ids)]
+            arrays["prompt_ids"] = self._pad_ids(
+                ids, self._bucket_for(max(map(len, ids))))
+        return arrays
+
+    def _bucket_post(self, maxlen: int) -> int:
+        if not hasattr(self, "max_bucket_post"):
+            self.max_bucket_post = 16
+        while self.max_bucket_post < maxlen:
+            self.max_bucket_post *= 2
+        return self.max_bucket_post
+
+    def _example_tensor(self, batch: dict) -> np.ndarray:
+        """In-context example segments (reference ecg.py:139-166), crop/tile
+        to one static example length chosen at first use."""
+        tensors = [np.asarray(e[1])[0] for e in batch["examples"]]
+        if not hasattr(self, "example_len"):
+            med = int(np.median([t.shape[0] for t in tensors]))
+            self.example_len = min(self.model.seq_len,
+                                   max(self.model.patch_len, med))
+        fixed = self.example_len
+        out = np.zeros((len(tensors), fixed, tensors[0].shape[-1]), np.float32)
+        for i, t in enumerate(tensors):
+            if t.shape[0] >= fixed:
+                out[i] = t[:fixed]
+            else:
+                reps = -(-fixed // t.shape[0])
+                out[i] = np.tile(t, (reps, 1))[:fixed]
+        return out

@@ -58,6 +58,10 @@ class BaseTask:
         self.build_pipelines()
 
         self.model = build_model(config, self.train_dataset)
+        self.preprocessor = (
+            type(self.model).make_preprocessor(config, self.train_dataset,
+                                               self.model)
+            if hasattr(type(self.model), "make_preprocessor") else None)
         self.params = self.init_params()
         self.load_pretrained()
 
@@ -170,10 +174,9 @@ class BaseTask:
 
     def model_inputs(self, batch: dict) -> dict:
         """Host-side batch -> jit-traceable dict. Models with text inputs
-        override preprocessing via `model.preprocess_batch` (tokenization
-        stays outside the graph)."""
-        if hasattr(self.model, "preprocess_batch"):
-            return self.model.preprocess_batch(batch)
+        install a preprocessor (tokenization stays outside the graph)."""
+        if self.preprocessor is not None:
+            return self.preprocessor(batch)
         return {k: v for k, v in batch.items() if k in ARRAY_BATCH_KEYS}
 
     def checkpoint_params(self):

@@ -1,0 +1,178 @@
+"""MedTsLLM flagship model: prompt pipeline + covariate modes + tasks."""
+
+import jax
+import numpy as np
+import pytest
+
+from medtsllm_tpu.tasks import get_trainer
+from conftest import make_config
+
+
+def _cfg(task, tmp_path, covariate_mode="concat", llm_enabled=True,
+         prompting=None, lora=False, **kw):
+    kw.setdefault("hist", 32)
+    kw.setdefault("pred", 32)
+    cfg = make_config(task=task, model="medtsllm", step=16, **kw)
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.training.epochs = 1
+    cfg.training.batch_size = 4
+    cfg.datasets.synthetic.n_points = 384
+    prompting = prompting or {"dataset": True, "task": True, "clip": False,
+                              "input_stats": False, "examples": False,
+                              "input_stats_dim": 0, "input_stats_select": "all"}
+    cfg["models"] = {"medtsllm": {
+        "d_model": 16, "d_ff": 16, "n_heads": 4, "num_tokens": 32,
+        "covariate_mode": covariate_mode,
+        "embedding_downsample_mode": "linear",
+        "patching": {"patch_len": 8, "stride": 4},
+        "prompting": prompting,
+        "llm": {"enabled": llm_enabled, "llm": "llama-tiny", "llm_layers": -1,
+                "load_in_4bit": False, "load_in_8bit": False},
+    }}
+    if lora:
+        cfg.models.medtsllm["lora"] = {"enabled": True, "rank": 4, "alpha": 8,
+                                       "layers": "auto"}
+    return cfg
+
+
+def test_forecasting_with_prompts(tmp_path):
+    cfg = _cfg("forecasting", tmp_path, pred=16)
+    trainer = get_trainer("m-f", cfg)
+    trainer.train()
+    scores = trainer.test()
+    assert np.isfinite(scores["test/mse"])
+
+
+def test_input_stats_prompt(tmp_path):
+    cfg = _cfg("reconstruction", tmp_path,
+               prompting={"dataset": True, "task": True, "clip": True,
+                          "input_stats": True, "examples": False,
+                          "input_stats_dim": 0, "input_stats_select": "all"})
+    trainer = get_trainer("m-stats", cfg)
+    batch = next(iter(trainer.val_pipeline))
+    arrays = trainer.model_inputs(batch)
+    assert "prompt_ids" in arrays
+    assert arrays["prompt_ids"].shape[0] == batch["x_enc"].shape[0]
+    # prompt text should decode to contain statistics markers
+    text = trainer.preprocessor.tokenizer.decode(
+        [t for t in arrays["prompt_ids"][0] if t != trainer.preprocessor.pad_id])
+    assert "Input statistics" in text and "min value" in text
+    scores = trainer.val()
+    assert np.isfinite(scores["val/mse"])
+
+
+@pytest.mark.parametrize("mode", ["concat", "add", "independent",
+                                  "weighted-average", "interleave", "merge-end"])
+def test_covariate_modes(mode, tmp_path):
+    cfg = _cfg("reconstruction", tmp_path, covariate_mode=mode)
+    trainer = get_trainer(f"m-{mode}", cfg)
+    preds, targets = trainer.predict(trainer.val_pipeline)
+    assert preds.shape == targets.shape
+    assert np.isfinite(preds).all()
+
+
+def test_univariate_covariate_mode(tmp_path):
+    cfg = _cfg("reconstruction", tmp_path, covariate_mode="univariate")
+    cfg.datasets.synthetic.n_features = 1
+    trainer = get_trainer("m-uni", cfg)
+    scores = trainer.val()
+    assert np.isfinite(scores["val/mse"])
+
+
+def test_llm_disabled_ablation(tmp_path):
+    cfg = _cfg("reconstruction", tmp_path, llm_enabled=False,
+               prompting={"dataset": False, "task": False, "clip": False,
+                          "input_stats": False, "examples": False,
+                          "input_stats_dim": 0, "input_stats_select": "all"})
+    trainer = get_trainer("m-nollm", cfg)
+    scores = trainer.val()
+    assert np.isfinite(scores["val/mse"])
+
+
+def test_frozen_llm_and_checkpoint_exclusion(tmp_path):
+    cfg = _cfg("reconstruction", tmp_path)
+    trainer = get_trainer("m-frozen", cfg)
+    before = jax.device_get(trainer.params)
+    trainer.train()
+    after = jax.device_get(trainer.params)
+    # backbone frozen
+    np.testing.assert_array_equal(
+        before["llm"]["h_0"]["attn"]["q_proj"]["base"]["kernel"],
+        after["llm"]["h_0"]["attn"]["q_proj"]["base"]["kernel"])
+    # fusion layers train
+    assert not np.array_equal(
+        before["mapping_layer"]["kernel"], after["mapping_layer"]["kernel"])
+    # checkpoint excludes the llm subtree
+    ckpt = trainer.checkpoint_params()
+    assert "llm" not in ckpt
+    assert "mapping_layer" in ckpt
+
+
+def test_lora_trains_and_is_checkpointed(tmp_path):
+    cfg = _cfg("reconstruction", tmp_path, lora=True)
+    trainer = get_trainer("m-lora", cfg)
+    before = jax.device_get(trainer.params)
+    trainer.train()
+    after = jax.device_get(trainer.params)
+    lb = before["llm"]["h_0"]["attn"]["q_proj"]["lora_b"]
+    la = after["llm"]["h_0"]["attn"]["q_proj"]["lora_b"]
+    assert not np.array_equal(lb, la), "lora_b should train"
+    np.testing.assert_array_equal(
+        before["llm"]["h_0"]["attn"]["q_proj"]["base"]["kernel"],
+        after["llm"]["h_0"]["attn"]["q_proj"]["base"]["kernel"])
+    ckpt = trainer.checkpoint_params()
+    assert "llm" in ckpt  # lora-only subtree
+    assert "lora_a" in str(ckpt["llm"])
+    assert "base" not in str(ckpt["llm"])
+
+
+def test_semantic_segmentation(tmp_path):
+    cfg = _cfg("semantic_segmentation", tmp_path, loss="auto",
+               eval_metric="iou", eval_dir="max")
+    trainer = get_trainer("m-sem", cfg)
+    scores = trainer.val()
+    assert 0 <= scores["val/iou"] <= 1
+
+
+def test_segmentation(tmp_path):
+    cfg = _cfg("segmentation", tmp_path, loss="bce",
+               eval_metric="segment_miou", eval_dir="max")
+    trainer = get_trainer("m-seg", cfg)
+    scores = trainer.val()
+    assert "val/segment_miou" in scores
+
+
+def test_pretraining_then_finetune(tmp_path):
+    # pretraining over the 4-dataset mixture (tasks/pretraining.py)
+    cfg = _cfg("pretraining", tmp_path)
+    cfg["tasks"]["pretraining"] = {"downsample_pct": 0.01, "n_features": 2}
+    trainer = get_trainer("m-pre", cfg)
+    trainer.train()
+    trainer.log_end()
+
+    # finetune from the pretraining checkpoint (tasks/base.py:143-155)
+    cfg2 = _cfg("reconstruction", tmp_path)
+    cfg2.datasets.synthetic.n_features = 2
+    cfg2["finetuning"] = {"enabled": True, "pretrained_id": "m-pre",
+                          "pretrained_ckpt": "latest", "frozen_epochs": 0,
+                          "warmup_epochs": 1, "warmup_factor": 0.1}
+    ft = get_trainer("m-ft", cfg2)
+    assert ft.finetuning
+    assert len(ft.loaded_params) > 0
+    assert not any("output_projection" in p for p in ft.loaded_params)
+    ft.train()
+    lrs = ft.optimizer.get_last_lr()
+    assert len(lrs) == 2  # new + loaded groups
+
+
+def test_prompt_bucket_is_stable(tmp_path):
+    cfg = _cfg("reconstruction", tmp_path,
+               prompting={"dataset": True, "task": True, "clip": False,
+                          "input_stats": True, "examples": False,
+                          "input_stats_dim": 0, "input_stats_select": "all"})
+    trainer = get_trainer("m-bucket", cfg)
+    shapes = set()
+    for batch in trainer.val_pipeline:
+        arrays = trainer.model_inputs(batch)
+        shapes.add(arrays["prompt_ids"].shape)
+    assert len(shapes) == 1, f"prompt bucket should stabilize, got {shapes}"
