@@ -1,0 +1,150 @@
+"""Benchmark harness: MedTsLLM inference throughput on the local chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md), so
+vs_baseline is reported against a nominal A100 estimate for the same
+pipeline: an fp16 A100 (312 TFLOP/s peak, ~45% MFU) running the same
+2 * params * tokens decoder FLOPs. The north-star target is >=5x that
+(BASELINE.json).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_trainer(model_size: str, batch_size: int, history_len: int,
+                  bf16: bool):
+    from medtsllm_tpu.config import Config
+    from medtsllm_tpu.tasks import get_trainer
+
+    cfg = Config({
+        "DEBUG": True,  # no run-dir writes
+        "task": "reconstruction",
+        "model": "medtsllm",
+        "history_len": history_len,
+        "pred_len": history_len,
+        "data": {"dataset": "synthetic", "mode": "multivariate",
+                 "cols": "all", "normalize": True, "step": history_len // 2},
+        "training": {"epochs": 1, "batch_size": batch_size,
+                     "optimizer": "adam", "learning_rate": 1e-4,
+                     "dropout": 0.1, "loss": "mse", "eval_metric": "mse",
+                     "eval_metric_direction": "min"},
+        "datasets": {"synthetic": {"n_points": 8192, "n_features": 3}},
+        "models": {"medtsllm": {
+            "d_model": 32, "d_ff": 128, "n_heads": 8, "num_tokens": 1024,
+            "covariate_mode": "concat",
+            "embedding_downsample_mode": "linear",
+            "patching": {"patch_len": 16, "stride": 8},
+            "prompting": {"dataset": True, "task": True, "clip": False,
+                          "input_stats": True, "examples": False,
+                          "input_stats_dim": 0, "input_stats_select": "all"},
+            "llm": {"enabled": True, "llm": model_size, "llm_layers": -1,
+                    "load_in_4bit": False, "load_in_8bit": False},
+        }},
+        "setup": {"seed": 0, "device": "auto",
+                  "dtype": "bf16" if bf16 else "float32",
+                  "num_workers": 0, "logger": "print"},
+    })
+    return get_trainer("bench", cfg)
+
+
+def a100_estimate_windows_per_sec(n_params: int, tokens_per_window: int,
+                                  a100_tflops: float = 312.0,
+                                  mfu: float = 0.45) -> float:
+    """Nominal A100 throughput for the same decoder FLOPs/window."""
+    flops_per_window = 2.0 * n_params * tokens_per_window
+    return (a100_tflops * 1e12 * mfu) / flops_per_window
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="llama-1b",
+                    help="backbone preset or HF id (llama-tiny|llama-1b|"
+                         "meta-llama/Llama-2-7b-hf|gpt2)")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--history-len", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--fp32", action="store_true")
+    args = ap.parse_args()
+
+    import warnings
+    warnings.filterwarnings("ignore")
+
+    import io
+    import contextlib
+    import jax
+
+    # keep stdout clean for the JSON line
+    capture = io.StringIO()
+    with contextlib.redirect_stdout(capture):
+        trainer = build_trainer(args.model, args.batch, args.history_len,
+                                bf16=not args.fp32)
+        batch = next(iter(trainer.val_pipeline))
+        arrays = trainer.model_inputs(batch)
+        if not args.fp32:
+            arrays = {k: (v.astype(np.float32) if hasattr(v, "dtype")
+                          and np.issubdtype(v.dtype, np.floating) else v)
+                      for k, v in arrays.items()}
+            params = jax.tree.map(
+                lambda x: x.astype(jax.numpy.bfloat16)
+                if jax.numpy.issubdtype(x.dtype, jax.numpy.floating) else x,
+                trainer.params)
+        else:
+            params = trainer.params
+
+        # compile + warmup; sync via a host readback of a scalar — on some
+        # remote backends block_until_ready alone returns before execution
+        def run_sync():
+            return float(trainer.eval_step(params, arrays).sum())
+
+        run_sync()
+        for _ in range(args.warmup):
+            run_sync()
+
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            run_sync()
+            times.append(time.perf_counter() - t0)
+
+    times = np.asarray(times)
+    p50_batch = float(np.percentile(times, 50))
+    windows_per_sec = args.batch / p50_batch
+    p50_window_ms = p50_batch / args.batch * 1e3
+
+    from medtsllm_tpu.utils import count_params
+    n_llm = count_params(trainer.params["llm"])
+    prompt_len = int(arrays.get("prompt_ids", np.zeros((1, 0))).shape[1])
+    tokens = prompt_len + trainer.model.n_patches
+    baseline = a100_estimate_windows_per_sec(n_llm, tokens)
+
+    result = {
+        "metric": f"medtsllm_{args.model}_inference_windows_per_sec_per_chip",
+        "value": round(windows_per_sec, 3),
+        "unit": "windows/sec/chip",
+        "vs_baseline": round(windows_per_sec / baseline, 3),
+        "detail": {
+            "p50_latency_ms_per_window": round(p50_window_ms, 3),
+            "batch": args.batch,
+            "history_len": args.history_len,
+            "prompt_tokens": prompt_len,
+            "total_tokens_per_window": tokens,
+            "llm_params": n_llm,
+            "a100_estimate_windows_per_sec": round(baseline, 3),
+            "backend": jax.default_backend(),
+            "dtype": "float32" if args.fp32 else "bfloat16",
+        },
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

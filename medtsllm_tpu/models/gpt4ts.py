@@ -195,9 +195,16 @@ class GPT4TS(nn.Module):
 
     def pretrained_param_loader(self):
         """Trainer hook: load HF gpt2 weights into the backbone subtree."""
-        from .llm.loader import load_backbone
+        from .llm.loader import find_snapshot, load_backbone
 
         def load(params):
+            if find_snapshot(self.llm_id, self.cache_dir) is None:
+                import warnings
+                warnings.warn(
+                    f"LLM {self.llm_id!r}: no local weights found — using "
+                    f"random init (shapes/throughput faithful; task quality "
+                    f"not meaningful)")
+                return params
             _, loaded, _ = load_backbone(self.llm_id, self.cache_dir,
                                          self.gpt_layers)
             params = dict(params)

@@ -34,6 +34,10 @@ PRESETS = {
         style="llama", vocab_size=32000, d_model=4096, n_layers=32,
         n_heads=32, d_ff=11008, max_position=4096, norm_eps=1e-5,
         bos_token_id=1, eos_token_id=2),
+    "llama-1b": DecoderConfig(  # TinyLlama-1.1B shape (bench-friendly)
+        style="llama", vocab_size=32000, d_model=2048, n_layers=22,
+        n_heads=32, n_kv_heads=4, d_ff=5632, max_position=2048,
+        norm_eps=1e-5, bos_token_id=1, eos_token_id=2),
     "llama-tiny": DecoderConfig(  # test-sized llama-style backbone
         style="llama", vocab_size=512, d_model=64, n_layers=2,
         n_heads=4, d_ff=128, max_position=512, bos_token_id=1,

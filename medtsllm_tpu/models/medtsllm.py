@@ -385,10 +385,19 @@ class MedTsLLM(nn.Module):
         return saved
 
     def pretrained_param_loader(self):
-        from .llm.loader import load_backbone
+        from .llm.loader import find_snapshot, load_backbone
 
         def load(params):
             if not self.llm_enabled:
+                return params
+            if find_snapshot(self.llm_id, self.cache_dir) is None:
+                # no local weights: the trainer's own init already produced
+                # the (warned-about) random backbone — skip a second init
+                import warnings
+                warnings.warn(
+                    f"LLM {self.llm_id!r}: no local weights found — using "
+                    f"random init (shapes/throughput faithful; task quality "
+                    f"not meaningful)")
                 return params
             _, loaded, _ = load_backbone(
                 self.llm_id, self.cache_dir, self.llm_cfg.n_layers,

@@ -25,9 +25,11 @@ def mesh_from_config(config) -> Mesh | None:
     """[setup] mesh config: `tensor_parallel` (int) and optional
     `data_parallel`. Returns None when running single-device unsharded."""
     setup = config.get("setup", {})
+    if "tensor_parallel" not in setup and "data_parallel" not in setup:
+        return None  # sharding is opt-in
     tensor = int(setup.get("tensor_parallel", 1) or 1)
     data = int(setup.get("data_parallel", -1) or -1)
     n = len(jax.devices())
-    if n == 1 and tensor == 1:
-        return None
+    if (n == 1 and tensor == 1) or (tensor == 1 and data == 1):
+        return None  # explicit or implied single-device run
     return create_mesh(data=data, tensor=tensor)

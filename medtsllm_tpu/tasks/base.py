@@ -64,6 +64,7 @@ class BaseTask:
             if hasattr(type(self.model), "make_preprocessor") else None)
         self.params = self.init_params()
         self.load_pretrained()
+        self.apply_sharding()
 
         self.optimizer = self.build_optimizer()
         self.opt_state = self.optimizer.init(self.params)
@@ -108,10 +109,10 @@ class BaseTask:
             {"params": init_rng, "dropout": init_rng}, arrays, training=False)
         params = variables["params"]
         if hasattr(self.model, "pretrained_param_loader"):
-            # pull pretrained backbone weights (HF snapshot or random-init
-            # warning) into the fresh tree
-            params = self.model.pretrained_param_loader()(jax.device_get(params))
-            params = jax.tree.map(jnp.asarray, params)
+            # swap in pretrained backbone weights (HF snapshot or random
+            # init); subtree replacement only — no host roundtrip of the
+            # full tree
+            params = self.model.pretrained_param_loader()(dict(params))
 
         self.param_label_tree = (self.model.param_labels(params)
                                  if hasattr(self.model, "param_labels")
@@ -163,6 +164,26 @@ class BaseTask:
             jax.device_get(self.params), saved)
         self.params = jax.tree.map(jnp.asarray, merged)
         self.loaded_params = loaded
+
+    def apply_sharding(self):
+        """Multi-chip layout (SURVEY.md §5.8): params sharded per the
+        Megatron-style rules over ("data","tensor"); batches shard over
+        "data" in `_device_batch`. Single-device runs skip this."""
+        from ..parallel import mesh_from_config, shard_params
+        self.mesh = mesh_from_config(self.config)
+        if self.mesh is None:
+            return
+        data_size = self.mesh.shape["data"]
+        assert self.config.training.batch_size % data_size == 0, (
+            f"batch_size {self.config.training.batch_size} must divide over "
+            f"data axis {data_size}")
+        self.params = shard_params(self.params, self.mesh)
+
+    def _device_batch(self, arrays: dict) -> dict:
+        if getattr(self, "mesh", None) is None:
+            return arrays
+        from ..parallel import shard_batch
+        return shard_batch(arrays, self.mesh)
 
     def logdir_base(self) -> Path:
         base = self.config.get("paths", {}).get("logdir")
@@ -244,7 +265,7 @@ class BaseTask:
             print(f"Epoch {epoch + 1}/{self.config.training.epochs}")
             self.opt_state = self.optimizer.set_epoch(self.opt_state, epoch)
             for batch in self.train_pipeline:
-                arrays = self.model_inputs(batch)
+                arrays = self._device_batch(self.model_inputs(batch))
                 valid = jnp.asarray(batch["valid"])
                 self.params, self.opt_state, loss = self.train_step(
                     self.params, self.opt_state, arrays, valid, self._next_rng())
@@ -261,7 +282,7 @@ class BaseTask:
         stacked per-window arrays: pred [n, ...] + requested batch keys."""
         preds, extras = [], {k: [] for k in extra_keys}
         for batch in pipeline:
-            arrays = self.model_inputs(batch)
+            arrays = self._device_batch(self.model_inputs(batch))
             out = np.asarray(jax.device_get(
                 self.eval_step(self.params, arrays)))
             v = batch["valid"]
