@@ -62,6 +62,14 @@ class FEDformer(nn.Module):
         seq_len = config.history_len
         pred_len = config.pred_len
         dec_len = seq_len // 2 + pred_len
+        if task == "forecasting":
+            # the reference sizes its decoder-side frequency blocks for
+            # seq//2 + pred while feeding label_len + pred tokens
+            # (FEDformer.py:97,115,122 vs :204-207) — they only agree when
+            # label_len == seq_len//2; make the implicit contract explicit
+            assert mc.label_len == seq_len // 2, (
+                f"fedformer forecasting requires label_len == history_len//2 "
+                f"(got {mc.label_len} != {seq_len // 2})")
         mode_select = mc.mode_select
         modes = mc.modes
         return cls(

@@ -50,6 +50,10 @@ class BaseTask:
         self.newrun = newrun
         self.task = config.task
 
+        from ..runtime import profiler
+        profiler.configure_from(config)
+        self.profile_dir = config.get("setup", {}).get("profile_dir")
+
         self.precision = Precision(config.setup.dtype)
         self.root_rng = set_seed(config.setup.seed)
         self._step_rng = self.root_rng
@@ -261,15 +265,23 @@ class BaseTask:
     # ------------------------------------------------------------------
 
     def train(self):
+        from ..runtime import profiler
+        step_in_run = 0
         for epoch in range(self.config.training.epochs):
             print(f"Epoch {epoch + 1}/{self.config.training.epochs}")
             self.opt_state = self.optimizer.set_epoch(self.opt_state, epoch)
             for batch in self.train_pipeline:
                 arrays = self._device_batch(self.model_inputs(batch))
                 valid = jnp.asarray(batch["valid"])
-                self.params, self.opt_state, loss = self.train_step(
-                    self.params, self.opt_state, arrays, valid, self._next_rng())
+                # profile steps 2-4 (after compile) when configured
+                with profiler.trace(self.profile_dir if step_in_run == 2 else None):
+                    self.params, self.opt_state, loss = self.train_step(
+                        self.params, self.opt_state, arrays, valid,
+                        self._next_rng())
+                    if step_in_run == 2 and self.profile_dir:
+                        jax.block_until_ready(loss)
                 self.log_step(float(loss))
+                step_in_run += 1
             val_scores = self.val()
             self.log_epoch(val_scores)
 
