@@ -62,17 +62,87 @@ def a100_estimate_windows_per_sec(n_params: int, tokens_per_window: int,
     return (a100_tflops * 1e12 * mfu) / flops_per_window
 
 
+def bench_config(config_path: str, iters: int, warmup: int,
+                 llm_override: str | None = "llama-1b") -> dict:
+    """Throughput for one of the reference-mirroring TOML configs
+    (BASELINE.md measured table)."""
+    import io
+    import contextlib
+    import jax
+    from medtsllm_tpu.config import load_config
+    from medtsllm_tpu.tasks import get_trainer
+
+    cfg = load_config(config_path)
+    cfg.DEBUG = True  # no run-dir writes
+    cfg.setup.logger = "print"
+    cfg.setup.num_workers = 0
+    if cfg.model in ("medtsllm", "timellm") and llm_override not in (None, "config"):
+        # 7B fp32 random-init exceeds single-chip HBM at init time; bench
+        # the flagship pipeline with a bench-sized backbone unless local
+        # weights make the configured one loadable
+        section = ("medtsllm" if "medtsllm" in cfg.models else "timellm")
+        cfg.models[section].llm.llm = llm_override
+
+    capture = io.StringIO()
+    with contextlib.redirect_stdout(capture):
+        trainer = get_trainer("bench", cfg)
+        batch = next(iter(trainer.val_pipeline))
+        arrays = trainer.model_inputs(batch)
+        params = trainer.params
+
+        def run_sync():
+            return float(np.asarray(
+                jax.device_get(trainer.eval_step(params, arrays))).sum())
+
+        run_sync()
+        for _ in range(warmup):
+            run_sync()
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            run_sync()
+            times.append(time.perf_counter() - t0)
+
+    bs = cfg.training.batch_size
+    p50 = float(np.percentile(times, 50))
+    name = config_path.rsplit("/", 1)[-1].removesuffix(".toml")
+    return {
+        "metric": f"{name}_inference_windows_per_sec_per_chip",
+        "value": round(bs / p50, 3),
+        "unit": "windows/sec/chip",
+        "vs_baseline": None,
+        "detail": {
+            "p50_latency_ms_per_window": round(p50 / bs * 1e3, 3),
+            "batch": bs, "model": cfg.model, "task": cfg.task,
+            "backend": jax.default_backend(),
+        },
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="llama-1b",
                     help="backbone preset or HF id (llama-tiny|llama-1b|"
                          "meta-llama/Llama-2-7b-hf|gpt2)")
+    ap.add_argument("--config", default=None,
+                    help="bench a TOML config instead of the flagship sweep")
+    ap.add_argument("--llm-override", default="llama-1b",
+                    help="backbone override for --config medtsllm benches "
+                         "('config' keeps the configured id)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--history-len", type=int, default=512)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--fp32", action="store_true")
     args = ap.parse_args()
+
+    if args.config:
+        import warnings
+        warnings.filterwarnings("ignore")
+        result = bench_config(args.config, args.iters, args.warmup,
+                              args.llm_override)
+        print(json.dumps(result))
+        return result
 
     import warnings
     warnings.filterwarnings("ignore")

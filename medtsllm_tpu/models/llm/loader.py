@@ -51,7 +51,7 @@ PRESETS = {
 
 def find_snapshot(llm_id: str, cache_dir: str | None) -> Path | None:
     """Locate a local HF snapshot directory for `llm_id`."""
-    candidates = []
+    candidates = [Path(llm_id)]  # llm_id may itself be a snapshot dir
     if cache_dir:
         candidates.append(Path(cache_dir))
         candidates.append(Path(cache_dir) / llm_id)

@@ -67,10 +67,12 @@ class DecoderConfig:
 
 class RMSNorm(nn.Module):
     eps: float = 1e-5
+    param_dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],),
+                       self.param_dtype)
         var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
         xn = x * jax.lax.rsqrt(var + self.eps).astype(x.dtype)
         return xn * w
@@ -94,10 +96,13 @@ class LoRADense(nn.Module):
     features: int
     use_bias: bool = True
     lora: LoraSpec | None = None
+    dtype: object = None
+    param_dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        y = nn.Dense(self.features, use_bias=self.use_bias, name="base")(x)
+        y = nn.Dense(self.features, use_bias=self.use_bias, name="base",
+                     dtype=self.dtype, param_dtype=self.param_dtype)(x)
         if self.lora is not None:
             a = self.param("lora_a",
                            nn.initializers.he_uniform(),
@@ -112,6 +117,8 @@ class LoRADense(nn.Module):
 class Attention(nn.Module):
     cfg: DecoderConfig
     lora: LoraSpec | None = None
+    dtype: object = None
+    param_dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -122,7 +129,9 @@ class Attention(nn.Module):
         def proj(name, features, key):
             spec = self.lora if (self.lora and key in self.lora.targets) else None
             return LoRADense(features, use_bias=(cfg.style == "gpt2"),
-                             lora=spec, name=name)(x, deterministic=deterministic)
+                             lora=spec, name=name, dtype=self.dtype,
+                             param_dtype=self.param_dtype)(
+                x, deterministic=deterministic)
 
         if cfg.style == "gpt2":
             qkv = proj("c_attn", 3 * cfg.d_model, "q")  # fused, lora on whole qkv
@@ -153,42 +162,55 @@ class Attention(nn.Module):
         o_spec = self.lora if (self.lora and "o" in self.lora.targets) else None
         name = "c_proj" if cfg.style == "gpt2" else "o_proj"
         return LoRADense(cfg.d_model, use_bias=(cfg.style == "gpt2"),
-                         lora=o_spec, name=name)(out, deterministic=deterministic)
+                         lora=o_spec, name=name, dtype=self.dtype,
+                         param_dtype=self.param_dtype)(
+            out, deterministic=deterministic)
 
 
 class MLP(nn.Module):
     cfg: DecoderConfig
+    dtype: object = None
+    param_dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         cfg = self.cfg
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         if cfg.style == "gpt2":
-            h = nn.Dense(cfg.d_ff, name="c_fc")(x)
+            h = nn.Dense(cfg.d_ff, name="c_fc", **kw)(x)
             h = nn.gelu(h, approximate=True)
-            h = nn.Dense(cfg.d_model, name="c_proj")(h)
+            h = nn.Dense(cfg.d_model, name="c_proj", **kw)(h)
             return nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
-        gate = nn.Dense(cfg.d_ff, use_bias=False, name="gate_proj")(x)
-        up = nn.Dense(cfg.d_ff, use_bias=False, name="up_proj")(x)
+        gate = nn.Dense(cfg.d_ff, use_bias=False, name="gate_proj", **kw)(x)
+        up = nn.Dense(cfg.d_ff, use_bias=False, name="up_proj", **kw)(x)
         return nn.Dense(cfg.d_model, use_bias=False,
-                        name="down_proj")(nn.silu(gate) * up)
+                        name="down_proj", **kw)(nn.silu(gate) * up)
 
 
 class Block(nn.Module):
     cfg: DecoderConfig
     lora: LoraSpec | None = None
+    dtype: object = None
+    param_dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         cfg = self.cfg
         if cfg.style == "gpt2":
-            norm1 = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_1")
-            norm2 = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_2")
+            norm1 = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_1",
+                                 dtype=self.dtype, param_dtype=self.param_dtype)
+            norm2 = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_2",
+                                 dtype=self.dtype, param_dtype=self.param_dtype)
         else:
-            norm1 = RMSNorm(eps=cfg.norm_eps, name="input_layernorm")
-            norm2 = RMSNorm(eps=cfg.norm_eps, name="post_attention_layernorm")
-        x = x + Attention(cfg, self.lora, name="attn")(
+            norm1 = RMSNorm(eps=cfg.norm_eps, name="input_layernorm",
+                            param_dtype=self.param_dtype)
+            norm2 = RMSNorm(eps=cfg.norm_eps, name="post_attention_layernorm",
+                            param_dtype=self.param_dtype)
+        x = x + Attention(cfg, self.lora, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="attn")(
             norm1(x), deterministic=deterministic)
-        x = x + MLP(cfg, name="mlp")(norm2(x), deterministic=deterministic)
+        x = x + MLP(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="mlp")(norm2(x), deterministic=deterministic)
         return x
 
 
@@ -204,20 +226,27 @@ class TransformerDecoder(nn.Module):
     cfg: DecoderConfig
     lora: LoraSpec | None = None
     remat: bool = False
+    dtype: object = None  # compute dtype (None: infer by promotion)
+    param_dtype: object = jnp.float32  # storage dtype
 
     def setup(self):
         cfg = self.cfg
         self.wte = self.param("wte", nn.initializers.normal(0.02),
-                              (cfg.vocab_size, cfg.d_model))
+                              (cfg.vocab_size, cfg.d_model), self.param_dtype)
         if cfg.style == "gpt2":
             self.wpe = self.param("wpe", nn.initializers.normal(0.01),
-                                  (cfg.max_position, cfg.d_model))
-            self.ln_f = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_f")
+                                  (cfg.max_position, cfg.d_model),
+                                  self.param_dtype)
+            self.ln_f = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_f",
+                                     dtype=self.dtype,
+                                     param_dtype=self.param_dtype)
             self.embed_drop = nn.Dropout(cfg.dropout)
         else:
-            self.norm = RMSNorm(eps=cfg.norm_eps, name="norm")
+            self.norm = RMSNorm(eps=cfg.norm_eps, name="norm",
+                                param_dtype=self.param_dtype)
         block_cls = nn.remat(Block) if self.remat else Block
-        self.blocks = [block_cls(cfg, self.lora, name=f"h_{i}")
+        self.blocks = [block_cls(cfg, self.lora, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name=f"h_{i}")
                        for i in range(cfg.n_layers)]
 
     def embed(self, token_ids) -> jnp.ndarray:

@@ -90,6 +90,7 @@ class MedTsLLM(nn.Module):
     lora: LoraSpec | None = None
     seg_mode: str | None = None
     remat: bool = False
+    llm_dtype: str = "float32"  # backbone storage+compute dtype
 
     supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
                        "semantic_segmentation", "segmentation", "pretraining")
@@ -166,6 +167,14 @@ class MedTsLLM(nn.Module):
             seg_mode=(config.tasks.segmentation.mode
                       if task == "segmentation" else None),
             remat=bool(mc.llm.get("remat", False)),
+            # the reference loads the LLM at the configured dtype
+            # (medtsllm.py:149-157); "mixed" here stores the frozen backbone
+            # directly at bf16 — it never updates
+            llm_dtype={"bfloat16": "bfloat16", "bf16": "bfloat16",
+                       "mixed": "bfloat16", "float16": "float16",
+                       "half": "float16", "fp16": "float16",
+                       }.get(str(config.setup.get("dtype", "float32")),
+                             "float32"),
         )
 
     # derived sizes (medtsllm.py:52,71-87)
@@ -204,8 +213,11 @@ class MedTsLLM(nn.Module):
     # ------------------------------------------------------------------
 
     def setup(self):
-        self.llm = TransformerDecoder(self.llm_cfg, lora=self.lora,
-                                      remat=self.remat, name="llm")
+        lp = jnp.dtype(self.llm_dtype)
+        self.llm = TransformerDecoder(
+            self.llm_cfg, lora=self.lora, remat=self.remat,
+            dtype=(None if lp == jnp.float32 else lp), param_dtype=lp,
+            name="llm")
         self.patch_embedding = PatchEmbedding(
             self.d_model, self.patch_len, self.stride, self.dropout,
             pos_embed=False, name="patch_embedding")
@@ -401,7 +413,7 @@ class MedTsLLM(nn.Module):
                 return params
             _, loaded, _ = load_backbone(
                 self.llm_id, self.cache_dir, self.llm_cfg.n_layers,
-                lora=self.lora)
+                lora=self.lora, dtype=jnp.dtype(self.llm_dtype))
             params = dict(params)
             params["llm"] = loaded
             return params

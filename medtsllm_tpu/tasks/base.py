@@ -121,6 +121,7 @@ class BaseTask:
         self.param_label_tree = (self.model.param_labels(params)
                                  if hasattr(self.model, "param_labels")
                                  else jax.tree.map(lambda _: "new", params))
+        params = self._apply_param_dtype(params)
         n_total = count_params(params)
         n_frozen = sum(
             int(np.prod(np.shape(p))) for p, l in zip(
@@ -129,6 +130,28 @@ class BaseTask:
         print(f"Total number of parameters: {n_total:,}")
         print(f"Number of trainable parameters: {n_total - n_frozen:,}")
         return params
+
+    def _apply_param_dtype(self, params):
+        """Storage precision policy (SURVEY.md §5.9):
+        - bf16/fp16: all float params stored in that dtype (the reference's
+          model.to(dtype), tasks/base.py:41);
+        - "mixed": fp32 trainable params + bf16 compute, and FROZEN params
+          stored directly in bf16 — they never update, storing them at
+          compute precision halves backbone memory (the reference keeps
+          them fp32 and autocasts every step).
+        """
+        pd = self.precision.param_dtype
+
+        def cast(p, label):
+            if not jnp.issubdtype(p.dtype, jnp.floating):
+                return p
+            if pd != jnp.float32:
+                return p.astype(pd)
+            if self.precision.mixed and label == "frozen":
+                return p.astype(self.precision.compute_dtype)
+            return p
+
+        return jax.tree.map(cast, params, self.param_label_tree)
 
     def build_optimizer(self):
         labels = self.param_label_tree
