@@ -293,7 +293,9 @@ class BaseTask:
         for epoch in range(self.config.training.epochs):
             print(f"Epoch {epoch + 1}/{self.config.training.epochs}")
             self.opt_state = self.optimizer.set_epoch(self.opt_state, epoch)
-            for batch in self.train_pipeline:
+            pending_loss = None
+            from ..data.pipeline import prefetch
+            for batch in prefetch(iter(self.train_pipeline)):
                 arrays = self._device_batch(self.model_inputs(batch))
                 valid = jnp.asarray(batch["valid"])
                 # profile steps 2-4 (after compile) when configured
@@ -303,8 +305,15 @@ class BaseTask:
                         self._next_rng())
                     if step_in_run == 2 and self.profile_dir:
                         jax.block_until_ready(loss)
-                self.log_step(float(loss))
+                # sync the PREVIOUS step's loss: host logging overlaps the
+                # current step's device execution (the reference syncs every
+                # step via loss.item(), forecasting.py:30)
+                if pending_loss is not None:
+                    self.log_step(float(pending_loss))
+                pending_loss = loss
                 step_in_run += 1
+            if pending_loss is not None:
+                self.log_step(float(pending_loss))
             val_scores = self.val()
             self.log_epoch(val_scores)
 
@@ -316,14 +325,25 @@ class BaseTask:
         """Run the compiled eval step over a pipeline; returns dict with
         stacked per-window arrays: pred [n, ...] + requested batch keys."""
         preds, extras = [], {k: [] for k in extra_keys}
-        for batch in pipeline:
+        pending = None  # one-deep pipeline: host readback overlaps compute
+
+        def drain(item):
+            out_dev, valid = item
+            out = np.asarray(jax.device_get(out_dev))
+            preds.append(out[valid])
+
+        from ..data.pipeline import prefetch
+        for batch in prefetch(iter(pipeline)):
             arrays = self._device_batch(self.model_inputs(batch))
-            out = np.asarray(jax.device_get(
-                self.eval_step(self.params, arrays)))
+            out_dev = self.eval_step(self.params, arrays)
             v = batch["valid"]
-            preds.append(out[v])
             for k in extra_keys:
                 extras[k].append(np.asarray(batch[k])[v])
+            if pending is not None:
+                drain(pending)
+            pending = (out_dev, v)
+        if pending is not None:
+            drain(pending)
         result = {"pred": np.concatenate(preds)}
         for k in extra_keys:
             result[k] = np.concatenate(extras[k])
