@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .dft import irfft_ri, rfft_ri
+
 
 def _delay_gather(values: jnp.ndarray, delays: jnp.ndarray) -> jnp.ndarray:
     """values [B,H,E,L], delays [..., k] int -> rolled patterns.
@@ -64,9 +66,11 @@ class AutoCorrelation(nn.Module):
         k = jnp.transpose(keys, (0, 2, 3, 1))
         v = jnp.transpose(values, (0, 2, 3, 1))
 
-        q_fft = jnp.fft.rfft(q.astype(jnp.float32), axis=-1)
-        k_fft = jnp.fft.rfft(k.astype(jnp.float32), axis=-1)
-        corr = jnp.fft.irfft(q_fft * jnp.conj(k_fft), n=L, axis=-1)  # [B,H,E,L]
+        qre, qim = rfft_ri(q.astype(jnp.float32))
+        kre, kim = rfft_ri(k.astype(jnp.float32))
+        # q * conj(k) in (re, im) real pairs (complex64 is UNIMPLEMENTED on
+        # some TPU backends)
+        corr = irfft_ri(qre * kre + qim * kim, qim * kre - qre * kim, n=L)
 
         top_k = int(self.factor * math.log(L))
         mean_value = corr.mean(axis=1).mean(axis=1)  # [B, L]

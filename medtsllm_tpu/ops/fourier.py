@@ -2,9 +2,10 @@
 
 TPU notes: the reference fills the selected-mode output with a python loop
 of per-mode complex matmuls (FourierCorrelation.py:96-103); here mode
-selection is a static gather, the per-mode transform is one complex einsum,
-and writing back is a static scatter — three fused XLA ops. Complex math
-runs in complex64 (XLA lowers to planar f32 pairs on TPU).
+selection is a static gather, the per-mode transform is one einsum, and
+writing back is a static scatter. All spectra are handled as (re, im) real
+pairs: complex dtypes are UNIMPLEMENTED on some TPU backends, and real
+matmuls ride the MXU; the DFT itself is a basis matmul (ops/dft.py).
 """
 
 from __future__ import annotations
@@ -12,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
+
+from .dft import complex_einsum_ri, irfft_ri, rfft_ri
 
 
 def get_frequency_modes(seq_len: int, modes: int = 64,
@@ -57,18 +60,17 @@ class FourierBlock(nn.Module):
                  self.out_channels // self.n_heads, len(index))
         w_re = self.param("weights1", _uniform_scaled(scale), shape)
         w_im = self.param("weights2", _uniform_scaled(scale), shape)
-        weights = (w_re + 1j * w_im).astype(jnp.complex64)
 
-        x_ft = jnp.fft.rfft(x.astype(jnp.float32), axis=-1)  # [B,H,E,F]
+        xre, xim = rfft_ri(x.astype(jnp.float32))  # [B,H,E,F]
         idx = jnp.asarray(index, dtype=jnp.int32)
-        x_sel = x_ft[..., idx]  # [B,H,E,M] static gather
-        out_sel = jnp.einsum("bhim,hiom->bhom", x_sel, weights)
+        ore, oim = complex_einsum_ri("bhim,hiom->bhom",
+                                     xre[..., idx], xim[..., idx], w_re, w_im)
 
         F = self.seq_len // 2 + 1
-        out_ft = jnp.zeros((B, H, self.out_channels // self.n_heads, F),
-                           dtype=jnp.complex64)
-        out_ft = out_ft.at[..., idx].set(out_sel)
-        out = jnp.fft.irfft(out_ft, n=self.seq_len, axis=-1)
+        Eo = self.out_channels // self.n_heads
+        out_re = jnp.zeros((B, H, Eo, F), jnp.float32).at[..., idx].set(ore)
+        out_im = jnp.zeros((B, H, Eo, F), jnp.float32).at[..., idx].set(oim)
+        out = irfft_ri(out_re, out_im, n=self.seq_len)
         return out.astype(q.dtype), None
 
 
@@ -98,29 +100,31 @@ class FourierCrossAttention(nn.Module):
                  self.out_channels // self.num_heads, len(index_q))
         w_re = self.param("weights1", _uniform_scaled(scale), shape)
         w_im = self.param("weights2", _uniform_scaled(scale), shape)
-        weights = (w_re + 1j * w_im).astype(jnp.complex64)
 
-        xq_ft = jnp.fft.rfft(xq, axis=-1)[..., jnp.asarray(index_q)]
-        xk_ft = jnp.fft.rfft(xk, axis=-1)[..., jnp.asarray(index_kv)]
+        iq = jnp.asarray(index_q, dtype=jnp.int32)
+        ikv = jnp.asarray(index_kv, dtype=jnp.int32)
+        qre, qim = (t[..., iq] for t in rfft_ri(xq))
+        kre, kim = (t[..., ikv] for t in rfft_ri(xk))
 
-        xqk_ft = jnp.einsum("bhex,bhey->bhxy", xq_ft, xk_ft)
+        # frequency attention scores q . k (no conjugate, like the reference)
+        sre, sim = complex_einsum_ri("bhex,bhey->bhxy", qre, qim, kre, kim)
         if self.activation == "tanh":
-            xqk_ft = jnp.tanh(xqk_ft.real) + 1j * jnp.tanh(xqk_ft.imag)
+            sre, sim = jnp.tanh(sre), jnp.tanh(sim)
         elif self.activation == "softmax":
-            a = jnp.abs(xqk_ft)
+            a = jnp.sqrt(sre ** 2 + sim ** 2)
             a = jnp.exp(a - a.max(axis=-1, keepdims=True))
-            a = a / a.sum(axis=-1, keepdims=True)
-            xqk_ft = a.astype(jnp.complex64)
+            sre = a / a.sum(axis=-1, keepdims=True)
+            sim = jnp.zeros_like(sre)
         else:
             raise ValueError(f"{self.activation} activation is not implemented")
 
-        xqkv_ft = jnp.einsum("bhxy,bhey->bhex", xqk_ft, xk_ft)
-        xqkvw = jnp.einsum("bhex,heox->bhox", xqkv_ft, weights)
+        vre, vim = complex_einsum_ri("bhxy,bhey->bhex", sre, sim, kre, kim)
+        ore, oim = complex_einsum_ri("bhex,heox->bhox", vre, vim, w_re, w_im)
 
         F = self.seq_len_q // 2 + 1
-        out_ft = jnp.zeros((B, H, self.out_channels // self.num_heads, F),
-                           dtype=jnp.complex64)
-        out_ft = out_ft.at[..., jnp.asarray(index_q)].set(xqkvw)
-        out = jnp.fft.irfft(out_ft / self.in_channels / self.out_channels,
-                            n=xq.shape[-1], axis=-1)
+        Eo = self.out_channels // self.num_heads
+        out_re = jnp.zeros((B, H, Eo, F), jnp.float32).at[..., iq].set(ore)
+        out_im = jnp.zeros((B, H, Eo, F), jnp.float32).at[..., iq].set(oim)
+        denom = self.in_channels * self.out_channels
+        out = irfft_ri(out_re / denom, out_im / denom, n=xq.shape[-1])
         return out.astype(q.dtype), None

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 
+from .dft import rfft_ri
+
 # torch kaiming_normal_(fan_out, relu): scale 2.0 / fan_out
 _kaiming_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
@@ -150,8 +152,8 @@ class InceptionBlockV2(nn.Module):
 def fft_for_period(x: jnp.ndarray, k: int = 2):
     """Top-k dominant periods by rFFT amplitude (TimesNet.py:321-330),
     fully on-device: periods stay traced integers."""
-    xf = jnp.fft.rfft(x.astype(jnp.float32), axis=1)
-    amp = jnp.abs(xf)
+    re, im = rfft_ri(jnp.moveaxis(x.astype(jnp.float32), 1, -1))
+    amp = jnp.moveaxis(jnp.sqrt(re * re + im * im), -1, 1)
     freq = amp.mean(axis=0).mean(axis=-1)
     freq = freq.at[0].set(0.0)
     _, top = jax.lax.top_k(freq, k)

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 
+from .dft import complex_einsum_ri, irfft_ri, rfft_ri
+
 
 # ---------------------------------------------------------------------------
 # host-side filter synthesis (MultiWaveletCorrelation.py:16-254)
@@ -280,13 +282,16 @@ class SparseKernelFT1d(nn.Module):
         w_re = self.param("weights1", uniform, (ck, ck, self.alpha))
         w_im = self.param("weights2", uniform, (ck, ck, self.alpha))
 
-        xf = jnp.fft.rfft(x.reshape(B, N, ck).transpose(0, 2, 1).astype(jnp.float32))
+        xre, xim = rfft_ri(
+            x.reshape(B, N, ck).transpose(0, 2, 1).astype(jnp.float32))
         l = min(self.alpha, N // 2 + 1)
-        weights = (w_re + 1j * w_im).astype(jnp.complex64)[:, :, :l]
-        out_low = jnp.einsum("bix,iox->box", xf[:, :, :l], weights)
-        out_ft = jnp.zeros((B, ck, N // 2 + 1), dtype=jnp.complex64)
-        out_ft = out_ft.at[:, :, :l].set(out_low)
-        out = jnp.fft.irfft(out_ft, n=N)
+        ore, oim = complex_einsum_ri("bix,iox->box",
+                                     xre[:, :, :l], xim[:, :, :l],
+                                     w_re[:, :, :l], w_im[:, :, :l])
+        F = N // 2 + 1
+        out_re = jnp.zeros((B, ck, F), jnp.float32).at[:, :, :l].set(ore)
+        out_im = jnp.zeros((B, ck, F), jnp.float32).at[:, :, :l].set(oim)
+        out = irfft_ri(out_re, out_im, n=N)
         return out.transpose(0, 2, 1).reshape(B, N, c, k).astype(x.dtype)
 
 
@@ -376,25 +381,26 @@ class FourierCrossAttentionW(nn.Module):
         mq = min(L // 2, self.modes)
         mkv = min(Lkv // 2, self.modes)
 
-        xq_ft = jnp.fft.rfft(xq, axis=-1)[..., :mq]
-        xk_ft = jnp.fft.rfft(xk, axis=-1)[..., :mkv]
+        qre, qim = (t[..., :mq] for t in rfft_ri(xq))
+        kre, kim = (t[..., :mkv] for t in rfft_ri(xk))
 
-        xqk_ft = jnp.einsum("bhex,bhey->bhxy", xq_ft, xk_ft)
+        sre, sim = complex_einsum_ri("bhex,bhey->bhxy", qre, qim, kre, kim)
         if self.activation == "tanh":
-            xqk_ft = jnp.tanh(xqk_ft.real) + 1j * jnp.tanh(xqk_ft.imag)
+            sre, sim = jnp.tanh(sre), jnp.tanh(sim)
         elif self.activation == "softmax":
-            a = jnp.abs(xqk_ft)
+            a = jnp.sqrt(sre ** 2 + sim ** 2)
             a = jnp.exp(a - a.max(axis=-1, keepdims=True))
-            a = (a / a.sum(axis=-1, keepdims=True))
-            xqk_ft = a.astype(jnp.complex64)
+            sre = a / a.sum(axis=-1, keepdims=True)
+            sim = jnp.zeros_like(sre)
         else:
             raise ValueError(f"{self.activation} activation is not implemented")
-        xqkv_ft = jnp.einsum("bhxy,bhey->bhex", xqk_ft, xk_ft)
+        vre, vim = complex_einsum_ri("bhxy,bhey->bhex", sre, sim, kre, kim)
 
-        out_ft = jnp.zeros((B, H, E, L // 2 + 1), dtype=jnp.complex64)
-        out_ft = out_ft.at[..., :mq].set(xqkv_ft)
-        out = jnp.fft.irfft(out_ft / self.in_channels / self.out_channels,
-                            n=L, axis=-1)
+        F = L // 2 + 1
+        denom = self.in_channels * self.out_channels
+        out_re = jnp.zeros((B, H, E, F), jnp.float32).at[..., :mq].set(vre)
+        out_im = jnp.zeros((B, H, E, F), jnp.float32).at[..., :mq].set(vim)
+        out = irfft_ri(out_re / denom, out_im / denom, n=L)
         return jnp.transpose(out, (0, 3, 2, 1)).astype(q.dtype), None
 
 
