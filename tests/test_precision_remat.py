@@ -1,0 +1,76 @@
+"""Precision policy, remat path, and FEDformer Wavelets end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medtsllm_tpu.tasks import get_trainer
+from conftest import make_config
+
+
+def _medtsllm_cfg(tmp_path, dtype="mixed", remat=False):
+    cfg = make_config(task="reconstruction", model="medtsllm",
+                      hist=32, pred=32, step=16)
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.training.epochs = 1
+    cfg.training.batch_size = 4
+    cfg.datasets.synthetic.n_points = 256
+    cfg.setup.dtype = dtype
+    cfg["models"] = {"medtsllm": {
+        "d_model": 16, "d_ff": 16, "n_heads": 4, "num_tokens": 32,
+        "covariate_mode": "concat", "embedding_downsample_mode": "linear",
+        "patching": {"patch_len": 8, "stride": 4},
+        "prompting": {"dataset": True, "task": True, "clip": False,
+                      "input_stats": False, "examples": False,
+                      "input_stats_dim": 0, "input_stats_select": "all"},
+        "llm": {"enabled": True, "llm": "llama-tiny", "llm_layers": -1,
+                "remat": remat, "load_in_4bit": False, "load_in_8bit": False},
+    }}
+    return cfg
+
+
+def test_mixed_precision_storage(tmp_path):
+    """'mixed': trainable fp32, frozen backbone stored bf16."""
+    trainer = get_trainer("prec", _medtsllm_cfg(tmp_path, dtype="mixed"))
+    assert trainer.params["mapping_layer"]["kernel"].dtype == jnp.float32
+    assert (trainer.params["llm"]["h_0"]["attn"]["q_proj"]["base"]["kernel"]
+            .dtype == jnp.bfloat16)
+    trainer.train()
+    scores = trainer.val()
+    assert np.isfinite(scores["val/mse"])
+
+
+def test_bf16_storage(tmp_path):
+    trainer = get_trainer("bf16", _medtsllm_cfg(tmp_path, dtype="bf16"))
+    assert trainer.params["mapping_layer"]["kernel"].dtype == jnp.bfloat16
+    scores = trainer.val()
+    assert np.isfinite(scores["val/mse"])
+
+
+def test_remat_backbone(tmp_path):
+    """llm.remat=true must train and match the non-remat forward."""
+    t1 = get_trainer("nr", _medtsllm_cfg(tmp_path / "a", remat=False))
+    t2 = get_trainer("rm", _medtsllm_cfg(tmp_path / "b", remat=True))
+    batch = next(iter(t1.val_pipeline))
+    a1 = t1.model_inputs(batch)
+    a2 = t2.model_inputs(batch)
+    o1 = np.asarray(t1.eval_step(t1.params, a1))
+    o2 = np.asarray(t2.eval_step(t2.params, a2))
+    np.testing.assert_allclose(o1, o2, atol=2e-2)  # same seed, same init
+    t2.train()  # backward through remat
+
+
+def test_fedformer_wavelets_e2e(tmp_path):
+    cfg = make_config(task="reconstruction", model="fedformer",
+                      hist=32, pred=32, step=16)
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.training.epochs = 1
+    cfg.training.batch_size = 2
+    cfg.datasets.synthetic.n_points = 128
+    cfg["models"] = {"fedformer": {
+        "version": "Wavelets", "mode_select": "low", "modes": 4,
+        "label_len": 16, "e_layers": 1, "d_layers": 1, "d_model": 16,
+        "n_heads": 8, "d_ff": 32, "moving_avg": 13, "activation": "gelu"}}
+    trainer = get_trainer("wav", cfg)
+    scores = trainer.val()
+    assert np.isfinite(scores["val/mse"])
