@@ -121,10 +121,12 @@ def resolve_config(llm_id: str, cache_dir: str | None = None,
 # HF tensor name -> flax param tree
 # ---------------------------------------------------------------------------
 
-def _hf_to_tree(cfg: DecoderConfig, tensors: dict) -> dict:
+def _hf_to_tree(cfg: DecoderConfig, tensors: dict,
+                quantize: bool = False) -> dict:
     """Map HF state-dict names to the TransformerDecoder param tree.
     GPT-2 Conv1D weights are already [in, out]; torch Linear weights are
-    [out, in] and get transposed."""
+    [out, in] and get transposed. With quantize=True, projection kernels
+    are stored as int8 kernel_q + f32 per-channel scale."""
     tree: dict = {}
 
     def put(path: str, value: np.ndarray):
@@ -133,6 +135,16 @@ def _hf_to_tree(cfg: DecoderConfig, tensors: dict) -> dict:
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = np.asarray(value)
+
+    def put_kernel(path: str, w: np.ndarray):
+        """Projection kernels: quantizable (path ends with /kernel)."""
+        if quantize:
+            from .transformer import QuantDense
+            q, scale = QuantDense.quantize(np.asarray(w, dtype=np.float32))
+            put(path.removesuffix("kernel") + "kernel_q", q)
+            put(path.removesuffix("kernel") + "scale", scale)
+        else:
+            put(path, w)
 
     if cfg.style == "gpt2":
         put("wte", tensors["wte.weight"])
@@ -145,13 +157,13 @@ def _hf_to_tree(cfg: DecoderConfig, tensors: dict) -> dict:
             put(f"h_{i}/ln_1/bias", tensors[p + "ln_1.bias"])
             put(f"h_{i}/ln_2/scale", tensors[p + "ln_2.weight"])
             put(f"h_{i}/ln_2/bias", tensors[p + "ln_2.bias"])
-            put(f"h_{i}/attn/c_attn/base/kernel", tensors[p + "attn.c_attn.weight"])
+            put_kernel(f"h_{i}/attn/c_attn/base/kernel", tensors[p + "attn.c_attn.weight"])
             put(f"h_{i}/attn/c_attn/base/bias", tensors[p + "attn.c_attn.bias"])
-            put(f"h_{i}/attn/c_proj/base/kernel", tensors[p + "attn.c_proj.weight"])
+            put_kernel(f"h_{i}/attn/c_proj/base/kernel", tensors[p + "attn.c_proj.weight"])
             put(f"h_{i}/attn/c_proj/base/bias", tensors[p + "attn.c_proj.bias"])
-            put(f"h_{i}/mlp/c_fc/kernel", tensors[p + "mlp.c_fc.weight"])
+            put_kernel(f"h_{i}/mlp/c_fc/kernel", tensors[p + "mlp.c_fc.weight"])
             put(f"h_{i}/mlp/c_fc/bias", tensors[p + "mlp.c_fc.bias"])
-            put(f"h_{i}/mlp/c_proj/kernel", tensors[p + "mlp.c_proj.weight"])
+            put_kernel(f"h_{i}/mlp/c_proj/kernel", tensors[p + "mlp.c_proj.weight"])
             put(f"h_{i}/mlp/c_proj/bias", tensors[p + "mlp.c_proj.bias"])
     else:
         put("wte", tensors["embed_tokens.weight"])
@@ -163,11 +175,11 @@ def _hf_to_tree(cfg: DecoderConfig, tensors: dict) -> dict:
                 tensors[p + "post_attention_layernorm.weight"])
             for hf_n, fx_n in (("q_proj", "q_proj"), ("k_proj", "k_proj"),
                                ("v_proj", "v_proj"), ("o_proj", "o_proj")):
-                put(f"h_{i}/attn/{fx_n}/base/kernel",
-                    tensors[p + f"self_attn.{hf_n}.weight"].T)
+                put_kernel(f"h_{i}/attn/{fx_n}/base/kernel",
+                           tensors[p + f"self_attn.{hf_n}.weight"].T)
             for hf_n in ("gate_proj", "up_proj", "down_proj"):
-                put(f"h_{i}/mlp/{hf_n}/kernel",
-                    tensors[p + f"mlp.{hf_n}.weight"].T)
+                put_kernel(f"h_{i}/mlp/{hf_n}/kernel",
+                           tensors[p + f"mlp.{hf_n}.weight"].T)
     return tree
 
 
@@ -187,11 +199,16 @@ def _load_safetensors(snap: Path) -> dict:
 
 def load_backbone(llm_id: str, cache_dir: str | None = None,
                   llm_layers: int = -1, lora: LoraSpec | None = None,
-                  dtype=np.float32, rng=None, remat: bool = False):
+                  dtype=np.float32, rng=None, remat: bool = False,
+                  quantize: bool = False):
     """Returns (module, params, cfg). Params are loaded from a local
     snapshot when available, otherwise random-init with a warning."""
     cfg, snap = resolve_config(llm_id, cache_dir, llm_layers)
-    module = TransformerDecoder(cfg, lora=lora, remat=remat)
+    import jax.numpy as _jnp
+    _dt = _jnp.dtype(dtype)
+    module = TransformerDecoder(
+        cfg, lora=lora, remat=remat, quantize=quantize,
+        dtype=(None if _dt == _jnp.float32 else _dt), param_dtype=_dt)
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -203,9 +220,12 @@ def load_backbone(llm_id: str, cache_dir: str | None = None,
     if snap is not None and list(snap.glob("*.safetensors")):
         from ...runtime.checkpoint import restore_partial
         tensors = _load_safetensors(snap)
-        tree = _hf_to_tree(cfg, tensors)
+        tree = _hf_to_tree(cfg, tensors, quantize=quantize)
         merged, _ = restore_partial(jax.device_get(params), tree)
-        params = jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), merged)
+        params = jax.tree.map(
+            lambda x: (jnp.asarray(x, dtype=dtype)
+                       if np.issubdtype(np.asarray(x).dtype, np.floating)
+                       else jnp.asarray(x)), merged)
     else:
         warnings.warn(
             f"LLM {llm_id!r}: no local weights found — using random init "

@@ -90,6 +90,49 @@ def rotary_embedding(x, positions, theta: float):
     return out.astype(x.dtype)
 
 
+class QuantDense(nn.Module):
+    """Int8 weight-only Dense: y = (x @ q) * scale (+ b).
+
+    TPU-native replacement for the reference's bitsandbytes 8-bit path
+    (models/medtsllm.py:162-173): per-output-channel absmax scales, int8
+    storage (4x less HBM than f32), dequant folded into the matmul output.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: object = None
+
+    @staticmethod
+    def quantize(w: np.ndarray):
+        """w [in, out] float -> (int8 q [in, out], f32 scale [out])."""
+        import numpy as _np
+        absmax = _np.max(_np.abs(w), axis=0)
+        scale = (absmax / 127.0).astype(_np.float32)
+        scale = _np.where(scale == 0, 1.0, scale)
+        q = _np.clip(_np.round(w / scale[None, :]), -127, 127).astype(_np.int8)
+        return q, scale
+
+    @nn.compact
+    def __call__(self, x):
+        def init_q(key, shape, _dtype=jnp.int8):
+            import jax as _jax
+            w = 0.02 * _jax.random.normal(key, shape, jnp.float32)
+            absmax = jnp.max(jnp.abs(w), axis=0)
+            s = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+            return jnp.clip(jnp.round(w / s[None, :]), -127, 127).astype(jnp.int8)
+
+        kq = self.param("kernel_q", init_q, (x.shape[-1], self.features))
+        scale = self.param("scale",
+                           lambda k, s: 0.02 / 127.0 * jnp.ones(s, jnp.float32),
+                           (self.features,))
+        cd = self.dtype or x.dtype
+        y = (x.astype(cd) @ kq.astype(cd)) * scale.astype(cd)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(cd)
+        return y
+
+
 class LoRADense(nn.Module):
     """Dense with optional low-rank adapter: y = xW + b + scale * (x A) B."""
 
@@ -98,11 +141,16 @@ class LoRADense(nn.Module):
     lora: LoraSpec | None = None
     dtype: object = None
     param_dtype: object = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        y = nn.Dense(self.features, use_bias=self.use_bias, name="base",
-                     dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        if self.quantize:
+            y = QuantDense(self.features, use_bias=self.use_bias,
+                           dtype=self.dtype, name="base")(x)
+        else:
+            y = nn.Dense(self.features, use_bias=self.use_bias, name="base",
+                         dtype=self.dtype, param_dtype=self.param_dtype)(x)
         if self.lora is not None:
             a = self.param("lora_a",
                            nn.initializers.he_uniform(),
@@ -119,6 +167,7 @@ class Attention(nn.Module):
     lora: LoraSpec | None = None
     dtype: object = None
     param_dtype: object = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -130,7 +179,8 @@ class Attention(nn.Module):
             spec = self.lora if (self.lora and key in self.lora.targets) else None
             return LoRADense(features, use_bias=(cfg.style == "gpt2"),
                              lora=spec, name=name, dtype=self.dtype,
-                             param_dtype=self.param_dtype)(
+                             param_dtype=self.param_dtype,
+                             quantize=self.quantize)(
                 x, deterministic=deterministic)
 
         if cfg.style == "gpt2":
@@ -163,7 +213,8 @@ class Attention(nn.Module):
         name = "c_proj" if cfg.style == "gpt2" else "o_proj"
         return LoRADense(cfg.d_model, use_bias=(cfg.style == "gpt2"),
                          lora=o_spec, name=name, dtype=self.dtype,
-                         param_dtype=self.param_dtype)(
+                         param_dtype=self.param_dtype,
+                         quantize=self.quantize)(
             out, deterministic=deterministic)
 
 
@@ -171,20 +222,27 @@ class MLP(nn.Module):
     cfg: DecoderConfig
     dtype: object = None
     param_dtype: object = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         cfg = self.cfg
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        def dense(features, use_bias, name):
+            if self.quantize:
+                return QuantDense(features, use_bias=use_bias,
+                                  dtype=self.dtype, name=name)
+            return nn.Dense(features, use_bias=use_bias, name=name,
+                            dtype=self.dtype, param_dtype=self.param_dtype)
+
         if cfg.style == "gpt2":
-            h = nn.Dense(cfg.d_ff, name="c_fc", **kw)(x)
+            h = dense(cfg.d_ff, True, "c_fc")(x)
             h = nn.gelu(h, approximate=True)
-            h = nn.Dense(cfg.d_model, name="c_proj", **kw)(h)
+            h = dense(cfg.d_model, True, "c_proj")(h)
             return nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
-        gate = nn.Dense(cfg.d_ff, use_bias=False, name="gate_proj", **kw)(x)
-        up = nn.Dense(cfg.d_ff, use_bias=False, name="up_proj", **kw)(x)
-        return nn.Dense(cfg.d_model, use_bias=False,
-                        name="down_proj", **kw)(nn.silu(gate) * up)
+        gate = dense(cfg.d_ff, False, "gate_proj")(x)
+        up = dense(cfg.d_ff, False, "up_proj")(x)
+        return dense(cfg.d_model, False, "down_proj")(nn.silu(gate) * up)
 
 
 class Block(nn.Module):
@@ -192,6 +250,7 @@ class Block(nn.Module):
     lora: LoraSpec | None = None
     dtype: object = None
     param_dtype: object = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -207,9 +266,11 @@ class Block(nn.Module):
             norm2 = RMSNorm(eps=cfg.norm_eps, name="post_attention_layernorm",
                             param_dtype=self.param_dtype)
         x = x + Attention(cfg, self.lora, dtype=self.dtype,
-                          param_dtype=self.param_dtype, name="attn")(
+                          param_dtype=self.param_dtype,
+                          quantize=self.quantize, name="attn")(
             norm1(x), deterministic=deterministic)
         x = x + MLP(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+                    quantize=self.quantize,
                     name="mlp")(norm2(x), deterministic=deterministic)
         return x
 
@@ -228,6 +289,7 @@ class TransformerDecoder(nn.Module):
     remat: bool = False
     dtype: object = None  # compute dtype (None: infer by promotion)
     param_dtype: object = jnp.float32  # storage dtype
+    quantize: bool = False  # int8 weight-only projections
 
     def setup(self):
         cfg = self.cfg
@@ -246,7 +308,8 @@ class TransformerDecoder(nn.Module):
                                 param_dtype=self.param_dtype)
         block_cls = nn.remat(Block) if self.remat else Block
         self.blocks = [block_cls(cfg, self.lora, dtype=self.dtype,
-                                 param_dtype=self.param_dtype, name=f"h_{i}")
+                                 param_dtype=self.param_dtype,
+                                 quantize=self.quantize, name=f"h_{i}")
                        for i in range(cfg.n_layers)]
 
     def embed(self, token_ids) -> jnp.ndarray:

@@ -59,11 +59,18 @@ class ReprogrammingLayer(nn.Module):
         k = k.reshape(S, H, self.d_keys)
         v = v.reshape(S, H, self.d_keys)
 
-        scale = 1.0 / jnp.sqrt(self.d_keys).astype(q.dtype)
-        scores = jnp.einsum("blhe,she->bhls", q, k)
-        A = jax.nn.softmax(scale * scores, axis=-1)
-        A = nn.Dropout(self.attention_dropout)(A, deterministic=deterministic)
-        out = jnp.einsum("bhls,she->blhe", A, v).reshape(B, L, -1)
+        scale = float(1.0 / np.sqrt(self.d_keys))
+        if deterministic or self.attention_dropout == 0.0:
+            # fused Pallas kernel: shared K/V basis resident in VMEM,
+            # scores+softmax+mix in one pass (jnp fallback off-TPU)
+            from ..ops.pallas.reprogramming import reprogramming_attention
+            out = reprogramming_attention(q, k, v, scale).reshape(B, L, -1)
+        else:
+            scores = jnp.einsum("blhe,she->bhls", q, k)
+            A = jax.nn.softmax(scale * scores, axis=-1)
+            A = nn.Dropout(self.attention_dropout)(A,
+                                                   deterministic=deterministic)
+            out = jnp.einsum("bhls,she->blhe", A, v).reshape(B, L, -1)
         return nn.Dense(self.d_llm, name="out_projection")(out)
 
 
@@ -91,6 +98,7 @@ class MedTsLLM(nn.Module):
     seg_mode: str | None = None
     remat: bool = False
     llm_dtype: str = "float32"  # backbone storage+compute dtype
+    quantize: bool = False  # int8 weight-only backbone projections
 
     supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
                        "semantic_segmentation", "segmentation", "pretraining")
@@ -143,6 +151,13 @@ class MedTsLLM(nn.Module):
         if covariate_mode == "univariate":
             assert dataset.n_features == 1
 
+        quantize = bool(mc.llm.get("load_in_8bit", False))
+        if mc.llm.get("load_in_4bit", False):
+            # int4 packing not implemented; int8 is the closest TPU-native
+            # equivalent of the reference's bnb path (medtsllm.py:162-173)
+            warnings.warn("load_in_4bit: using int8 weight-only quantization")
+            quantize = True
+
         return cls(
             task=task,
             seq_len=config.history_len,
@@ -167,6 +182,7 @@ class MedTsLLM(nn.Module):
             seg_mode=(config.tasks.segmentation.mode
                       if task == "segmentation" else None),
             remat=bool(mc.llm.get("remat", False)),
+            quantize=quantize,
             # the reference loads the LLM at the configured dtype
             # (medtsllm.py:149-157); "mixed" here stores the frozen backbone
             # directly at bf16 — it never updates
@@ -217,7 +233,7 @@ class MedTsLLM(nn.Module):
         self.llm = TransformerDecoder(
             self.llm_cfg, lora=self.lora, remat=self.remat,
             dtype=(None if lp == jnp.float32 else lp), param_dtype=lp,
-            name="llm")
+            quantize=self.quantize, name="llm")
         self.patch_embedding = PatchEmbedding(
             self.d_model, self.patch_len, self.stride, self.dropout,
             pos_embed=False, name="patch_embedding")
@@ -413,7 +429,8 @@ class MedTsLLM(nn.Module):
                 return params
             _, loaded, _ = load_backbone(
                 self.llm_id, self.cache_dir, self.llm_cfg.n_layers,
-                lora=self.lora, dtype=jnp.dtype(self.llm_dtype))
+                lora=self.lora, dtype=jnp.dtype(self.llm_dtype),
+                quantize=self.quantize)
             params = dict(params)
             params["llm"] = loaded
             return params

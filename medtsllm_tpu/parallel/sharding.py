@@ -15,18 +15,19 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# (regex over the /-joined param path, spec) — first match wins
+# (regex over the /-joined param path, spec) — first match wins;
+# kernel_q/scale are the int8-quantized forms of the same projections
 LLM_PARTITION_RULES = (
     # fused gpt2 qkv + separate llama q/k/v: shard output features
-    (r".*(c_attn|q_proj|k_proj|v_proj)/base/kernel$", P(None, "tensor")),
-    (r".*(c_attn|q_proj|k_proj|v_proj)/base/bias$", P("tensor")),
+    (r".*(c_attn|q_proj|k_proj|v_proj)/base/kernel(_q)?$", P(None, "tensor")),
+    (r".*(c_attn|q_proj|k_proj|v_proj)/base/(bias|scale)$", P("tensor")),
     # attention out / mlp down: shard input features (row-parallel)
-    (r".*attn/(c_proj|o_proj)/base/kernel$", P("tensor", None)),
+    (r".*attn/(c_proj|o_proj)/base/kernel(_q)?$", P("tensor", None)),
     # mlp fan-out
-    (r".*mlp/(c_fc|gate_proj|up_proj)/kernel$", P(None, "tensor")),
-    (r".*mlp/(c_fc|gate_proj|up_proj)/bias$", P("tensor")),
+    (r".*mlp/(c_fc|gate_proj|up_proj)/kernel(_q)?$", P(None, "tensor")),
+    (r".*mlp/(c_fc|gate_proj|up_proj)/(bias|scale)$", P("tensor")),
     # mlp fan-in
-    (r".*mlp/(c_proj|down_proj)/kernel$", P("tensor", None)),
+    (r".*mlp/(c_proj|down_proj)/kernel(_q)?$", P("tensor", None)),
     # token table: shard the embedding rows (vocab)
     (r".*/wte$|^wte$", P("tensor", None)),
     # lora adapters: a column-sharded on rank? keep replicated (tiny)

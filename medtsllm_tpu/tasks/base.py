@@ -265,9 +265,14 @@ class BaseTask:
                 pred = pred.astype(jnp.float32)
                 return loss_fn(pred, arrays, valid)
 
-            loss, grads = jax.value_and_grad(compute_loss)(params)
+            # allow_int: int8-quantized backbone params are frozen and get
+            # float0 grads, which apply_updates leaves untouched
+            loss, grads = jax.value_and_grad(compute_loss, allow_int=True)(params)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params = jax.tree.map(
+                lambda p, u: (p if not jnp.issubdtype(p.dtype, jnp.floating)
+                              else optax.apply_updates(p, u)),
+                params, updates)
             return params, opt_state, loss
 
         @jax.jit

@@ -1,0 +1,77 @@
+"""Int8 weight-only backbone quantization (reference bnb path,
+medtsllm.py:162-173)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medtsllm_tpu.tasks import get_trainer
+from conftest import make_config
+
+
+def test_quantdense_roundtrip_accuracy():
+    from medtsllm_tpu.models.llm.transformer import QuantDense
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.05, size=(64, 32)).astype(np.float32)
+    q, scale = QuantDense.quantize(w)
+    assert q.dtype == np.int8 and scale.shape == (32,)
+    back = q.astype(np.float32) * scale[None, :]
+    # per-channel absmax int8: relative error bounded by 1/254 of absmax
+    assert np.abs(back - w).max() <= (np.abs(w).max(axis=0) / 127).max() + 1e-7
+
+
+def test_quantized_backbone_close_to_fp(tmp_path):
+    """Quantized snapshot load: output close to full-precision."""
+    import json
+    from safetensors.torch import save_file
+    import torch
+    from transformers import LlamaConfig, LlamaModel
+    hf_cfg = LlamaConfig(vocab_size=96, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=4, max_position_embeddings=64)
+    torch.manual_seed(0)
+    hf = LlamaModel(hf_cfg).eval()
+    snap = tmp_path / "snap"
+    snap.mkdir()
+    (snap / "config.json").write_text(json.dumps(hf_cfg.to_dict()))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()},
+              str(snap / "model.safetensors"))
+
+    from medtsllm_tpu.models.llm.loader import load_backbone
+    m_fp, p_fp, _ = load_backbone(str(snap))
+    m_q, p_q, _ = load_backbone(str(snap), quantize=True)
+
+    kq = p_q["h_0"]["attn"]["q_proj"]["base"]["kernel_q"]
+    assert kq.dtype == jnp.int8
+
+    ids = jnp.asarray(np.arange(8)[None, :], jnp.int32)
+    o_fp = np.asarray(m_fp.apply({"params": p_fp}, input_ids=ids))
+    o_q = np.asarray(m_q.apply({"params": p_q}, input_ids=ids))
+    err = np.abs(o_fp - o_q).max() / (np.abs(o_fp).max() + 1e-6)
+    assert err < 0.05, f"quantization error too large: {err}"
+
+
+def test_medtsllm_8bit_e2e(tmp_path):
+    cfg = make_config(task="reconstruction", model="medtsllm",
+                      hist=32, pred=32, step=16)
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.training.epochs = 1
+    cfg.training.batch_size = 4
+    cfg.datasets.synthetic.n_points = 256
+    cfg["models"] = {"medtsllm": {
+        "d_model": 16, "d_ff": 16, "n_heads": 4, "num_tokens": 32,
+        "covariate_mode": "concat", "embedding_downsample_mode": "linear",
+        "patching": {"patch_len": 8, "stride": 4},
+        "prompting": {"dataset": True, "task": True, "clip": False,
+                      "input_stats": False, "examples": False,
+                      "input_stats_dim": 0, "input_stats_select": "all"},
+        "llm": {"enabled": True, "llm": "llama-tiny", "llm_layers": -1,
+                "load_in_4bit": False, "load_in_8bit": True},
+    }}
+    trainer = get_trainer("q8", cfg)
+    kq = trainer.params["llm"]["h_0"]["attn"]["q_proj"]["base"]["kernel_q"]
+    assert kq.dtype == jnp.int8
+    trainer.train()  # int8 weights frozen; fusion layers train
+    scores = trainer.val()
+    assert np.isfinite(scores["val/mse"])
