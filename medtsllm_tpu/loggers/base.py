@@ -33,7 +33,7 @@ class BaseLogger:
             (self.logdir / "config.toml").write_text(dumps_toml(cfg))
             (self.logdir / "config.json").write_text(json.dumps(cfg, indent="\t"))
 
-    def save_state(self, name: str):
+    def save_state(self, name: str, async_: bool = True):
         from ..runtime.checkpoint import save_checkpoint
         ckptdir = self.logdir / "checkpoints"
         ckptdir.mkdir(parents=True, exist_ok=True)
@@ -46,6 +46,7 @@ class BaseLogger:
                 "step": self.trainer.step,
                 "datetime": datetime.now().isoformat(),
             },
+            async_=async_,
         )
 
     def update_config(self, cfg):

@@ -27,7 +27,7 @@ class DebugLogger(BaseLogger):
             return
         print(f"Epoch: {self.trainer.epoch}, step: {self.trainer.step}, scores: {scores}")
 
-    def save_state(self, name):
+    def save_state(self, name, async_=True):
         pass
 
     def update_config(self, cfg):

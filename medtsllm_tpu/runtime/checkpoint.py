@@ -14,24 +14,49 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from pathlib import Path
 
 import jax
 import numpy as np
 from flax import serialization
 
+_pending_saves: list[threading.Thread] = []
 
-def save_checkpoint(path, params, meta: dict):
-    path = Path(path)
-    params = jax.device_get(params)
-    blob = serialization.to_bytes(params)
+
+def _write(path: Path, params_host, meta: dict):
+    blob = serialization.to_bytes(params_host)
     header = json.dumps(meta).encode()
-    tmp = path.with_suffix(path.suffix + ".tmp")
+    # unique tmp per write: concurrent async saves of the same name must
+    # not clobber each other's partial files
+    tmp = path.with_suffix(path.suffix + f".tmp{threading.get_ident()}")
     with open(tmp, "wb") as f:
         f.write(len(header).to_bytes(8, "little"))
         f.write(header)
         f.write(blob)
     os.replace(tmp, path)
+
+
+def save_checkpoint(path, params, meta: dict, async_: bool = False):
+    """Atomic checkpoint write. With async_=True the device->host transfer
+    happens now but serialization+IO run on a background thread (Orbax-style
+    async save, SURVEY.md §5.3) so training continues immediately."""
+    path = Path(path)
+    params_host = jax.device_get(params)
+    if not async_:
+        _write(path, params_host, meta)
+        return
+    t = threading.Thread(target=_write, args=(path, params_host, meta),
+                         daemon=True)
+    t.start()
+    _pending_saves.append(t)
+
+
+def wait_for_saves():
+    """Block until all async checkpoint writes are durable (called before
+    process exit / preemption handoff)."""
+    while _pending_saves:
+        _pending_saves.pop().join()
 
 
 def load_checkpoint(path, params_template=None):

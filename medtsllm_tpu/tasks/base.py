@@ -408,6 +408,8 @@ class BaseTask:
     # ------------------------------------------------------------------
 
     def log_end(self):
+        from ..runtime.checkpoint import wait_for_saves
+        wait_for_saves()  # async checkpoint writes must be durable
         self.logger.log_end()
 
     def log_step(self, loss):
@@ -440,7 +442,7 @@ class BaseTask:
 
     def handle_termination(self, signum, frame):
         print("Interrupted!")
-        self.logger.save_state("latest")
+        self.logger.save_state("latest", async_=False)  # durable before exit
         self.log_end()
         sys.exit(0)
 
