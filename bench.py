@@ -129,8 +129,8 @@ def main():
     ap.add_argument("--llm-override", default="llama-1b",
                     help="backbone override for --config medtsllm benches "
                          "('config' keeps the configured id)")
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--history-len", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--history-len", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--fp32", action="store_true")
