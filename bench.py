@@ -19,7 +19,7 @@ import numpy as np
 
 
 def build_trainer(model_size: str, batch_size: int, history_len: int,
-                  bf16: bool):
+                  bf16: bool, remat: bool = False):
     from medtsllm_tpu.config import Config
     from medtsllm_tpu.tasks import get_trainer
 
@@ -45,6 +45,7 @@ def build_trainer(model_size: str, batch_size: int, history_len: int,
                           "input_stats": True, "examples": False,
                           "input_stats_dim": 0, "input_stats_select": "all"},
             "llm": {"enabled": True, "llm": model_size, "llm_layers": -1,
+                    "remat": remat,
                     "load_in_4bit": False, "load_in_8bit": False},
         }},
         "setup": {"seed": 0, "device": "auto",
@@ -134,6 +135,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="measure the training step instead of inference")
     args = ap.parse_args()
 
     if args.config:
@@ -155,7 +158,7 @@ def main():
     capture = io.StringIO()
     with contextlib.redirect_stdout(capture):
         trainer = build_trainer(args.model, args.batch, args.history_len,
-                                bf16=not args.fp32)
+                                bf16=not args.fp32, remat=args.train)
         batch = next(iter(trainer.val_pipeline))
         arrays = trainer.model_inputs(batch)
         if not args.fp32:
@@ -171,8 +174,20 @@ def main():
 
         # compile + warmup; sync via a host readback of a scalar — on some
         # remote backends block_until_ready alone returns before execution
-        def run_sync():
-            return float(trainer.eval_step(params, arrays).sum())
+        if args.train:
+            import jax.numpy as jnp
+            trainer.params = params
+            trainer.opt_state = trainer.optimizer.init(params)
+            valid = jnp.ones((args.batch,), bool)
+
+            def run_sync():
+                trainer.params, trainer.opt_state, loss = trainer.train_step(
+                    trainer.params, trainer.opt_state, arrays, valid,
+                    trainer._next_rng())
+                return float(loss)
+        else:
+            def run_sync():
+                return float(trainer.eval_step(params, arrays).sum())
 
         run_sync()
         for _ in range(args.warmup):
@@ -195,8 +210,9 @@ def main():
     tokens = prompt_len + trainer.model.n_patches
     baseline = a100_estimate_windows_per_sec(n_llm, tokens)
 
+    mode = "train" if args.train else "inference"
     result = {
-        "metric": f"medtsllm_{args.model}_inference_windows_per_sec_per_chip",
+        "metric": f"medtsllm_{args.model}_{mode}_windows_per_sec_per_chip",
         "value": round(windows_per_sec, 3),
         "unit": "windows/sec/chip",
         "vs_baseline": round(windows_per_sec / baseline, 3),
