@@ -21,7 +21,8 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from .transformer import DecoderConfig, LoraSpec, TransformerDecoder
+from .transformer import (DecoderConfig, LoraSpec, TransformerDecoder,
+                          TransformerEncDec)
 
 # architecture presets (shapes match the HF configs of the models the
 # reference targets)
@@ -42,6 +43,10 @@ PRESETS = {
         style="llama", vocab_size=512, d_model=64, n_layers=2,
         n_heads=4, d_ff=128, max_position=512, bos_token_id=1,
         eos_token_id=2),
+    "encdec-tiny": DecoderConfig(  # test-sized encoder-decoder backbone
+        style="llama", vocab_size=512, d_model=64, n_layers=2,
+        n_heads=4, d_ff=128, max_position=512, bos_token_id=1,
+        eos_token_id=2, is_encoder_decoder=True),
     "gpt2-tiny": DecoderConfig(  # test-sized gpt2-style backbone
         style="gpt2", vocab_size=512, d_model=64, n_layers=2,
         n_heads=4, d_ff=128, max_position=512, dropout=0.1,
@@ -206,7 +211,8 @@ def load_backbone(llm_id: str, cache_dir: str | None = None,
     cfg, snap = resolve_config(llm_id, cache_dir, llm_layers)
     import jax.numpy as _jnp
     _dt = _jnp.dtype(dtype)
-    module = TransformerDecoder(
+    module_cls = TransformerEncDec if cfg.is_encoder_decoder else TransformerDecoder
+    module = module_cls(
         cfg, lora=lora, remat=remat, quantize=quantize,
         dtype=(None if _dt == _jnp.float32 else _dt), param_dtype=_dt)
 
@@ -214,8 +220,13 @@ def load_backbone(llm_id: str, cache_dir: str | None = None,
         rng = jax.random.PRNGKey(0)
     import jax.numpy as jnp
     dummy = jnp.zeros((1, 8, cfg.d_model), dtype=dtype)
-    params = module.init({"params": rng, "dropout": rng},
-                         inputs_embeds=dummy)["params"]
+    if cfg.is_encoder_decoder:
+        params = module.init({"params": rng, "dropout": rng},
+                             inputs_embeds=dummy,
+                             decoder_inputs_embeds=dummy)["params"]
+    else:
+        params = module.init({"params": rng, "dropout": rng},
+                             inputs_embeds=dummy)["params"]
 
     if snap is not None and list(snap.glob("*.safetensors")):
         from ...runtime.checkpoint import restore_partial

@@ -55,6 +55,7 @@ class DecoderConfig:
     bos_token_id: int | None = None
     eos_token_id: int | None = None
     pad_token_id: int | None = None
+    is_encoder_decoder: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -168,34 +169,39 @@ class Attention(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: bool = False
+    causal: bool = True
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, kv=None, *, deterministic: bool = True):
+        """Self-attention over x, or cross-attention into `kv` (encoder
+        output) when given — the enc-dec path (medtsllm.py:346-348)."""
         cfg = self.cfg
         B, L, _ = x.shape
         H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
+        kv_src = x if kv is None else kv
+        S = kv_src.shape[1]
 
-        def proj(name, features, key):
+        def proj(name, features, key, src):
             spec = self.lora if (self.lora and key in self.lora.targets) else None
             return LoRADense(features, use_bias=(cfg.style == "gpt2"),
                              lora=spec, name=name, dtype=self.dtype,
                              param_dtype=self.param_dtype,
                              quantize=self.quantize)(
-                x, deterministic=deterministic)
+                src, deterministic=deterministic)
 
-        if cfg.style == "gpt2":
-            qkv = proj("c_attn", 3 * cfg.d_model, "q")  # fused, lora on whole qkv
+        if cfg.style == "gpt2" and kv is None:
+            qkv = proj("c_attn", 3 * cfg.d_model, "q", x)  # fused qkv
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
-            q = proj("q_proj", H * D, "q")
-            k = proj("k_proj", KV * D, "k")
-            v = proj("v_proj", KV * D, "v")
+            q = proj("q_proj", H * D, "q", x)
+            k = proj("k_proj", KV * D, "k", kv_src)
+            v = proj("v_proj", KV * D, "v", kv_src)
 
         q = q.reshape(B, L, H, D).transpose(0, 2, 1, 3)
-        k = k.reshape(B, L, KV, D).transpose(0, 2, 1, 3)
-        v = v.reshape(B, L, KV, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, KV, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, KV, D).transpose(0, 2, 1, 3)
 
-        if cfg.style == "llama":
+        if cfg.style == "llama" and kv is None:
             positions = jnp.arange(L)
             q = rotary_embedding(q, positions, cfg.rope_theta)
             k = rotary_embedding(k, positions, cfg.rope_theta)
@@ -205,7 +211,7 @@ class Attention(nn.Module):
             k = jnp.repeat(k, rep, axis=1)
             v = jnp.repeat(v, rep, axis=1)
 
-        out = flash_attention(q, k, v, causal=True)
+        out = flash_attention(q, k, v, causal=self.causal and kv is None)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, H * D)
         out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
 
@@ -251,27 +257,37 @@ class Block(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: bool = False
+    causal: bool = True
+    cross: bool = False  # add a cross-attention sublayer (enc-dec decoder)
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, enc_out=None, *, deterministic: bool = True):
         cfg = self.cfg
-        if cfg.style == "gpt2":
-            norm1 = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_1",
-                                 dtype=self.dtype, param_dtype=self.param_dtype)
-            norm2 = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_2",
-                                 dtype=self.dtype, param_dtype=self.param_dtype)
-        else:
-            norm1 = RMSNorm(eps=cfg.norm_eps, name="input_layernorm",
-                            param_dtype=self.param_dtype)
-            norm2 = RMSNorm(eps=cfg.norm_eps, name="post_attention_layernorm",
-                            param_dtype=self.param_dtype)
+
+        def norm(name_gpt2, name_llama):
+            if cfg.style == "gpt2":
+                return nn.LayerNorm(epsilon=cfg.norm_eps, name=name_gpt2,
+                                    dtype=self.dtype,
+                                    param_dtype=self.param_dtype)
+            return RMSNorm(eps=cfg.norm_eps, name=name_llama,
+                           param_dtype=self.param_dtype)
+
         x = x + Attention(cfg, self.lora, dtype=self.dtype,
                           param_dtype=self.param_dtype,
-                          quantize=self.quantize, name="attn")(
-            norm1(x), deterministic=deterministic)
+                          quantize=self.quantize, causal=self.causal,
+                          name="attn")(
+            norm("ln_1", "input_layernorm")(x), deterministic=deterministic)
+        if self.cross:
+            x = x + Attention(cfg, self.lora, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              quantize=self.quantize, causal=False,
+                              name="cross_attn")(
+                norm("ln_cross", "cross_attention_layernorm")(x), enc_out,
+                deterministic=deterministic)
         x = x + MLP(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                     quantize=self.quantize,
-                    name="mlp")(norm2(x), deterministic=deterministic)
+                    name="mlp")(norm("ln_2", "post_attention_layernorm")(x),
+                                deterministic=deterministic)
         return x
 
 
@@ -338,3 +354,63 @@ class TransformerDecoder(nn.Module):
         else:
             x = self.norm(x)
         return x
+
+
+class TransformerEncDec(nn.Module):
+    """Encoder-decoder backbone (the reference's is_encoder_decoder path,
+    medtsllm.py:346-348: prompt embeddings feed the encoder, time-series
+    embeddings feed the decoder; the decoder's last hidden state is
+    consumed). Generic pre-LN architecture in the gpt2/llama styles;
+    weights are random-init only (no HF enc-dec layout mapping yet)."""
+
+    cfg: DecoderConfig
+    lora: LoraSpec | None = None
+    remat: bool = False
+    dtype: object = None
+    param_dtype: object = jnp.float32
+    quantize: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        self.wte = self.param("wte", nn.initializers.normal(0.02),
+                              (cfg.vocab_size, cfg.d_model), self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quantize=self.quantize)
+        self.enc_blocks = [Block(cfg, self.lora, causal=False,
+                                 name=f"enc_h_{i}", **kw)
+                           for i in range(cfg.n_layers)]
+        self.dec_blocks = [Block(cfg, self.lora, causal=True, cross=True,
+                                 name=f"dec_h_{i}", **kw)
+                           for i in range(cfg.n_layers)]
+        if cfg.style == "gpt2":
+            self.enc_norm = nn.LayerNorm(epsilon=cfg.norm_eps, name="enc_ln_f")
+            self.dec_norm = nn.LayerNorm(epsilon=cfg.norm_eps, name="dec_ln_f")
+            self.wpe = self.param("wpe", nn.initializers.normal(0.01),
+                                  (cfg.max_position, cfg.d_model),
+                                  self.param_dtype)
+        else:
+            self.enc_norm = RMSNorm(eps=cfg.norm_eps, name="enc_norm")
+            self.dec_norm = RMSNorm(eps=cfg.norm_eps, name="dec_norm")
+
+    def embed(self, token_ids) -> jnp.ndarray:
+        return jnp.take(self.wte, token_ids, axis=0)
+
+    def word_embeddings(self) -> jnp.ndarray:
+        return self.wte
+
+    def __call__(self, inputs_embeds=None, decoder_inputs_embeds=None,
+                 input_ids=None, *, deterministic: bool = True):
+        cfg = self.cfg
+        enc = inputs_embeds if inputs_embeds is not None else self.embed(input_ids)
+        if cfg.style == "gpt2":
+            enc = enc + self.wpe[None, :enc.shape[1], :].astype(enc.dtype)
+        for blk in self.enc_blocks:
+            enc = blk(enc, deterministic=deterministic)
+        enc = self.enc_norm(enc)
+
+        dec = decoder_inputs_embeds
+        if cfg.style == "gpt2":
+            dec = dec + self.wpe[None, :dec.shape[1], :].astype(dec.dtype)
+        for blk in self.dec_blocks:
+            dec = blk(dec, enc, deterministic=deterministic)
+        return self.dec_norm(dec)

@@ -230,7 +230,11 @@ class MedTsLLM(nn.Module):
 
     def setup(self):
         lp = jnp.dtype(self.llm_dtype)
-        self.llm = TransformerDecoder(
+        llm_cls = TransformerDecoder
+        if getattr(self.llm_cfg, "is_encoder_decoder", False):
+            from .llm.transformer import TransformerEncDec
+            llm_cls = TransformerEncDec
+        self.llm = llm_cls(
             self.llm_cfg, lora=self.lora, remat=self.remat,
             dtype=(None if lp == jnp.float32 else lp), param_dtype=lp,
             quantize=self.quantize, name="llm")
@@ -326,9 +330,24 @@ class MedTsLLM(nn.Module):
             # per-channel rows through the LLM; prompt repeated per channel
             prompt_emb = jnp.repeat(prompt_emb, C, axis=0)
 
-        enc = jnp.concatenate([prompt_emb, ts_emb], axis=1)
-
-        if self.llm_enabled:
+        if self.llm_enabled and getattr(self.llm_cfg, "is_encoder_decoder", False):
+            # enc-dec path (medtsllm.py:346-348): prompt -> encoder,
+            # time-series embeddings -> decoder inputs
+            assert prompt_emb.shape[1] > 0, \
+                "encoder-decoder backbones require prompting enabled"
+            dec_out = self.llm(inputs_embeds=prompt_emb,
+                               decoder_inputs_embeds=ts_emb,
+                               deterministic=det)
+            dec_out = dec_out[:, -self.n_patches:, :]
+            if self.embedding_downsample_mode == "truncate":
+                dec_out = dec_out[:, :, :self.d_ff]
+            elif self.embedding_downsample_mode == "linear":
+                dec_out = self.embedding_downsample_layer(dec_out)
+            elif self.embedding_downsample_mode == "average":
+                dec_out = dec_out.reshape(dec_out.shape[0], self.n_patches,
+                                          self.d_ff, -1).mean(axis=-1)
+        elif self.llm_enabled:
+            enc = jnp.concatenate([prompt_emb, ts_emb], axis=1)
             dec_out = self.llm(inputs_embeds=enc, deterministic=det)
             dec_out = dec_out[:, -self.n_patches:, :]
             if self.embedding_downsample_mode == "truncate":
@@ -345,6 +364,7 @@ class MedTsLLM(nn.Module):
         else:
             # ablation path (medtsllm.py:103-109): a small MLP replaces the
             # LLM + downsample
+            enc = jnp.concatenate([prompt_emb, ts_emb], axis=1)
             dec_out = self.llm_replacement(enc)[:, -self.n_patches:, :]
 
         # FlattenHead (medtsllm.py:541-552) on [B, d_ff, P]

@@ -176,3 +176,17 @@ def test_prompt_bucket_is_stable(tmp_path):
         arrays = trainer.model_inputs(batch)
         shapes.add(arrays["prompt_ids"].shape)
     assert len(shapes) == 1, f"prompt bucket should stabilize, got {shapes}"
+
+
+def test_encoder_decoder_backbone(tmp_path):
+    """is_encoder_decoder path (reference medtsllm.py:346-348): prompt to
+    the encoder, time-series embeddings to the decoder."""
+    cfg = _cfg("reconstruction", tmp_path)
+    cfg.models.medtsllm.llm.llm = "encdec-tiny"
+    trainer = get_trainer("m-encdec", cfg)
+    assert "enc_h_0" in trainer.params["llm"]
+    assert "dec_h_0" in trainer.params["llm"]
+    assert "cross_attn" in trainer.params["llm"]["dec_h_0"]
+    trainer.train()
+    scores = trainer.val()
+    assert np.isfinite(scores["val/mse"])
