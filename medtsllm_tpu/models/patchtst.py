@@ -12,7 +12,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
-import numpy as np
 
 from ..ops.attention import AttentionLayer, FullAttention
 from ..ops.embed import patch_unfold, positional_embedding

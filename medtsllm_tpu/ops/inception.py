@@ -26,7 +26,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
-import numpy as np
 
 from .dft import rfft_ri
 

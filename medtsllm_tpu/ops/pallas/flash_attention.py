@@ -154,6 +154,19 @@ def flash_attention(q, k, v, causal: bool = True, sm_scale: float | None = None,
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     L, S, D = q.shape[2], k.shape[2], q.shape[-1]
+
+    # causal self-attention (L == S) with unaligned length: pad q/k/v at the
+    # END by the same amount — real query i still attends exactly keys <= i
+    # (padded keys sit above every real diagonal), padded rows are sliced off
+    pad = (-L) % 8
+    if (_use_pallas() and causal and L == S and D % 128 == 0 and pad
+            and L + pad >= 128):
+        widths = ((0, 0), (0, 0), (0, pad), (0, 0))
+        out = _flash_attention_pallas(
+            jnp.pad(q, widths), jnp.pad(k, widths), jnp.pad(v, widths),
+            causal, sm_scale, block_q, block_k)
+        return out[:, :, :L]
+
     tile_ok = (D % 128 == 0) and (L % 8 == 0) and (S % 8 == 0)
     if _use_pallas() and tile_ok and L >= 128 and S >= 128:
         return _flash_attention_pallas(q, k, v, causal, sm_scale,
