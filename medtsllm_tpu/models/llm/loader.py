@@ -127,7 +127,7 @@ def resolve_config(llm_id: str, cache_dir: str | None = None,
 # ---------------------------------------------------------------------------
 
 def _hf_to_tree(cfg: DecoderConfig, tensors: dict,
-                quantize: bool = False) -> dict:
+                quantize: int = 0) -> dict:
     """Map HF state-dict names to the TransformerDecoder param tree.
     GPT-2 Conv1D weights are already [in, out]; torch Linear weights are
     [out, in] and get transposed. With quantize=True, projection kernels
@@ -145,7 +145,8 @@ def _hf_to_tree(cfg: DecoderConfig, tensors: dict,
         """Projection kernels: quantizable (path ends with /kernel)."""
         if quantize:
             from .transformer import QuantDense
-            q, scale = QuantDense.quantize(np.asarray(w, dtype=np.float32))
+            q, scale = QuantDense.quantize(np.asarray(w, dtype=np.float32),
+                                           bits=quantize)
             put(path.removesuffix("kernel") + "kernel_q", q)
             put(path.removesuffix("kernel") + "scale", scale)
         else:
@@ -205,9 +206,12 @@ def _load_safetensors(snap: Path) -> dict:
 def load_backbone(llm_id: str, cache_dir: str | None = None,
                   llm_layers: int = -1, lora: LoraSpec | None = None,
                   dtype=np.float32, rng=None, remat: bool = False,
-                  quantize: bool = False):
+                  quantize: int = 0):
     """Returns (module, params, cfg). Params are loaded from a local
-    snapshot when available, otherwise random-init with a warning."""
+    snapshot when available, otherwise random-init with a warning.
+    quantize: 0 (off), 8, or 4 bits; True is accepted as 8."""
+    quantize = 8 if quantize is True else int(quantize or 0)
+    assert quantize in (0, 4, 8), quantize
     cfg, snap = resolve_config(llm_id, cache_dir, llm_layers)
     import jax.numpy as _jnp
     _dt = _jnp.dtype(dtype)

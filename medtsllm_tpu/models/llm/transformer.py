@@ -92,42 +92,76 @@ def rotary_embedding(x, positions, theta: float):
 
 
 class QuantDense(nn.Module):
-    """Int8 weight-only Dense: y = (x @ q) * scale (+ b).
+    """Int8/int4 weight-only Dense: y = (x @ q) * scale (+ b).
 
-    TPU-native replacement for the reference's bitsandbytes 8-bit path
-    (models/medtsllm.py:162-173): per-output-channel absmax scales, int8
-    storage (4x less HBM than f32), dequant folded into the matmul output.
+    TPU-native replacement for the reference's bitsandbytes 4/8-bit paths
+    (models/medtsllm.py:162-173): per-output-channel absmax scales; int8
+    stores one weight per byte (4x less HBM than f32), int4 packs two
+    weights per byte (8x) and unpacks with arithmetic shifts that XLA
+    fuses into the matmul read.
     """
 
     features: int
     use_bias: bool = True
     dtype: object = None
+    bits: int = 8
 
     @staticmethod
-    def quantize(w: np.ndarray):
-        """w [in, out] float -> (int8 q [in, out], f32 scale [out])."""
+    def quantize(w: np.ndarray, bits: int = 8):
+        """w [in, out] float -> (int8 storage, f32 scale [out]).
+        bits=8: q [in, out]; bits=4: packed [ceil(in/2), out] with the even
+        row in the high nibble."""
         import numpy as _np
+        qmax = 127.0 if bits == 8 else 7.0
         absmax = _np.max(_np.abs(w), axis=0)
-        scale = (absmax / 127.0).astype(_np.float32)
+        scale = (absmax / qmax).astype(_np.float32)
         scale = _np.where(scale == 0, 1.0, scale)
-        q = _np.clip(_np.round(w / scale[None, :]), -127, 127).astype(_np.int8)
+        q = _np.clip(_np.round(w / scale[None, :]), -qmax, qmax).astype(_np.int8)
+        if bits == 4:
+            if q.shape[0] % 2:
+                q = _np.concatenate([q, _np.zeros((1, q.shape[1]), _np.int8)])
+            hi, lo = q[0::2], q[1::2]
+            q = ((hi.astype(_np.int16) << 4) | (lo.astype(_np.int16) & 0xF))                 .astype(_np.int8)
         return q, scale
+
+    @staticmethod
+    def unpack4(packed: jnp.ndarray, n_in: int) -> jnp.ndarray:
+        """[ceil(n_in/2), out] int8 -> [n_in, out] int8 in [-8, 7]."""
+        hi = jnp.right_shift(packed, 4)  # arithmetic shift keeps sign
+        lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+        P, out = packed.shape
+        w = jnp.stack([hi, lo], axis=1).reshape(2 * P, out)
+        return w[:n_in]
 
     @nn.compact
     def __call__(self, x):
+        n_in = x.shape[-1]
+        bits = self.bits
+
         def init_q(key, shape, _dtype=jnp.int8):
             import jax as _jax
-            w = 0.02 * _jax.random.normal(key, shape, jnp.float32)
+            qmax = 127.0 if bits == 8 else 7.0
+            w = 0.02 * _jax.random.normal(key, (n_in, self.features), jnp.float32)
             absmax = jnp.max(jnp.abs(w), axis=0)
-            s = jnp.where(absmax == 0, 1.0, absmax / 127.0)
-            return jnp.clip(jnp.round(w / s[None, :]), -127, 127).astype(jnp.int8)
+            s = jnp.where(absmax == 0, 1.0, absmax / qmax)
+            q = jnp.clip(jnp.round(w / s[None, :]), -qmax, qmax).astype(jnp.int8)
+            if bits == 4:
+                if n_in % 2:
+                    q = jnp.concatenate(
+                        [q, jnp.zeros((1, self.features), jnp.int8)])
+                hi, lo = q[0::2], q[1::2]
+                q = (jnp.left_shift(hi.astype(jnp.int16), 4)
+                     | (lo.astype(jnp.int16) & 0xF)).astype(jnp.int8)
+            return q
 
-        kq = self.param("kernel_q", init_q, (x.shape[-1], self.features))
+        rows = n_in if bits == 8 else (n_in + 1) // 2
+        kq = self.param("kernel_q", init_q, (rows, self.features))
         scale = self.param("scale",
                            lambda k, s: 0.02 / 127.0 * jnp.ones(s, jnp.float32),
                            (self.features,))
+        w = kq if bits == 8 else self.unpack4(kq, n_in)
         cd = self.dtype or x.dtype
-        y = (x.astype(cd) @ kq.astype(cd)) * scale.astype(cd)
+        y = (x.astype(cd) @ w.astype(cd)) * scale.astype(cd)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(cd)
@@ -142,13 +176,14 @@ class LoRADense(nn.Module):
     lora: LoraSpec | None = None
     dtype: object = None
     param_dtype: object = jnp.float32
-    quantize: bool = False
+    quantize: int = 0  # 0 = off, 8 or 4 bits
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         if self.quantize:
             y = QuantDense(self.features, use_bias=self.use_bias,
-                           dtype=self.dtype, name="base")(x)
+                           dtype=self.dtype, bits=self.quantize,
+                           name="base")(x)
         else:
             y = nn.Dense(self.features, use_bias=self.use_bias, name="base",
                          dtype=self.dtype, param_dtype=self.param_dtype)(x)
@@ -168,7 +203,7 @@ class Attention(nn.Module):
     lora: LoraSpec | None = None
     dtype: object = None
     param_dtype: object = jnp.float32
-    quantize: bool = False
+    quantize: int = 0
     causal: bool = True
 
     @nn.compact
@@ -228,7 +263,7 @@ class MLP(nn.Module):
     cfg: DecoderConfig
     dtype: object = None
     param_dtype: object = jnp.float32
-    quantize: bool = False
+    quantize: int = 0
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -237,7 +272,8 @@ class MLP(nn.Module):
         def dense(features, use_bias, name):
             if self.quantize:
                 return QuantDense(features, use_bias=use_bias,
-                                  dtype=self.dtype, name=name)
+                                  dtype=self.dtype, bits=self.quantize,
+                                  name=name)
             return nn.Dense(features, use_bias=use_bias, name=name,
                             dtype=self.dtype, param_dtype=self.param_dtype)
 
@@ -256,7 +292,7 @@ class Block(nn.Module):
     lora: LoraSpec | None = None
     dtype: object = None
     param_dtype: object = jnp.float32
-    quantize: bool = False
+    quantize: int = 0
     causal: bool = True
     cross: bool = False  # add a cross-attention sublayer (enc-dec decoder)
 
@@ -305,7 +341,7 @@ class TransformerDecoder(nn.Module):
     remat: bool = False
     dtype: object = None  # compute dtype (None: infer by promotion)
     param_dtype: object = jnp.float32  # storage dtype
-    quantize: bool = False  # int8 weight-only projections
+    quantize: int = 0  # weight-only projection quantization: 0 | 8 | 4 bits
 
     def setup(self):
         cfg = self.cfg
@@ -368,7 +404,7 @@ class TransformerEncDec(nn.Module):
     remat: bool = False
     dtype: object = None
     param_dtype: object = jnp.float32
-    quantize: bool = False
+    quantize: int = 0
 
     def setup(self):
         cfg = self.cfg

@@ -98,7 +98,7 @@ class MedTsLLM(nn.Module):
     seg_mode: str | None = None
     remat: bool = False
     llm_dtype: str = "float32"  # backbone storage+compute dtype
-    quantize: bool = False  # int8 weight-only backbone projections
+    quantize: int = 0  # weight-only backbone quantization: 0 | 8 | 4 bits
 
     supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
                        "semantic_segmentation", "segmentation", "pretraining")
@@ -151,12 +151,9 @@ class MedTsLLM(nn.Module):
         if covariate_mode == "univariate":
             assert dataset.n_features == 1
 
-        quantize = bool(mc.llm.get("load_in_8bit", False))
+        quantize = 8 if mc.llm.get("load_in_8bit", False) else 0
         if mc.llm.get("load_in_4bit", False):
-            # int4 packing not implemented; int8 is the closest TPU-native
-            # equivalent of the reference's bnb path (medtsllm.py:162-173)
-            warnings.warn("load_in_4bit: using int8 weight-only quantization")
-            quantize = True
+            quantize = 4  # packed int4, two weights per byte
 
         return cls(
             task=task,

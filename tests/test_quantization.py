@@ -75,3 +75,43 @@ def test_medtsllm_8bit_e2e(tmp_path):
     trainer.train()  # int8 weights frozen; fusion layers train
     scores = trainer.val()
     assert np.isfinite(scores["val/mse"])
+
+
+def test_int4_pack_unpack_roundtrip():
+    from medtsllm_tpu.models.llm.transformer import QuantDense
+    import jax.numpy as jnp
+    rng = np.random.default_rng(2)
+    w = rng.normal(0, 0.05, size=(33, 16)).astype(np.float32)  # odd rows
+    q, scale = QuantDense.quantize(w, bits=4)
+    assert q.shape == (17, 16) and q.dtype == np.int8
+    unpacked = np.asarray(QuantDense.unpack4(jnp.asarray(q), 33))
+    back = unpacked.astype(np.float32) * scale[None, :]
+    # int4: error bounded by half a quantization step per channel
+    step = np.abs(w).max(axis=0) / 7
+    assert (np.abs(back - w) <= step[None, :] / 2 + 1e-6).all()
+
+
+def test_medtsllm_4bit_e2e(tmp_path):
+    cfg = make_config(task="reconstruction", model="medtsllm",
+                      hist=32, pred=32, step=16)
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.training.epochs = 1
+    cfg.training.batch_size = 4
+    cfg.datasets.synthetic.n_points = 256
+    cfg["models"] = {"medtsllm": {
+        "d_model": 16, "d_ff": 16, "n_heads": 4, "num_tokens": 32,
+        "covariate_mode": "concat", "embedding_downsample_mode": "linear",
+        "patching": {"patch_len": 8, "stride": 4},
+        "prompting": {"dataset": True, "task": True, "clip": False,
+                      "input_stats": False, "examples": False,
+                      "input_stats_dim": 0, "input_stats_select": "all"},
+        "llm": {"enabled": True, "llm": "llama-tiny", "llm_layers": -1,
+                "load_in_4bit": True, "load_in_8bit": False},
+    }}
+    trainer = get_trainer("q4", cfg)
+    kq = trainer.params["llm"]["h_0"]["attn"]["q_proj"]["base"]["kernel_q"]
+    assert kq.dtype == jnp.int8
+    assert kq.shape[0] == 32  # 64 input rows packed in pairs
+    trainer.train()
+    scores = trainer.val()
+    assert np.isfinite(scores["val/mse"])
