@@ -19,7 +19,7 @@ import numpy as np
 
 
 def build_trainer(model_size: str, batch_size: int, history_len: int,
-                  bf16: bool, remat: bool = False):
+                  bf16: bool, remat: bool = False, quant: int = 0):
     from medtsllm_tpu.config import Config
     from medtsllm_tpu.tasks import get_trainer
 
@@ -46,7 +46,7 @@ def build_trainer(model_size: str, batch_size: int, history_len: int,
                           "input_stats_dim": 0, "input_stats_select": "all"},
             "llm": {"enabled": True, "llm": model_size, "llm_layers": -1,
                     "remat": remat,
-                    "load_in_4bit": False, "load_in_8bit": False},
+                    "load_in_4bit": quant == 4, "load_in_8bit": quant == 8},
         }},
         "setup": {"seed": 0, "device": "auto",
                   "dtype": "bf16" if bf16 else "float32",
@@ -137,6 +137,8 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--train", action="store_true",
                     help="measure the training step instead of inference")
+    ap.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
+                    help="weight-only backbone quantization bits")
     args = ap.parse_args()
 
     if args.config:
@@ -158,7 +160,8 @@ def main():
     capture = io.StringIO()
     with contextlib.redirect_stdout(capture):
         trainer = build_trainer(args.model, args.batch, args.history_len,
-                                bf16=not args.fp32, remat=args.train)
+                                bf16=not args.fp32, remat=args.train,
+                                quant=args.quant)
         batch = next(iter(trainer.val_pipeline))
         arrays = trainer.model_inputs(batch)
         if not args.fp32:
@@ -211,6 +214,8 @@ def main():
     baseline = a100_estimate_windows_per_sec(n_llm, tokens)
 
     mode = "train" if args.train else "inference"
+    if args.quant:
+        mode += f"_int{args.quant}"
     result = {
         "metric": f"medtsllm_{args.model}_{mode}_windows_per_sec_per_chip",
         "value": round(windows_per_sec, 3),
