@@ -209,6 +209,13 @@ def main():
 
     from medtsllm_tpu.utils import count_params
     n_llm = count_params(trainer.params["llm"])
+    if args.quant == 4:
+        # packed int4 kernels store two logical weights per element
+        import jax as _jax
+        flat = _jax.tree_util.tree_flatten_with_path(trainer.params["llm"])[0]
+        n_llm += sum(int(np.prod(np.shape(leaf))) for kp, leaf in flat
+                     if "kernel_q" in "/".join(str(getattr(k, "key", k))
+                                               for k in kp))
     prompt_len = int(arrays.get("prompt_ids", np.zeros((1, 0))).shape[1])
     tokens = prompt_len + trainer.model.n_patches
     baseline = a100_estimate_windows_per_sec(n_llm, tokens)
