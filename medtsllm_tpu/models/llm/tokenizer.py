@@ -10,36 +10,49 @@ The reference uses AutoTokenizer with pad=eos fallback
 from __future__ import annotations
 
 
-class ByteTokenizer:
-    """Byte-level fallback: ids 0..255 are raw bytes; specials follow."""
+class WordTokenizer:
+    """Hermetic fallback tokenizer: word/number/punctuation pieces hashed
+    into the vocab. Produces token counts comparable to a real subword
+    tokenizer (~1 token per word), unlike a byte-level fallback which
+    inflates prompts ~4x and distorts throughput measurements. Decoding
+    uses a reverse map accumulated during encoding."""
+
+    _PIECE = __import__("re").compile(r"\w+|[^\w\s]|\s")
 
     def __init__(self, vocab_size: int = 512):
+        import zlib
         self.vocab_size = vocab_size
-        self.bos_token_id = 256
-        self.eos_token_id = 257
-        self.pad_token_id = 258
+        self._crc = zlib.crc32
+        self.bos_token_id = 1
+        self.eos_token_id = 2
+        self.pad_token_id = 3
         self.bos_token = "<s>"
         self.eos_token = "</s>"
         self.pad_token = "<pad>"
+        self._reverse: dict[int, str] = {1: "<s>", 2: "</s>", 3: "<pad>"}
+
+    def _piece_id(self, piece: str) -> int:
+        reserved = 8  # specials + headroom
+        tid = reserved + self._crc(piece.encode()) % (self.vocab_size - reserved)
+        self._reverse[tid] = piece
+        return tid
 
     def encode(self, text: str) -> list[int]:
         out = []
         specials = {self.bos_token: self.bos_token_id,
                     self.eos_token: self.eos_token_id,
                     self.pad_token: self.pad_token_id}
-        i = 0
-        while i < len(text):
-            matched = False
-            for tok, tid in specials.items():
-                if text.startswith(tok, i):
-                    out.append(tid)
-                    i += len(tok)
-                    matched = True
-                    break
-            if not matched:
-                out.extend(text[i].encode("utf-8"))
-                i += 1
-        return [min(t, self.vocab_size - 1) for t in out]
+        for tok, tid in specials.items():
+            text = text.replace(tok, f"\x00{tid}\x00")
+        for chunk in text.split("\x00"):
+            if chunk.isdigit() and int(chunk) in specials.values():
+                out.append(int(chunk))
+                continue
+            for piece in self._PIECE.findall(chunk):
+                if piece.isspace():
+                    continue  # whitespace is implicit, like subword joiners
+                out.append(self._piece_id(piece))
+        return out
 
     def __call__(self, text, **kw):
         class _Enc:
@@ -49,7 +62,12 @@ class ByteTokenizer:
         return enc
 
     def decode(self, ids) -> str:
-        return bytes(i for i in ids if i < 256).decode("utf-8", errors="replace")
+        return " ".join(self._reverse.get(int(i), "<unk>") for i in ids
+                        if int(i) != self.pad_token_id)
+
+
+# Backwards-compatible alias (the fallback used to be byte-level)
+ByteTokenizer = WordTokenizer
 
 
 def get_tokenizer(llm_id: str, cache_dir: str | None = None,
@@ -69,4 +87,4 @@ def get_tokenizer(llm_id: str, cache_dir: str | None = None,
                 tok.add_special_tokens({"pad_token": "[PAD]"})
         return tok
     except Exception:
-        return ByteTokenizer(vocab_size=vocab_size)
+        return WordTokenizer(vocab_size=vocab_size)
