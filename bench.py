@@ -19,7 +19,8 @@ import numpy as np
 
 
 def build_trainer(model_size: str, batch_size: int, history_len: int,
-                  bf16: bool, remat: bool = False, quant: int = 0):
+                  bf16: bool, remat: bool = False, quant: int = 0,
+                  int8_matmul: bool = True):
     from medtsllm_tpu.config import Config
     from medtsllm_tpu.tasks import get_trainer
 
@@ -45,7 +46,7 @@ def build_trainer(model_size: str, batch_size: int, history_len: int,
                           "input_stats": True, "examples": False,
                           "input_stats_dim": 0, "input_stats_select": "all"},
             "llm": {"enabled": True, "llm": model_size, "llm_layers": -1,
-                    "remat": remat,
+                    "remat": remat, "int8_matmul": int8_matmul,
                     "load_in_4bit": quant == 4, "load_in_8bit": quant == 8},
         }},
         "setup": {"seed": 0, "device": "auto",
@@ -122,7 +123,7 @@ def bench_config(config_path: str, iters: int, warmup: int,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="llama-1b",
+    ap.add_argument("--model", default="meta-llama/Llama-2-7b-hf",
                     help="backbone preset or HF id (llama-tiny|llama-1b|"
                          "meta-llama/Llama-2-7b-hf|gpt2)")
     ap.add_argument("--config", default=None,
@@ -130,15 +131,18 @@ def main():
     ap.add_argument("--llm-override", default="llama-1b",
                     help="backbone override for --config medtsllm benches "
                          "('config' keeps the configured id)")
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--history-len", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--train", action="store_true",
                     help="measure the training step instead of inference")
-    ap.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
-                    help="weight-only backbone quantization bits")
+    ap.add_argument("--quant", type=int, default=8, choices=(0, 4, 8),
+                    help="backbone quantization bits (0 disables)")
+    ap.add_argument("--no-int8-matmul", action="store_true",
+                    help="with --quant: dequantize to bf16 instead of "
+                         "running the s8xs8->s32 MXU matmul")
     args = ap.parse_args()
 
     if args.config:
@@ -161,7 +165,8 @@ def main():
     with contextlib.redirect_stdout(capture):
         trainer = build_trainer(args.model, args.batch, args.history_len,
                                 bf16=not args.fp32, remat=args.train,
-                                quant=args.quant)
+                                quant=args.quant,
+                                int8_matmul=not args.no_int8_matmul)
         batch = next(iter(trainer.val_pipeline))
         arrays = trainer.model_inputs(batch)
         if not args.fp32:
@@ -223,8 +228,9 @@ def main():
     mode = "train" if args.train else "inference"
     if args.quant:
         mode += f"_int{args.quant}"
+    model_tag = args.model.rsplit("/", 1)[-1]
     result = {
-        "metric": f"medtsllm_{args.model}_{mode}_windows_per_sec_per_chip",
+        "metric": f"medtsllm_{model_tag}_{mode}_windows_per_sec_per_chip",
         "value": round(windows_per_sec, 3),
         "unit": "windows/sec/chip",
         "vs_baseline": round(windows_per_sec / baseline, 3),

@@ -206,7 +206,7 @@ def _load_safetensors(snap: Path) -> dict:
 def load_backbone(llm_id: str, cache_dir: str | None = None,
                   llm_layers: int = -1, lora: LoraSpec | None = None,
                   dtype=np.float32, rng=None, remat: bool = False,
-                  quantize: int = 0):
+                  quantize: int = 0, act_quant: bool = True):
     """Returns (module, params, cfg). Params are loaded from a local
     snapshot when available, otherwise random-init with a warning.
     quantize: 0 (off), 8, or 4 bits; True is accepted as 8."""
@@ -217,7 +217,7 @@ def load_backbone(llm_id: str, cache_dir: str | None = None,
     _dt = _jnp.dtype(dtype)
     module_cls = TransformerEncDec if cfg.is_encoder_decoder else TransformerDecoder
     module = module_cls(
-        cfg, lora=lora, remat=remat, quantize=quantize,
+        cfg, lora=lora, remat=remat, quantize=quantize, act_quant=act_quant,
         dtype=(None if _dt == _jnp.float32 else _dt), param_dtype=_dt)
 
     if rng is None:

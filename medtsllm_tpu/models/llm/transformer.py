@@ -92,19 +92,27 @@ def rotary_embedding(x, positions, theta: float):
 
 
 class QuantDense(nn.Module):
-    """Int8/int4 weight-only Dense: y = (x @ q) * scale (+ b).
+    """Int8/int4 quantized Dense.
 
     TPU-native replacement for the reference's bitsandbytes 4/8-bit paths
-    (models/medtsllm.py:162-173): per-output-channel absmax scales; int8
-    stores one weight per byte (4x less HBM than f32), int4 packs two
+    (models/medtsllm.py:162-173): per-output-channel absmax weight scales;
+    int8 stores one weight per byte (4x less HBM than f32), int4 packs two
     weights per byte (8x) and unpacks with arithmetic shifts that XLA
     fuses into the matmul read.
+
+    With ``act_quant`` (default, the analogue of bnb LLM.int8()'s int8
+    GEMM), activations are dynamically quantized per token to int8 and the
+    matmul runs as s8 x s8 -> s32 — on the v5e MXU that is ~2x the bf16
+    FLOP rate — then rescaled by (per-token activation scale) x
+    (per-channel weight scale). Without it, weights dequantize to the
+    compute dtype (weight-only quantization: HBM savings, bf16 FLOPs).
     """
 
     features: int
     use_bias: bool = True
     dtype: object = None
     bits: int = 8
+    act_quant: bool = True
 
     @staticmethod
     def quantize(w: np.ndarray, bits: int = 8):
@@ -161,7 +169,20 @@ class QuantDense(nn.Module):
                            (self.features,))
         w = kq if bits == 8 else self.unpack4(kq, n_in)
         cd = self.dtype or x.dtype
-        y = (x.astype(cd) @ w.astype(cd)) * scale.astype(cd)
+        if self.act_quant:
+            # dynamic per-token absmax activation quantization; scale math
+            # in f32 regardless of compute dtype
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            x_scale = jnp.maximum(amax / 127.0, 1e-10)
+            xq = jnp.round(xf / x_scale).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, w, (((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = (acc.astype(jnp.float32)
+                 * (x_scale * scale[None, :])).astype(cd)
+        else:
+            y = (x.astype(cd) @ w.astype(cd)) * scale.astype(cd)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(cd)
@@ -177,13 +198,14 @@ class LoRADense(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0  # 0 = off, 8 or 4 bits
+    act_quant: bool = True  # int8 activations (s8xs8->s32 MXU matmul)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         if self.quantize:
             y = QuantDense(self.features, use_bias=self.use_bias,
                            dtype=self.dtype, bits=self.quantize,
-                           name="base")(x)
+                           act_quant=self.act_quant, name="base")(x)
         else:
             y = nn.Dense(self.features, use_bias=self.use_bias, name="base",
                          dtype=self.dtype, param_dtype=self.param_dtype)(x)
@@ -204,6 +226,7 @@ class Attention(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0
+    act_quant: bool = True
     causal: bool = True
 
     @nn.compact
@@ -221,7 +244,8 @@ class Attention(nn.Module):
             return LoRADense(features, use_bias=(cfg.style == "gpt2"),
                              lora=spec, name=name, dtype=self.dtype,
                              param_dtype=self.param_dtype,
-                             quantize=self.quantize)(
+                             quantize=self.quantize,
+                             act_quant=self.act_quant)(
                 src, deterministic=deterministic)
 
         if cfg.style == "gpt2" and kv is None:
@@ -255,7 +279,8 @@ class Attention(nn.Module):
         return LoRADense(cfg.d_model, use_bias=(cfg.style == "gpt2"),
                          lora=o_spec, name=name, dtype=self.dtype,
                          param_dtype=self.param_dtype,
-                         quantize=self.quantize)(
+                         quantize=self.quantize,
+                         act_quant=self.act_quant)(
             out, deterministic=deterministic)
 
 
@@ -264,6 +289,7 @@ class MLP(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0
+    act_quant: bool = True
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -273,7 +299,7 @@ class MLP(nn.Module):
             if self.quantize:
                 return QuantDense(features, use_bias=use_bias,
                                   dtype=self.dtype, bits=self.quantize,
-                                  name=name)
+                                  act_quant=self.act_quant, name=name)
             return nn.Dense(features, use_bias=use_bias, name=name,
                             dtype=self.dtype, param_dtype=self.param_dtype)
 
@@ -293,6 +319,7 @@ class Block(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0
+    act_quant: bool = True
     causal: bool = True
     cross: bool = False  # add a cross-attention sublayer (enc-dec decoder)
 
@@ -310,18 +337,20 @@ class Block(nn.Module):
 
         x = x + Attention(cfg, self.lora, dtype=self.dtype,
                           param_dtype=self.param_dtype,
-                          quantize=self.quantize, causal=self.causal,
+                          quantize=self.quantize, act_quant=self.act_quant,
+                          causal=self.causal,
                           name="attn")(
             norm("ln_1", "input_layernorm")(x), deterministic=deterministic)
         if self.cross:
             x = x + Attention(cfg, self.lora, dtype=self.dtype,
                               param_dtype=self.param_dtype,
-                              quantize=self.quantize, causal=False,
+                              quantize=self.quantize,
+                              act_quant=self.act_quant, causal=False,
                               name="cross_attn")(
                 norm("ln_cross", "cross_attention_layernorm")(x), enc_out,
                 deterministic=deterministic)
         x = x + MLP(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
-                    quantize=self.quantize,
+                    quantize=self.quantize, act_quant=self.act_quant,
                     name="mlp")(norm("ln_2", "post_attention_layernorm")(x),
                                 deterministic=deterministic)
         return x
@@ -341,7 +370,8 @@ class TransformerDecoder(nn.Module):
     remat: bool = False
     dtype: object = None  # compute dtype (None: infer by promotion)
     param_dtype: object = jnp.float32  # storage dtype
-    quantize: int = 0  # weight-only projection quantization: 0 | 8 | 4 bits
+    quantize: int = 0  # projection quantization: 0 | 8 | 4 bits
+    act_quant: bool = True  # with quantize: int8 MXU matmul vs dequant
 
     def setup(self):
         cfg = self.cfg
@@ -361,7 +391,8 @@ class TransformerDecoder(nn.Module):
         block_cls = nn.remat(Block) if self.remat else Block
         self.blocks = [block_cls(cfg, self.lora, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
-                                 quantize=self.quantize, name=f"h_{i}")
+                                 quantize=self.quantize,
+                                 act_quant=self.act_quant, name=f"h_{i}")
                        for i in range(cfg.n_layers)]
 
     def embed(self, token_ids) -> jnp.ndarray:
@@ -405,13 +436,14 @@ class TransformerEncDec(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0
+    act_quant: bool = True
 
     def setup(self):
         cfg = self.cfg
         self.wte = self.param("wte", nn.initializers.normal(0.02),
                               (cfg.vocab_size, cfg.d_model), self.param_dtype)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
-                  quantize=self.quantize)
+                  quantize=self.quantize, act_quant=self.act_quant)
         self.enc_blocks = [Block(cfg, self.lora, causal=False,
                                  name=f"enc_h_{i}", **kw)
                            for i in range(cfg.n_layers)]

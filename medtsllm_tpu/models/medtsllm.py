@@ -98,7 +98,8 @@ class MedTsLLM(nn.Module):
     seg_mode: str | None = None
     remat: bool = False
     llm_dtype: str = "float32"  # backbone storage+compute dtype
-    quantize: int = 0  # weight-only backbone quantization: 0 | 8 | 4 bits
+    quantize: int = 0  # backbone quantization: 0 | 8 | 4 bits
+    act_quant: bool = True  # with quantize: int8 MXU matmul (bnb LLM.int8())
 
     supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
                        "semantic_segmentation", "segmentation", "pretraining")
@@ -180,6 +181,7 @@ class MedTsLLM(nn.Module):
                       if task == "segmentation" else None),
             remat=bool(mc.llm.get("remat", False)),
             quantize=quantize,
+            act_quant=bool(mc.llm.get("int8_matmul", True)),
             # the reference loads the LLM at the configured dtype
             # (medtsllm.py:149-157); "mixed" here stores the frozen backbone
             # directly at bf16 — it never updates
@@ -234,7 +236,7 @@ class MedTsLLM(nn.Module):
         self.llm = llm_cls(
             self.llm_cfg, lora=self.lora, remat=self.remat,
             dtype=(None if lp == jnp.float32 else lp), param_dtype=lp,
-            quantize=self.quantize, name="llm")
+            quantize=self.quantize, act_quant=self.act_quant, name="llm")
         self.patch_embedding = PatchEmbedding(
             self.d_model, self.patch_len, self.stride, self.dropout,
             pos_embed=False, name="patch_embedding")
@@ -447,7 +449,7 @@ class MedTsLLM(nn.Module):
             _, loaded, _ = load_backbone(
                 self.llm_id, self.cache_dir, self.llm_cfg.n_layers,
                 lora=self.lora, dtype=jnp.dtype(self.llm_dtype),
-                quantize=self.quantize)
+                quantize=self.quantize, act_quant=self.act_quant)
             params = dict(params)
             params["llm"] = loaded
             return params

@@ -115,3 +115,33 @@ def test_medtsllm_4bit_e2e(tmp_path):
     trainer.train()
     scores = trainer.val()
     assert np.isfinite(scores["val/mse"])
+
+
+def test_int8_matmul_matches_weight_only():
+    """The s8xs8->s32 MXU path (act_quant) stays close to the weight-only
+    dequant path — per-token absmax activation quantization adds <1%
+    relative error on well-conditioned inputs."""
+    from medtsllm_tpu.models.llm.transformer import QuantDense
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1.0, size=(4, 16, 64)).astype(np.float32))
+    m_wo = QuantDense(32, use_bias=False, act_quant=False)
+    m_aq = QuantDense(32, use_bias=False, act_quant=True)
+    params = m_wo.init(jax.random.PRNGKey(0), x)
+    y_wo = np.asarray(m_wo.apply(params, x))
+    y_aq = np.asarray(m_aq.apply(params, x))
+    rel = np.abs(y_aq - y_wo).max() / (np.abs(y_wo).max() + 1e-9)
+    assert rel < 0.02, f"act-quant error too large: {rel}"
+
+
+def test_int8_matmul_accumulates_in_int32():
+    """Adversarial input: all-equal activations of length 512 would
+    overflow an int8/int16 accumulator; int32 accumulation is exact."""
+    from medtsllm_tpu.models.llm.transformer import QuantDense
+    x = jnp.ones((1, 1, 512), jnp.float32) * 3.0
+    m = QuantDense(8, use_bias=False, act_quant=True)
+    params = m.init(jax.random.PRNGKey(1), x)
+    w = np.asarray(params["params"]["kernel_q"], np.float32)
+    scale = np.asarray(params["params"]["scale"])
+    expect = (np.full((512,), 127.0) @ w) * (3.0 / 127.0) * scale
+    got = np.asarray(m.apply(params, x))[0, 0]
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
