@@ -121,6 +121,86 @@ def bench_config(config_path: str, iters: int, warmup: int,
     }
 
 
+def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
+               warmup: int, model_size: str = "llama-tiny") -> dict:
+    """DP/TP scaling on a virtual CPU mesh: '8' or '8:2' (devices[:tensor]).
+
+    Provisions N virtual CPU devices (this process must not have
+    initialized a backend yet), then times the jit train step at the SAME
+    global batch unsharded vs sharded over the mesh. On shared host cores
+    the total work per step is constant, so
+    ``efficiency = t_single / t_mesh`` isolates the partitioning +
+    collective overhead: projected N-chip throughput = N x efficiency x
+    single-chip throughput.
+    """
+    import os
+    parts = spec.split(":")
+    n = int(parts[0])
+    tensor = int(parts[1]) if len(parts) > 1 else 1
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) == n, "mesh bench needs a fresh process"
+    import jax.numpy as jnp
+
+    def step_time(trainer):
+        batch_ = next(iter(trainer.train_pipeline))
+        arrays = trainer._device_batch(trainer.model_inputs(batch_))
+        valid = jnp.asarray(batch_["valid"])
+
+        def run_sync():
+            trainer.params, trainer.opt_state, loss = trainer.train_step(
+                trainer.params, trainer.opt_state, arrays, valid,
+                trainer._next_rng())
+            return float(loss)
+
+        for _ in range(warmup + 1):
+            run_sync()
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            run_sync()
+            times.append(time.perf_counter() - t0)
+        # min, not median: virtual devices timeshare the host cores, so
+        # the noise floor is one-sided
+        return float(np.min(times))
+
+    import io
+    import contextlib
+    with contextlib.redirect_stdout(io.StringIO()):
+        t_single = step_time(build_trainer(model_size, batch, history_len,
+                                           bf16=False))
+        sharded = build_trainer(model_size, batch, history_len, bf16=False)
+        sharded.config.setup["tensor_parallel"] = tensor
+        sharded.config.setup["data_parallel"] = n // tensor
+        sharded.apply_sharding()
+        assert sharded.mesh is not None
+        sharded.opt_state = sharded.optimizer.init(sharded.params)
+        t_mesh = step_time(sharded)
+
+    eff = t_single / t_mesh
+    return {
+        "metric": f"mesh{n}x{tensor}_dp_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "t_single/t_mesh at fixed global batch",
+        "vs_baseline": None,
+        "detail": {
+            "devices": n, "tensor_parallel": tensor,
+            "data_parallel": n // tensor, "global_batch": batch,
+            "t_single_ms": round(t_single * 1e3, 2),
+            "t_mesh_ms": round(t_mesh * 1e3, 2),
+            "projected_n_chip_speedup": round(n * min(eff, 1.0), 2),
+            "note": "virtual CPU devices share host cores; constant total "
+                    "work, so the ratio isolates partitioning+collective "
+                    "overhead (>1 means smaller per-shard matmuls were "
+                    "cache-friendlier; projection capped at N)",
+        },
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="meta-llama/Llama-2-7b-hf",
@@ -140,10 +220,22 @@ def main():
                     help="measure the training step instead of inference")
     ap.add_argument("--quant", type=int, default=8, choices=(0, 4, 8),
                     help="backbone quantization bits (0 disables)")
+    ap.add_argument("--mesh", default=None, metavar="N[:T]",
+                    help="DP/TP scaling bench on an N-device virtual CPU "
+                         "mesh (optionally T-way tensor parallel), e.g. "
+                         "--mesh 8 or --mesh 8:2")
     ap.add_argument("--no-int8-matmul", action="store_true",
                     help="with --quant: dequantize to bf16 instead of "
                          "running the s8xs8->s32 MXU matmul")
     args = ap.parse_args()
+
+    if args.mesh:
+        import warnings
+        warnings.filterwarnings("ignore")
+        result = bench_mesh(args.mesh, args.batch, args.history_len,
+                            args.iters, args.warmup)
+        print(json.dumps(result))
+        return result
 
     if args.config:
         import warnings

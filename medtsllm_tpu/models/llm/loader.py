@@ -47,6 +47,11 @@ PRESETS = {
         style="llama", vocab_size=512, d_model=64, n_layers=2,
         n_heads=4, d_ff=128, max_position=512, bos_token_id=1,
         eos_token_id=2, is_encoder_decoder=True),
+    "t5-tiny": DecoderConfig(  # test-sized t5-style encoder-decoder
+        style="t5", vocab_size=512, d_model=64, n_layers=2,
+        n_heads=4, d_ff=128, d_head=16, max_position=512,
+        norm_eps=1e-6, pad_token_id=0, eos_token_id=1,
+        is_encoder_decoder=True),
     "gpt2-tiny": DecoderConfig(  # test-sized gpt2-style backbone
         style="gpt2", vocab_size=512, d_model=64, n_layers=2,
         n_heads=4, d_ff=128, max_position=512, dropout=0.1,
@@ -86,6 +91,21 @@ def config_from_hf_json(path: Path) -> DecoderConfig:
             dropout=hf.get("resid_pdrop", 0.1),
             bos_token_id=hf.get("bos_token_id"),
             eos_token_id=hf.get("eos_token_id"))
+    if model_type in ("t5", "mt5"):
+        return DecoderConfig(
+            style="t5", vocab_size=hf["vocab_size"], d_model=hf["d_model"],
+            n_layers=hf["num_layers"], n_heads=hf["num_heads"],
+            d_ff=hf["d_ff"], d_head=hf.get("d_kv"),
+            n_dec_layers=hf.get("num_decoder_layers"),
+            rel_buckets=hf.get("relative_attention_num_buckets", 32),
+            rel_max_distance=hf.get("relative_attention_max_distance", 128),
+            norm_eps=hf.get("layer_norm_epsilon", 1e-6),
+            dropout=hf.get("dropout_rate", 0.1),
+            t5_gated="gated" in str(hf.get("feed_forward_proj", "relu")),
+            is_encoder_decoder=True,
+            bos_token_id=hf.get("bos_token_id"),
+            eos_token_id=hf.get("eos_token_id"),
+            pad_token_id=hf.get("pad_token_id"))
     if model_type in ("llama", "mistral"):
         return DecoderConfig(
             style="llama", vocab_size=hf["vocab_size"],
@@ -104,7 +124,10 @@ def config_from_hf_json(path: Path) -> DecoderConfig:
 def _truncate(cfg: DecoderConfig, llm_layers: int) -> DecoderConfig:
     if llm_layers and 0 < llm_layers < cfg.n_layers:
         import dataclasses
-        cfg = dataclasses.replace(cfg, n_layers=llm_layers)
+        cfg = dataclasses.replace(
+            cfg, n_layers=llm_layers,
+            n_dec_layers=(min(llm_layers, cfg.n_dec_layers)
+                          if cfg.n_dec_layers else None))
     return cfg
 
 
@@ -152,6 +175,46 @@ def _hf_to_tree(cfg: DecoderConfig, tensors: dict,
         else:
             put(path, w)
 
+    if cfg.style == "t5":
+        put("wte", tensors["shared.weight"])
+        put("enc_norm/weight", tensors["encoder.final_layer_norm.weight"])
+        put("dec_norm/weight", tensors["decoder.final_layer_norm.weight"])
+        put("enc_rel_bias", tensors[
+            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"])
+        put("dec_rel_bias", tensors[
+            "decoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"])
+        ffn = (("wi_0", "wi_0"), ("wi_1", "wi_1")) if cfg.t5_gated else (("wi", "wi"),)
+        ffn = ffn + (("wo", "wo"),)
+        for i in range(cfg.n_layers):
+            p = f"encoder.block.{i}."
+            put(f"enc_h_{i}/input_layernorm/weight",
+                tensors[p + "layer.0.layer_norm.weight"])
+            for n in ("q", "k", "v", "o"):
+                put_kernel(f"enc_h_{i}/attn/{n}_proj/base/kernel",
+                           tensors[p + f"layer.0.SelfAttention.{n}.weight"].T)
+            put(f"enc_h_{i}/post_attention_layernorm/weight",
+                tensors[p + "layer.1.layer_norm.weight"])
+            for hf_n, fx_n in ffn:
+                put_kernel(f"enc_h_{i}/mlp/{fx_n}/kernel",
+                           tensors[p + f"layer.1.DenseReluDense.{hf_n}.weight"].T)
+        for i in range(cfg.n_dec_layers or cfg.n_layers):
+            p = f"decoder.block.{i}."
+            put(f"dec_h_{i}/input_layernorm/weight",
+                tensors[p + "layer.0.layer_norm.weight"])
+            for n in ("q", "k", "v", "o"):
+                put_kernel(f"dec_h_{i}/attn/{n}_proj/base/kernel",
+                           tensors[p + f"layer.0.SelfAttention.{n}.weight"].T)
+            put(f"dec_h_{i}/cross_attention_layernorm/weight",
+                tensors[p + "layer.1.layer_norm.weight"])
+            for n in ("q", "k", "v", "o"):
+                put_kernel(f"dec_h_{i}/cross_attn/{n}_proj/base/kernel",
+                           tensors[p + f"layer.1.EncDecAttention.{n}.weight"].T)
+            put(f"dec_h_{i}/post_attention_layernorm/weight",
+                tensors[p + "layer.2.layer_norm.weight"])
+            for hf_n, fx_n in ffn:
+                put_kernel(f"dec_h_{i}/mlp/{fx_n}/kernel",
+                           tensors[p + f"layer.2.DenseReluDense.{hf_n}.weight"].T)
+        return tree
     if cfg.style == "gpt2":
         put("wte", tensors["wte.weight"])
         put("wpe", tensors["wpe.weight"])

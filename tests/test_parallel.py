@@ -62,3 +62,83 @@ def test_sharded_matches_single_device(tmp_path):
     p1 = jax.device_get(t1.params["mapping_layer"]["kernel"])
     p2 = jax.device_get(t2.params["mapping_layer"]["kernel"])
     np.testing.assert_allclose(p1, p2, atol=2e-4)
+
+
+def test_pure_data_parallel(tmp_path):
+    """(8, 1) mesh: pure DP, no tensor sharding."""
+    cfg = _cfg(tmp_path, tensor=1)
+    cfg.setup["data_parallel"] = 8
+    trainer = get_trainer("dp8", cfg)
+    assert dict(trainer.mesh.shape) == {"data": 8, "tensor": 1}
+    trainer.train()
+    assert np.isfinite(trainer.val()["val/mse"])
+
+
+def test_tensor_parallel_4(tmp_path):
+    """(2, 4) mesh: deeper tensor sharding than the default (4, 2)."""
+    trainer = get_trainer("tp4", _cfg(tmp_path, tensor=4))
+    assert dict(trainer.mesh.shape) == {"data": 2, "tensor": 4}
+    k = trainer.params["llm"]["h_0"]["attn"]["q_proj"]["base"]["kernel"]
+    assert len(k.sharding.device_set) == 8
+    trainer.train()
+    assert np.isfinite(trainer.val()["val/mse"])
+
+
+def test_tp4_matches_single_device(tmp_path):
+    """TP=4 must be numerically equivalent to the unsharded run."""
+    cfg1 = _cfg(tmp_path / "a", tensor=1)
+    cfg1.setup["tensor_parallel"] = 1
+    cfg1.setup["data_parallel"] = 1
+    t1 = get_trainer("single4", cfg1)
+    t2 = get_trainer("multi4", _cfg(tmp_path / "b", tensor=4))
+    t1.train()
+    t2.train()
+    p1 = jax.device_get(t1.params["mapping_layer"]["kernel"])
+    p2 = jax.device_get(t2.params["mapping_layer"]["kernel"])
+    np.testing.assert_allclose(p1, p2, atol=2e-4)
+
+
+def test_int8_quantized_sharded(tmp_path):
+    """Int8 backbone (kernel_q + per-channel scale) sharded over tensor:
+    the quantized kernels carry the same Megatron layout."""
+    cfg = _cfg(tmp_path, tensor=2)
+    cfg.models.medtsllm.llm["load_in_8bit"] = True
+    trainer = get_trainer("q8shard", cfg)
+    import jax.numpy as jnp
+    kq = trainer.params["llm"]["h_0"]["attn"]["q_proj"]["base"]["kernel_q"]
+    assert kq.dtype == jnp.int8
+    assert len(kq.sharding.device_set) == 8
+    # column-sharded over tensor: per-channel scale sharded the same way
+    sc = trainer.params["llm"]["h_0"]["attn"]["q_proj"]["base"]["scale"]
+    assert not sc.sharding.is_fully_replicated
+    trainer.train()
+    assert np.isfinite(trainer.val()["val/mse"])
+
+
+def test_sharded_eval_stitch_score(tmp_path):
+    """Sharded eval path end-to-end: predict -> window stitch -> threshold
+    -> point-adjust metrics (anomaly detection exercises the full
+    host-side post-processing on sharded predictions)."""
+    cfg = _cfg(tmp_path, tensor=2)
+    cfg["task"] = "anomaly_detection"
+    cfg.training.eval_metric = "f1"
+    cfg.training.eval_metric_direction = "max"
+    cfg["tasks"] = {"anomaly_detection": {
+        "threshold": "auto", "score_metric": "mse",
+        "normalize_by_feature": False}}
+    trainer = get_trainer("adshard", cfg)
+    assert trainer.mesh is not None
+    scores = trainer.test()
+    for key in ("test/f1", "test/accuracy", "test/auroc"):
+        assert np.isfinite(scores[key]), key
+
+
+def test_t5_encdec_sharded(tmp_path):
+    """Enc-dec backbone sharded over the tensor axis (t5 wi/wo rules)."""
+    cfg = _cfg(tmp_path, tensor=2)
+    cfg.models.medtsllm.llm["llm"] = "t5-tiny"
+    trainer = get_trainer("t5shard", cfg)
+    k = trainer.params["llm"]["enc_h_0"]["mlp"]["wi"]["kernel"]
+    assert not k.sharding.is_fully_replicated
+    trainer.train()
+    assert np.isfinite(trainer.val()["val/mse"])
