@@ -58,9 +58,17 @@ def build_trainer(model_size: str, batch_size: int, history_len: int,
 
 def a100_estimate_windows_per_sec(n_params: int, tokens_per_window: int,
                                   a100_tflops: float = 312.0,
-                                  mfu: float = 0.45) -> float:
-    """Nominal A100 throughput for the same decoder FLOPs/window."""
-    flops_per_window = 2.0 * n_params * tokens_per_window
+                                  mfu: float = 0.45,
+                                  train: bool = False) -> float:
+    """Nominal A100 throughput for the same decoder FLOPs/window.
+
+    Inference: 2 * params * tokens. Training with a frozen backbone
+    (the reference's finetuning mode, tasks/base.py:87-141): the
+    backward pass re-runs activation-gradient matmuls (~2NT) but skips
+    weight-gradient matmuls for frozen params, so ~4NT total — the A100
+    estimate uses the same factor so the ratio compares equal work."""
+    factor = 4.0 if train else 2.0
+    flops_per_window = factor * n_params * tokens_per_window
     return (a100_tflops * 1e12 * mfu) / flops_per_window
 
 
@@ -201,6 +209,59 @@ def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
     }
 
 
+def bench_overlap_ab(n: int, iters: int, warmup: int,
+                     M: int = 2048, D: int = 1024, F: int = 4096) -> dict:
+    """Ring collective matmul vs psum TP MLP on an n-device virtual mesh.
+
+    On shared host cores this measures bookkeeping overhead only — the
+    overlap win is an ICI property — but it proves both paths compile,
+    shard, and agree numerically at production shapes."""
+    import os
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    from medtsllm_tpu.parallel.overlap import make_sharded_mlp
+
+    mesh = Mesh(_np.array(jax.devices()[:n]), ("tensor",))
+    rng = _np.random.default_rng(0)
+    x = rng.normal(size=(M, D)).astype(_np.float32)
+    w_up = rng.normal(size=(D, F)).astype(_np.float32) * 0.02
+    w_down = rng.normal(size=(F, D)).astype(_np.float32) * 0.02
+
+    def timed(fn):
+        out = fn(x, w_up, w_down)
+        float(np.asarray(out).sum())
+        for _ in range(warmup):
+            float(np.asarray(fn(x, w_up, w_down)).sum())
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(np.asarray(fn(x, w_up, w_down)).sum())
+            ts.append(time.perf_counter() - t0)
+        return float(np.min(ts)), out
+
+    t_ring, y_ring = timed(make_sharded_mlp(mesh, overlapped=True))
+    t_psum, y_psum = timed(make_sharded_mlp(mesh, overlapped=False))
+    err = float(np.max(np.abs(np.asarray(y_ring) - np.asarray(y_psum))))
+    return {
+        "metric": f"tp{n}_ring_vs_psum_mlp_time_ratio",
+        "value": round(t_psum / t_ring, 3),
+        "unit": "t_psum/t_ring (virtual CPU mesh)",
+        "vs_baseline": None,
+        "detail": {"t_ring_ms": round(t_ring * 1e3, 2),
+                   "t_psum_ms": round(t_psum * 1e3, 2),
+                   "max_abs_diff": err, "M": M, "D": D, "F": F,
+                   "note": "overlap pays on ICI, not on host cores; this "
+                           "validates compile+numerics at shape"},
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="meta-llama/Llama-2-7b-hf",
@@ -220,6 +281,9 @@ def main():
                     help="measure the training step instead of inference")
     ap.add_argument("--quant", type=int, default=8, choices=(0, 4, 8),
                     help="backbone quantization bits (0 disables)")
+    ap.add_argument("--overlap-ab", type=int, default=None, metavar="N",
+                    help="A/B ring collective matmul vs psum TP MLP on an "
+                         "N-device virtual CPU mesh")
     ap.add_argument("--mesh", default=None, metavar="N[:T]",
                     help="DP/TP scaling bench on an N-device virtual CPU "
                          "mesh (optionally T-way tensor parallel), e.g. "
@@ -228,6 +292,13 @@ def main():
                     help="with --quant: dequantize to bf16 instead of "
                          "running the s8xs8->s32 MXU matmul")
     args = ap.parse_args()
+
+    if args.overlap_ab:
+        import warnings
+        warnings.filterwarnings("ignore")
+        result = bench_overlap_ab(args.overlap_ab, args.iters, args.warmup)
+        print(json.dumps(result))
+        return result
 
     if args.mesh:
         import warnings
@@ -315,7 +386,7 @@ def main():
                                                for k in kp))
     prompt_len = int(arrays.get("prompt_ids", np.zeros((1, 0))).shape[1])
     tokens = prompt_len + trainer.model.n_patches
-    baseline = a100_estimate_windows_per_sec(n_llm, tokens)
+    baseline = a100_estimate_windows_per_sec(n_llm, tokens, train=args.train)
 
     mode = "train" if args.train else "inference"
     if args.quant:

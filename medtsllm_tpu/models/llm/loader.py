@@ -43,6 +43,10 @@ PRESETS = {
         style="llama", vocab_size=512, d_model=64, n_layers=2,
         n_heads=4, d_ff=128, max_position=512, bos_token_id=1,
         eos_token_id=2),
+    "llama-tiny-bpe": DecoderConfig(  # tiny body, full BPE vocab: CI
+        style="llama", vocab_size=16384, d_model=64, n_layers=2,
+        n_heads=4, d_ff=128, max_position=512, bos_token_id=1,
+        eos_token_id=2),  # exercises the real fallback-BPE prompt path
     "encdec-tiny": DecoderConfig(  # test-sized encoder-decoder backbone
         style="llama", vocab_size=512, d_model=64, n_layers=2,
         n_heads=4, d_ff=128, max_position=512, bos_token_id=1,

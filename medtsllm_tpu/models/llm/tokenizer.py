@@ -3,11 +3,61 @@
 The reference uses AutoTokenizer with pad=eos fallback
 (models/medtsllm.py:206-217). Resolution order here:
   1. HF tokenizer from a local snapshot (no network),
-  2. a deterministic byte-level tokenizer (ids = bytes + specials), so the
-     prompt pipeline is fully hermetic without downloads.
+  2. a real byte-level BPE trained in-repo (assets/fallback_bpe.json,
+     built by tools/build_fallback_bpe.py) — exact round-trips, no
+     collisions, Llama-2-style digit-per-token counts,
+  3. a word-hash tokenizer, only when the backbone's embedding table is
+     smaller than the BPE vocab (tiny test presets) or the `tokenizers`
+     package is unavailable.
 """
 
 from __future__ import annotations
+
+from pathlib import Path
+
+_BPE_ASSET = Path(__file__).parent / "assets" / "fallback_bpe.json"
+
+
+class BPETokenizer:
+    """Hermetic fallback: a real byte-level BPE (vocab 8192) trained on
+    stdlib-docstring English + this framework's prompt domain with
+    Llama-2-style digit splitting (see tools/build_fallback_bpe.py).
+    Unlike the word-hash fallback it has no collisions and decodes
+    exactly."""
+
+    def __init__(self):
+        from tokenizers import Tokenizer
+        self._tok = Tokenizer.from_file(str(_BPE_ASSET))
+        self.vocab_size = self._tok.get_vocab_size()
+        self.pad_token_id = self._tok.token_to_id("<pad>")
+        self.bos_token_id = self._tok.token_to_id("<s>")
+        self.eos_token_id = self._tok.token_to_id("</s>")
+        self.pad_token = "<pad>"
+        self.bos_token = "<s>"
+        self.eos_token = "</s>"
+
+    def encode(self, text: str) -> list[int]:
+        out = []
+        specials = {"<s>": self.bos_token_id, "</s>": self.eos_token_id,
+                    "<pad>": self.pad_token_id}
+        for tok, tid in specials.items():
+            text = text.replace(tok, f"\x00{tid}\x00")
+        for chunk in text.split("\x00"):
+            if chunk.isdigit() and int(chunk) in specials.values():
+                out.append(int(chunk))
+            elif chunk:
+                out.extend(self._tok.encode(chunk).ids)
+        return out
+
+    def __call__(self, text, **kw):
+        class _Enc:
+            pass
+        enc = _Enc()
+        enc.input_ids = self.encode(text)
+        return enc
+
+    def decode(self, ids) -> str:
+        return self._tok.decode([int(i) for i in ids]).strip()
 
 
 class WordTokenizer:
@@ -87,4 +137,12 @@ def get_tokenizer(llm_id: str, cache_dir: str | None = None,
                 tok.add_special_tokens({"pad_token": "[PAD]"})
         return tok
     except Exception:
-        return WordTokenizer(vocab_size=vocab_size)
+        pass
+    if _BPE_ASSET.exists():
+        try:
+            bpe = BPETokenizer()
+            if bpe.vocab_size <= vocab_size:  # ids must fit the embedding
+                return bpe
+        except Exception:
+            pass
+    return WordTokenizer(vocab_size=vocab_size)

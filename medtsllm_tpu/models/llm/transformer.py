@@ -124,29 +124,26 @@ class QuantDense(nn.Module):
     @staticmethod
     def quantize(w: np.ndarray, bits: int = 8):
         """w [in, out] float -> (int8 storage, f32 scale [out]).
-        bits=8: q [in, out]; bits=4: packed [ceil(in/2), out] with the even
-        row in the high nibble."""
+        bits=8: q [in, out]; bits=4: packed [ceil(in/2), out] split-halves
+        (row p: logical row p in the high nibble, row p + ceil(in/2) in
+        the low — see ops/pallas/quant_matmul.pack4_split)."""
         import numpy as _np
+
+        from ...ops.pallas.quant_matmul import pack4_split
         qmax = 127.0 if bits == 8 else 7.0
         absmax = _np.max(_np.abs(w), axis=0)
         scale = (absmax / qmax).astype(_np.float32)
         scale = _np.where(scale == 0, 1.0, scale)
         q = _np.clip(_np.round(w / scale[None, :]), -qmax, qmax).astype(_np.int8)
         if bits == 4:
-            if q.shape[0] % 2:
-                q = _np.concatenate([q, _np.zeros((1, q.shape[1]), _np.int8)])
-            hi, lo = q[0::2], q[1::2]
-            q = ((hi.astype(_np.int16) << 4) | (lo.astype(_np.int16) & 0xF))                 .astype(_np.int8)
+            q = pack4_split(q)
         return q, scale
 
     @staticmethod
     def unpack4(packed: jnp.ndarray, n_in: int) -> jnp.ndarray:
         """[ceil(n_in/2), out] int8 -> [n_in, out] int8 in [-8, 7]."""
-        hi = jnp.right_shift(packed, 4)  # arithmetic shift keeps sign
-        lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
-        P, out = packed.shape
-        w = jnp.stack([hi, lo], axis=1).reshape(2 * P, out)
-        return w[:n_in]
+        from ...ops.pallas.quant_matmul import unpack4_split
+        return unpack4_split(packed, n_in)
 
     @nn.compact
     def __call__(self, x):
@@ -161,12 +158,8 @@ class QuantDense(nn.Module):
             s = jnp.where(absmax == 0, 1.0, absmax / qmax)
             q = jnp.clip(jnp.round(w / s[None, :]), -qmax, qmax).astype(jnp.int8)
             if bits == 4:
-                if n_in % 2:
-                    q = jnp.concatenate(
-                        [q, jnp.zeros((1, self.features), jnp.int8)])
-                hi, lo = q[0::2], q[1::2]
-                q = (jnp.left_shift(hi.astype(jnp.int16), 4)
-                     | (lo.astype(jnp.int16) & 0xF)).astype(jnp.int8)
+                from ...ops.pallas.quant_matmul import pack4_split
+                q = pack4_split(q)
             return q
 
         rows = n_in if bits == 8 else (n_in + 1) // 2
@@ -174,7 +167,6 @@ class QuantDense(nn.Module):
         scale = self.param("scale",
                            lambda k, s: 0.02 / 127.0 * jnp.ones(s, jnp.float32),
                            (self.features,))
-        w = kq if bits == 8 else self.unpack4(kq, n_in)
         cd = self.dtype or x.dtype
         if self.act_quant:
             # dynamic per-token absmax activation quantization; scale math
@@ -183,12 +175,25 @@ class QuantDense(nn.Module):
             amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
             x_scale = jnp.maximum(amax / 127.0, 1e-10)
             xq = jnp.round(xf / x_scale).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                xq, w, (((xq.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            y = (acc.astype(jnp.float32)
-                 * (x_scale * scale[None, :])).astype(cd)
+            if bits == 4 and n_in % 2 == 0:
+                # w4a8 dispatch: XLA unpack-then-dot by default (measured
+                # fastest at production M — see quant_matmul.use_w4a8_kernel);
+                # MEDTSLLM_W4A8_KERNEL=1 switches to the Pallas in-VMEM
+                # unpack kernel (exact same integer results)
+                from ...ops.pallas.quant_matmul import w4a8_matmul
+                lead = xq.shape[:-1]
+                y = w4a8_matmul(xq.reshape(-1, n_in), kq,
+                                x_scale.reshape(-1, 1), scale,
+                                out_dtype=cd).reshape(*lead, self.features)
+            else:
+                w = kq if bits == 8 else self.unpack4(kq, n_in)
+                acc = jax.lax.dot_general(
+                    xq, w, (((xq.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                y = (acc.astype(jnp.float32)
+                     * (x_scale * scale[None, :])).astype(cd)
         else:
+            w = kq if bits == 8 else self.unpack4(kq, n_in)
             y = (x.astype(cd) @ w.astype(cd)) * scale.astype(cd)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
