@@ -160,3 +160,49 @@ class AttentionLayer(nn.Module):
                                          deterministic=deterministic)
         out = out.reshape(B, L, -1)
         return nn.Dense(self.d_model, name="out_projection")(out), attn
+
+
+class ReformerLayer(nn.Module):
+    """LSH self-attention layer (SelfAttention_Family.py:226-264).
+
+    The reference wraps the optional pip dependency
+    ``reformer_pytorch.LSHSelfAttention``; here the inner LSH attention is
+    the TPU-native implementation in ops/lsh_attention.py. Same drop-in
+    interface as the other attention layers (queries == keys == values for
+    self-attention; `fit_length` zero-pads N to a multiple of
+    2 * bucket_size exactly like the reference's fit_length,
+    SelfAttention_Family.py:248-258).
+    """
+
+    d_model: int
+    n_heads: int
+    causal: bool = False
+    bucket_size: int = 4
+    n_hashes: int = 4
+
+    @nn.compact
+    def __call__(self, queries, keys=None, values=None, attn_mask=None,
+                 tau=None, delta=None, *, deterministic: bool = True):
+        from .lsh_attention import lsh_attention
+
+        B, N, _ = queries.shape
+        H = self.n_heads
+        dh = self.d_model // H
+        chunk = 2 * self.bucket_size
+        pad = (-N) % chunk
+        x = jnp.pad(queries, ((0, 0), (0, pad), (0, 0))) if pad else queries
+
+        # shared QK projection (Reformer ties queries and keys)
+        qk = nn.Dense(dh * H, name="qk_projection")(x)
+        v = nn.Dense(dh * H, name="value_projection")(x)
+        L = N + pad
+        qk = qk.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+
+        # hash rotations are fixed per layer instance (a PRNG constant,
+        # not a trainable param — matches LSH theory and keeps jit static)
+        rng = jax.random.PRNGKey(self.bucket_size * 7919 + self.n_hashes)
+        out = lsh_attention(qk, v, rng, n_hashes=self.n_hashes,
+                            bucket_size=self.bucket_size, causal=self.causal)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, -1)[:, :N]
+        return nn.Dense(self.d_model, name="out_projection")(out), None

@@ -1,0 +1,100 @@
+"""TPU-native LSH attention (ops/lsh_attention.py, ops/attention.py
+ReformerLayer — the reference's ReformerLayer slot,
+SelfAttention_Family.py:226-264)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medtsllm_tpu.ops.attention import ReformerLayer
+from medtsllm_tpu.ops.lsh_attention import lsh_attention
+
+
+def _full_attention_shared_qk(qk, v, causal=False):
+    """Oracle: full softmax attention with Reformer's normalized keys."""
+    dh = qk.shape[-1]
+    k = qk / np.maximum(np.linalg.norm(qk, axis=-1, keepdims=True), 1e-6)
+    s = np.einsum("bhqd,bhkd->bhqk", qk, k) / np.sqrt(dh)
+    if causal:
+        N = qk.shape[2]
+        s = np.where(np.tril(np.ones((N, N), bool)), s, -1e30)
+    p = jax.nn.softmax(jnp.asarray(s), axis=-1)
+    return np.asarray(jnp.einsum("bhqk,bhkd->bhqd", p, jnp.asarray(v)))
+
+
+def test_single_chunk_equals_full_attention():
+    """When N == chunk_len every token attends every other (the sort is a
+    permutation of one chunk), so LSH must equal full attention exactly."""
+    rng = np.random.default_rng(0)
+    B, H, N, dh = 2, 2, 8, 16  # bucket_size 4 -> chunk 8 == N
+    qk = rng.normal(size=(B, H, N, dh)).astype(np.float32)
+    v = rng.normal(size=(B, H, N, dh)).astype(np.float32)
+    out = np.asarray(lsh_attention(jnp.asarray(qk), jnp.asarray(v),
+                                   jax.random.PRNGKey(0), n_hashes=2,
+                                   bucket_size=4))
+    ref = _full_attention_shared_qk(qk, v)
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_causal_no_future_leakage():
+    """Perturbing a future token's VALUE must not change earlier outputs.
+
+    (Bucket assignment depends on qk for every token — in Reformer the
+    chunking itself is whole-sequence, as in the original paper — but the
+    causal mask guarantees no earlier position ever reads a future
+    token's value.)"""
+    rng = np.random.default_rng(1)
+    B, H, N, dh = 1, 2, 32, 8
+    qk = rng.normal(size=(B, H, N, dh)).astype(np.float32)
+    v = rng.normal(size=(B, H, N, dh)).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    out1 = np.asarray(lsh_attention(jnp.asarray(qk), jnp.asarray(v), key,
+                                    causal=True))
+    v2 = v.copy()
+    v2[:, :, -1] -= 10.0
+    out2 = np.asarray(lsh_attention(jnp.asarray(qk), jnp.asarray(v2), key,
+                                    causal=True))
+    np.testing.assert_allclose(out1[:, :, : N - 1], out2[:, :, : N - 1],
+                               rtol=1e-5, atol=1e-5)
+    assert np.abs(out1[:, :, -1] - out2[:, :, -1]).max() > 1e-3
+
+
+def test_approximates_full_attention_on_clustered_inputs():
+    """LSH's contract: when attention is dominated by high-similarity
+    pairs, bucketed attention ≈ full attention."""
+    rng = np.random.default_rng(2)
+    B, H, N, dh = 1, 1, 64, 16
+    # two well-separated clusters -> hashes agree with the clustering
+    centers = rng.normal(size=(2, dh)).astype(np.float32) * 4
+    assign = rng.integers(0, 2, N)
+    qk = centers[assign] + 0.1 * rng.normal(size=(N, dh)).astype(np.float32)
+    qk = qk[None, None]
+    v = rng.normal(size=(B, H, N, dh)).astype(np.float32)
+    out = np.asarray(lsh_attention(jnp.asarray(qk), jnp.asarray(v),
+                                   jax.random.PRNGKey(3), n_hashes=8,
+                                   bucket_size=8))
+    ref = _full_attention_shared_qk(qk, v)
+    # cosine similarity per token ~1 (approximation, not equality)
+    num = (out * ref).sum(-1)
+    den = np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1)
+    assert (num / np.maximum(den, 1e-6)).mean() > 0.9
+
+
+@pytest.mark.parametrize("N", [30, 40])  # not multiples of chunk: padding
+def test_reformer_layer_shapes_and_grads(N):
+    layer = ReformerLayer(d_model=32, n_heads=4, bucket_size=4, n_hashes=2)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, N, 32)),
+                    jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    out, attn = layer.apply(params, x)
+    assert out.shape == (2, N, 32) and attn is None
+    assert np.isfinite(np.asarray(out)).all()
+
+    def loss(p):
+        return layer.apply(p, x)[0].sum()
+
+    g = jax.grad(lambda p: loss(p))(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(t)).all() for t in flat)
+    assert any(float(jnp.abs(t).max()) > 0 for t in flat)
