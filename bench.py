@@ -19,7 +19,7 @@ import numpy as np
 
 
 def build_trainer(model_size: str, batch_size: int, history_len: int,
-                  bf16: bool, remat: bool = False, quant: int = 0,
+                  bf16: bool, remat=False, quant: int = 0,
                   int8_matmul: bool = True):
     from medtsllm_tpu.config import Config
     from medtsllm_tpu.tasks import get_trainer
@@ -279,6 +279,10 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--train", action="store_true",
                     help="measure the training step instead of inference")
+    ap.add_argument("--remat", default="dots", choices=("none", "full", "dots"),
+                    help="--train remat policy: dots saves the projection "
+                         "matmul outputs (backward ~= 1 forward), full "
+                         "recomputes whole blocks, none saves everything")
     ap.add_argument("--quant", type=int, default=8, choices=(0, 4, 8),
                     help="backbone quantization bits (0 disables)")
     ap.add_argument("--overlap-ab", type=int, default=None, metavar="N",
@@ -327,7 +331,10 @@ def main():
     capture = io.StringIO()
     with contextlib.redirect_stdout(capture):
         trainer = build_trainer(args.model, args.batch, args.history_len,
-                                bf16=not args.fp32, remat=args.train,
+                                bf16=not args.fp32,
+                                remat=({'none': False, 'full': True,
+                                        'dots': 'dots'}[args.remat]
+                                       if args.train else False),
                                 quant=args.quant,
                                 int8_matmul=not args.no_int8_matmul)
         batch = next(iter(trainer.val_pipeline))

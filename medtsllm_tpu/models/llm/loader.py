@@ -63,6 +63,16 @@ PRESETS = {
 }
 
 
+def _mamba_presets():
+    from .mamba import MambaConfig
+    return {
+        "mamba-130m": MambaConfig(  # state-spaces/mamba-130m-hf shape
+            vocab_size=50280, d_model=768, n_layers=24),
+        "mamba-tiny": MambaConfig(  # test-sized mamba backbone
+            vocab_size=512, d_model=64, n_layers=2, d_state=8, dt_rank=4),
+    }
+
+
 def find_snapshot(llm_id: str, cache_dir: str | None) -> Path | None:
     """Locate a local HF snapshot directory for `llm_id`."""
     candidates = [Path(llm_id)]  # llm_id may itself be a snapshot dir
@@ -110,6 +120,20 @@ def config_from_hf_json(path: Path) -> DecoderConfig:
             bos_token_id=hf.get("bos_token_id"),
             eos_token_id=hf.get("eos_token_id"),
             pad_token_id=hf.get("pad_token_id"))
+    if model_type == "mamba":
+        from .mamba import MambaConfig
+        rank = hf.get("time_step_rank", "auto")
+        return MambaConfig(
+            vocab_size=hf["vocab_size"], d_model=hf["hidden_size"],
+            n_layers=hf["num_hidden_layers"],
+            d_state=hf.get("state_size", 16),
+            d_conv=hf.get("conv_kernel", 4), expand=hf.get("expand", 2),
+            dt_rank=(None if rank == "auto" else int(rank)),
+            norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+            use_bias=hf.get("use_bias", False),
+            use_conv_bias=hf.get("use_conv_bias", True),
+            bos_token_id=hf.get("bos_token_id"),
+            eos_token_id=hf.get("eos_token_id"))
     if model_type in ("llama", "mistral"):
         return DecoderConfig(
             style="llama", vocab_size=hf["vocab_size"],
@@ -125,27 +149,36 @@ def config_from_hf_json(path: Path) -> DecoderConfig:
     raise ValueError(f"Unsupported HF model_type {model_type!r}")
 
 
-def _truncate(cfg: DecoderConfig, llm_layers: int) -> DecoderConfig:
+def _truncate(cfg, llm_layers: int):
     if llm_layers and 0 < llm_layers < cfg.n_layers:
         import dataclasses
-        cfg = dataclasses.replace(
-            cfg, n_layers=llm_layers,
-            n_dec_layers=(min(llm_layers, cfg.n_dec_layers)
-                          if cfg.n_dec_layers else None))
+        extra = {}
+        if getattr(cfg, "n_dec_layers", None):
+            extra["n_dec_layers"] = min(llm_layers, cfg.n_dec_layers)
+        cfg = dataclasses.replace(cfg, n_layers=llm_layers, **extra)
     return cfg
 
 
 def resolve_config(llm_id: str, cache_dir: str | None = None,
-                   llm_layers: int = -1) -> tuple[DecoderConfig, Path | None]:
+                   llm_layers: int = -1):
+    """Returns (cfg, snapshot_path|None); cfg is a DecoderConfig or a
+    MambaConfig (dispatch on cfg.style == "mamba")."""
     snap = find_snapshot(llm_id, cache_dir)
     if snap is not None:
         cfg = config_from_hf_json(snap)
     elif llm_id in PRESETS:
         cfg = PRESETS[llm_id]
+    elif llm_id.startswith("mamba"):
+        mp = _mamba_presets()
+        if llm_id not in mp:
+            raise ValueError(f"Unknown mamba preset {llm_id!r}; "
+                             f"use one of {sorted(mp)}")
+        cfg = mp[llm_id]
     else:
         raise ValueError(
             f"No local snapshot for {llm_id!r} and no built-in preset; "
-            f"set paths.llm_path or use one of {sorted(PRESETS)}")
+            f"set paths.llm_path or use one of "
+            f"{sorted(PRESETS) + sorted(_mamba_presets())}")
     return _truncate(cfg, llm_layers), snap
 
 
@@ -179,6 +212,26 @@ def _hf_to_tree(cfg: DecoderConfig, tensors: dict,
         else:
             put(path, w)
 
+    if cfg.style == "mamba":
+        put("wte", tensors["embeddings.weight"])
+        put("norm_f/weight", tensors["norm_f.weight"])
+        for i in range(cfg.n_layers):
+            p = f"layers.{i}.mixer."
+            put(f"h_{i}/norm/weight", tensors[f"layers.{i}.norm.weight"])
+            put(f"h_{i}/A_log", tensors[p + "A_log"])
+            put(f"h_{i}/D", tensors[p + "D"])
+            # torch conv1d depthwise weight [E, 1, K] -> lax LIO [K, 1, E]
+            put(f"h_{i}/conv_kernel",
+                tensors[p + "conv1d.weight"].transpose(2, 1, 0))
+            if p + "conv1d.bias" in tensors:
+                put(f"h_{i}/conv_bias", tensors[p + "conv1d.bias"])
+            for n in ("in_proj", "x_proj", "out_proj"):
+                put_kernel(f"h_{i}/{n}/kernel", tensors[p + f"{n}.weight"].T)
+                if p + f"{n}.bias" in tensors:
+                    put(f"h_{i}/{n}/bias", tensors[p + f"{n}.bias"])
+            put(f"h_{i}/dt_proj/kernel", tensors[p + "dt_proj.weight"].T)
+            put(f"h_{i}/dt_proj/bias", tensors[p + "dt_proj.bias"])
+        return tree
     if cfg.style == "t5":
         put("wte", tensors["shared.weight"])
         put("enc_norm/weight", tensors["encoder.final_layer_norm.weight"])
@@ -263,7 +316,7 @@ def _load_safetensors(snap: Path) -> dict:
         with safe_open(str(f), framework="numpy") as sf:
             for name in sf.keys():
                 short = name
-                for prefix in ("model.", "transformer."):
+                for prefix in ("model.", "transformer.", "backbone."):
                     if short.startswith(prefix):
                         short = short[len(prefix):]
                 tensors[short] = sf.get_tensor(name)
@@ -282,7 +335,13 @@ def load_backbone(llm_id: str, cache_dir: str | None = None,
     cfg, snap = resolve_config(llm_id, cache_dir, llm_layers)
     import jax.numpy as _jnp
     _dt = _jnp.dtype(dtype)
-    module_cls = TransformerEncDec if cfg.is_encoder_decoder else TransformerDecoder
+    if cfg.style == "mamba":
+        from .mamba import MambaBackbone
+        module_cls = MambaBackbone
+    elif cfg.is_encoder_decoder:
+        module_cls = TransformerEncDec
+    else:
+        module_cls = TransformerDecoder
     module = module_cls(
         cfg, lora=lora, remat=remat, quantize=quantize, act_quant=act_quant,
         dtype=(None if _dt == _jnp.float32 else _dt), param_dtype=_dt)
@@ -312,5 +371,9 @@ def load_backbone(llm_id: str, cache_dir: str | None = None,
         warnings.warn(
             f"LLM {llm_id!r}: no local weights found — using random init "
             f"(shapes/throughput faithful; task quality not meaningful)")
-        params = jax.tree.map(lambda x: x.astype(dtype), params)
+        # cast float params only: int8 kernel_q / packed int4 stay integer
+        params = jax.tree.map(
+            lambda x: (x.astype(dtype)
+                       if jnp.issubdtype(x.dtype, jnp.floating) else x),
+            params)
     return module, params, cfg

@@ -381,6 +381,30 @@ class Block(nn.Module):
         return x
 
 
+def remat_class(cls: type, remat) -> type:
+    """`cls` wrapped per the remat policy.
+
+    False: save everything. True/"full": save nothing, recompute the whole
+    block in backward (max memory saving, +1 forward of FLOPs — what
+    torch.utils.checkpoint does in the reference's ecosystem). "dots":
+    save non-batched matmul outputs (the qkv/o/gate/up/down projections —
+    the MXU work) and recompute only elementwise ops + attention scores;
+    for a frozen backbone this makes backward cost ~= one forward instead
+    of two, at [B, L, ~4.5 d_model] extra residency per layer.
+    """
+    if not remat:
+        return cls
+    if remat == "dots":
+        return nn.remat(
+            cls,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return nn.remat(cls)
+
+
+def _remat_block(remat) -> type:
+    return remat_class(Block, remat)
+
+
 class TransformerDecoder(nn.Module):
     """Returns the last hidden state, like HF `AutoModel` without an LM head
     (the reference only consumes `.last_hidden_state`, medtsllm.py:350).
@@ -392,7 +416,7 @@ class TransformerDecoder(nn.Module):
 
     cfg: DecoderConfig
     lora: LoraSpec | None = None
-    remat: bool = False
+    remat: bool | str = False  # False | True/"full" | "dots"
     dtype: object = None  # compute dtype (None: infer by promotion)
     param_dtype: object = jnp.float32  # storage dtype
     quantize: int = 0  # projection quantization: 0 | 8 | 4 bits
@@ -413,7 +437,7 @@ class TransformerDecoder(nn.Module):
         else:
             self.norm = RMSNorm(eps=cfg.norm_eps, name="norm",
                                 param_dtype=self.param_dtype)
-        block_cls = nn.remat(Block) if self.remat else Block
+        block_cls = _remat_block(self.remat)
         self.blocks = [block_cls(cfg, self.lora, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  quantize=self.quantize,
@@ -488,7 +512,7 @@ class TransformerEncDec(nn.Module):
 
     cfg: DecoderConfig
     lora: LoraSpec | None = None
-    remat: bool = False
+    remat: bool | str = False  # False | True/"full" | "dots"
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0
@@ -500,12 +524,13 @@ class TransformerEncDec(nn.Module):
                               (cfg.vocab_size, cfg.d_model), self.param_dtype)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   quantize=self.quantize, act_quant=self.act_quant)
-        self.enc_blocks = [Block(cfg, self.lora, causal=False,
-                                 name=f"enc_h_{i}", **kw)
+        block_cls = _remat_block(self.remat)
+        self.enc_blocks = [block_cls(cfg, self.lora, causal=False,
+                                     name=f"enc_h_{i}", **kw)
                            for i in range(cfg.n_layers)]
         n_dec = cfg.n_dec_layers or cfg.n_layers
-        self.dec_blocks = [Block(cfg, self.lora, causal=True, cross=True,
-                                 name=f"dec_h_{i}", **kw)
+        self.dec_blocks = [block_cls(cfg, self.lora, causal=True, cross=True,
+                                     name=f"dec_h_{i}", **kw)
                            for i in range(n_dec)]
         if cfg.style == "gpt2":
             self.enc_norm = nn.LayerNorm(epsilon=cfg.norm_eps, name="enc_ln_f")

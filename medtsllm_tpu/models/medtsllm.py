@@ -96,7 +96,7 @@ class MedTsLLM(nn.Module):
     cache_dir: str | None = None
     lora: LoraSpec | None = None
     seg_mode: str | None = None
-    remat: bool = False
+    remat: bool | str = False  # False | True/"full" | "dots"
     llm_dtype: str = "float32"  # backbone storage+compute dtype
     quantize: int = 0  # backbone quantization: 0 | 8 | 4 bits
     act_quant: bool = True  # with quantize: int8 MXU matmul (bnb LLM.int8())
@@ -179,7 +179,7 @@ class MedTsLLM(nn.Module):
             lora=lora,
             seg_mode=(config.tasks.segmentation.mode
                       if task == "segmentation" else None),
-            remat=bool(mc.llm.get("remat", False)),
+            remat=mc.llm.get("remat", False),
             quantize=quantize,
             act_quant=bool(mc.llm.get("int8_matmul", True)),
             # the reference loads the LLM at the configured dtype
@@ -230,7 +230,10 @@ class MedTsLLM(nn.Module):
     def setup(self):
         lp = jnp.dtype(self.llm_dtype)
         llm_cls = TransformerDecoder
-        if getattr(self.llm_cfg, "is_encoder_decoder", False):
+        if getattr(self.llm_cfg, "style", "") == "mamba":
+            from .llm.mamba import MambaBackbone
+            llm_cls = MambaBackbone
+        elif getattr(self.llm_cfg, "is_encoder_decoder", False):
             from .llm.transformer import TransformerEncDec
             llm_cls = TransformerEncDec
         self.llm = llm_cls(

@@ -73,6 +73,31 @@ def test_llama_parity(tmp_path):
     np.testing.assert_allclose(got, expected, atol=2e-4)
 
 
+def test_mamba_parity(tmp_path):
+    """Selective-SSM backbone vs HF MambaModel (its sequential slow path;
+    ours is the chunked associative scan — same recurrence): validates the
+    in/x/dt projection layout, depthwise causal conv, A_log/D, and gating."""
+    from transformers import MambaConfig, MambaModel
+    hf_cfg = MambaConfig(vocab_size=96, hidden_size=32, num_hidden_layers=2,
+                         state_size=8, conv_kernel=4, expand=2,
+                         time_step_rank=4, use_cache=False)
+    torch.manual_seed(0)
+    hf = MambaModel(hf_cfg).eval()
+    snap = _save_snapshot(tmp_path, hf, hf_cfg)
+
+    from medtsllm_tpu.models.llm.loader import load_backbone
+    module, params, cfg = load_backbone(str(snap))
+    assert cfg.style == "mamba" and cfg.d_state == 8 and cfg.rank == 4
+
+    ids = np.array([[1, 5, 9, 20, 33, 2, 7, 11]], dtype=np.int32)
+    with torch.no_grad():
+        expected = hf(input_ids=torch.tensor(ids, dtype=torch.long)
+                      ).last_hidden_state.numpy()
+    got = np.asarray(module.apply({"params": params},
+                                  input_ids=jnp.asarray(ids)))
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
 def test_t5_parity(tmp_path):
     """T5 enc-dec: inputs_embeds feed the encoder, decoder_inputs_embeds
     the decoder (the reference's is_encoder_decoder call,
