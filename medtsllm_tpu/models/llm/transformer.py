@@ -15,6 +15,7 @@ keys on.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -98,6 +99,60 @@ def rotary_embedding(x, positions, theta: float):
     return out.astype(x.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _act_quant_matmul(xf, kq, scale, bits):
+    """Dynamic per-token int8 activation quantization + integer matmul.
+
+    xf [..., K] f32, kq int8 weights ([K, N] or packed [ceil(K/2), N]),
+    scale [N] f32 per-channel -> [..., N] f32.
+
+    Forward: absmax-quantize x to int8, s8 x s8 -> s32 on the MXU (2x the
+    bf16 FLOP rate on v5e), rescale. Backward: straight-through — the
+    quantization is treated as identity and the gradient flows through
+    the DEQUANTIZED weight (dx = g @ (kq * scale)^T), matching
+    bitsandbytes' Linear8bitLt backward (the reference's finetune mode
+    trains fusion layers BELOW the frozen int8 backbone, so dL/dx must
+    survive the backbone; round() alone has zero gradient).
+    """
+    n_in = xf.shape[-1]
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(amax / 127.0, 1e-10)
+    xq = jnp.round(xf / x_scale).astype(jnp.int8)
+    if bits == 4 and n_in % 2 == 0:
+        # w4a8 dispatch: XLA unpack-then-dot by default (measured fastest
+        # at production M — quant_matmul.use_w4a8_kernel);
+        # MEDTSLLM_W4A8_KERNEL=1 opts into the Pallas in-VMEM unpack
+        # kernel (exact same integer results)
+        from ...ops.pallas.quant_matmul import w4a8_matmul
+        lead = xq.shape[:-1]
+        return w4a8_matmul(xq.reshape(-1, n_in), kq,
+                           x_scale.reshape(-1, 1), scale,
+                           out_dtype=jnp.float32).reshape(*lead, -1)
+    w = kq if bits == 8 else QuantDense.unpack4(kq, n_in)
+    acc = jax.lax.dot_general(xq, w, (((xq.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (x_scale * scale[None, :])
+
+
+def _act_quant_matmul_fwd(xf, kq, scale, bits):
+    return _act_quant_matmul(xf, kq, scale, bits), (xf.shape[-1], kq, scale)
+
+
+def _act_quant_matmul_bwd(bits, res, g):
+    import numpy as _np
+    n_in, kq, scale = res
+    w = kq if bits == 8 else QuantDense.unpack4(kq, n_in)
+    wf = w.astype(g.dtype) * scale[None, :].astype(g.dtype)
+    dx = jax.lax.dot_general(g, wf, (((g.ndim - 1,), (1,)), ((), ())))
+    # int8 weights have no tangent space (float0); scale is frozen with
+    # the backbone — zero cotangent
+    d_kq = _np.zeros(kq.shape, jax.dtypes.float0)
+    return dx, d_kq, jnp.zeros_like(scale)
+
+
+_act_quant_matmul.defvjp(_act_quant_matmul_fwd, _act_quant_matmul_bwd)
+
+
 class QuantDense(nn.Module):
     """Int8/int4 quantized Dense.
 
@@ -169,29 +224,10 @@ class QuantDense(nn.Module):
                            (self.features,))
         cd = self.dtype or x.dtype
         if self.act_quant:
-            # dynamic per-token absmax activation quantization; scale math
-            # in f32 regardless of compute dtype
-            xf = x.astype(jnp.float32)
-            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-            x_scale = jnp.maximum(amax / 127.0, 1e-10)
-            xq = jnp.round(xf / x_scale).astype(jnp.int8)
-            if bits == 4 and n_in % 2 == 0:
-                # w4a8 dispatch: XLA unpack-then-dot by default (measured
-                # fastest at production M — see quant_matmul.use_w4a8_kernel);
-                # MEDTSLLM_W4A8_KERNEL=1 switches to the Pallas in-VMEM
-                # unpack kernel (exact same integer results)
-                from ...ops.pallas.quant_matmul import w4a8_matmul
-                lead = xq.shape[:-1]
-                y = w4a8_matmul(xq.reshape(-1, n_in), kq,
-                                x_scale.reshape(-1, 1), scale,
-                                out_dtype=cd).reshape(*lead, self.features)
-            else:
-                w = kq if bits == 8 else self.unpack4(kq, n_in)
-                acc = jax.lax.dot_general(
-                    xq, w, (((xq.ndim - 1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                y = (acc.astype(jnp.float32)
-                     * (x_scale * scale[None, :])).astype(cd)
+            # scale math in f32 regardless of compute dtype; backward is
+            # the STE through the dequantized weight (_act_quant_matmul)
+            y = _act_quant_matmul(x.astype(jnp.float32), kq, scale,
+                                  bits).astype(cd)
         else:
             w = kq if bits == 8 else self.unpack4(kq, n_in)
             y = (x.astype(cd) @ w.astype(cd)) * scale.astype(cd)

@@ -18,12 +18,21 @@ import jax
 import jax.numpy as jnp
 
 _DEF_BLOCK_Q = 256
-_DEF_BLOCK_K = 256
+_DEF_BLOCK_K = 512
 _NEG_INF = -1e30
-# XLA's own attention fusion beats this kernel below ~2k tokens (measured
-# on v5e: 545-token flagship runs 7% faster on the XLA path); the kernel's
-# win is avoiding the O(L*S) score tensor at long sequence lengths.
-_MIN_SEQ_FOR_KERNEL = int(os.environ.get("MEDTSLLM_FLASH_MIN_SEQ", 2048))
+# Measured on v5e (tools/ab_flash.py, bf16, causal, best tuned blocks;
+# xla = the _attention_reference einsum path XLA fuses itself):
+#   L     d64-GQA   d128-MHA     winner
+#   256   0.73x     0.70x        XLA
+#   512   1.12x     1.57x        kernel (block_k=512)
+#   544   0.78x     1.01x        XLA (partial k-tile waste at 544%256!=0)
+#   1024  1.32x     1.87x        kernel
+#   2048  1.58x     2.04x        kernel
+#   4096  3.03x     2.60x        kernel
+# -> kernel from 512 tokens when the (padded) kv length tiles cleanly
+# into 256s; XLA otherwise. The 545-token flagship windows land on XLA
+# by measurement, not by assumption.
+_MIN_SEQ_FOR_KERNEL = int(os.environ.get("MEDTSLLM_FLASH_MIN_SEQ", 512))
 
 
 def _use_pallas() -> bool:
@@ -196,20 +205,15 @@ def flash_attention(q, k, v, causal: bool = True, sm_scale: float | None = None,
     if bias is not None:
         return _attention_reference(q, k, v, causal, sm_scale, bias)
 
-    # causal self-attention (L == S) with unaligned length: pad q/k/v at the
-    # END by the same amount — real query i still attends exactly keys <= i
-    # (padded keys sit above every real diagonal), padded rows are sliced off
-    if max(L, S) < _MIN_SEQ_FOR_KERNEL:
+    # kernel only where it measured faster than XLA's fused attention
+    # (table above): >=512 tokens AND the kv length tiles cleanly into
+    # 256s — partial k-tiles (e.g. the 545-token flagship window) waste
+    # more MXU work than the kernel saves
+    if max(L, S) < _MIN_SEQ_FOR_KERNEL or S % 256 != 0:
+        # (padding an unaligned L==S up to the next 256 doesn't pay either:
+        # at 545->768 the +93% causal-attention FLOPs exceed the kernel's
+        # measured ~1.3x advantage at this size)
         return _attention_reference(q, k, v, causal, sm_scale)
-
-    pad = (-L) % 8
-    if (_use_pallas() and causal and L == S and D % 64 == 0 and pad
-            and L + pad >= 128):
-        widths = ((0, 0), (0, 0), (0, pad), (0, 0))
-        out = _flash_attention_pallas(
-            jnp.pad(q, widths), jnp.pad(k, widths), jnp.pad(v, widths),
-            causal, sm_scale, block_q, block_k)
-        return out[:, :, :L]
 
     tile_ok = (D % 64 == 0) and (L % 8 == 0) and (S % 8 == 0)
     if _use_pallas() and tile_ok and L >= 128 and S >= 128:

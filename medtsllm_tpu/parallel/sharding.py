@@ -30,6 +30,18 @@ LLM_PARTITION_RULES = (
      P("tensor")),
     # mlp fan-in (wo is the t5 FFN output)
     (r".*mlp/(c_proj|down_proj|wo)/kernel(_q)?$", P("tensor", None)),
+    # mamba mixer (models/llm/mamba.py): channel-parallel over d_inner E —
+    # the selective scan is elementwise in E, so it shards for free.
+    # in_proj fan-out [D, 2E] column-sharded; x_proj/out_proj fan-in
+    # [E, .] row-sharded (XLA psums their outputs); per-channel conv,
+    # dt fan-out, A_log/D shard their E axis
+    (r".*(in_proj|dt_proj)/kernel(_q)?$", P(None, "tensor")),
+    (r".*(in_proj|dt_proj)/(bias|scale)$", P("tensor")),
+    (r".*(x_proj|out_proj)/kernel(_q)?$", P("tensor", None)),
+    (r".*/conv_kernel$", P(None, None, "tensor")),
+    (r".*/conv_bias$", P("tensor")),
+    (r".*/A_log$", P("tensor", None)),
+    (r".*/D$", P("tensor")),
     # token table: shard the embedding rows (vocab)
     (r".*/wte$|^wte$", P("tensor", None)),
     # lora adapters: a column-sharded on rank? keep replicated (tiny)

@@ -142,3 +142,26 @@ def test_t5_encdec_sharded(tmp_path):
     assert not k.sharding.is_fully_replicated
     trainer.train()
     assert np.isfinite(trainer.val()["val/mse"])
+
+
+def test_mamba_sharded_matches_single_device(tmp_path):
+    """Mamba channel-parallel TP (the selective scan is elementwise over
+    d_inner, so E shards across the tensor axis) must match the unsharded
+    run numerically."""
+    cfg1 = _cfg(tmp_path / "a", tensor=1)
+    cfg1.models.medtsllm.llm["llm"] = "mamba-tiny"
+    cfg1.setup["data_parallel"] = 1
+    t1 = get_trainer("msingle", cfg1)
+
+    cfg2 = _cfg(tmp_path / "b", tensor=2)
+    cfg2.models.medtsllm.llm["llm"] = "mamba-tiny"
+    t2 = get_trainer("mmulti", cfg2)
+    k = t2.params["llm"]["h_0"]["in_proj"]["kernel"]
+    assert not k.sharding.is_fully_replicated
+    assert not t2.params["llm"]["h_0"]["A_log"].sharding.is_fully_replicated
+
+    t1.train()
+    t2.train()
+    p1 = jax.device_get(t1.params["mapping_layer"]["kernel"])
+    p2 = jax.device_get(t2.params["mapping_layer"]["kernel"])
+    np.testing.assert_allclose(p1, p2, atol=2e-4)

@@ -60,6 +60,37 @@ def test_remat_backbone(tmp_path):
     t2.train()  # backward through remat
 
 
+def test_remat_dots_policy_gradient_parity(tmp_path):
+    """The "dots" policy (save projection-matmul outputs, recompute
+    elementwise) must produce the SAME gradients as full-block remat —
+    remat changes scheduling, never math."""
+    import jax
+
+    t_full = get_trainer("rf", _medtsllm_cfg(tmp_path / "a", remat=True))
+    t_dots = get_trainer("rd", _medtsllm_cfg(tmp_path / "b", remat="dots"))
+    batch = next(iter(t_full.train_pipeline))
+    a1 = t_full.model_inputs(batch)
+    a2 = t_dots.model_inputs(batch)
+
+    def grads(t, arrays):
+        def loss_fn(p):
+            out = t.model.apply({"params": p}, arrays, training=False)
+            return (out.astype(np.float32) ** 2).mean()
+        return jax.grad(loss_fn)(t.params)
+
+    g1 = grads(t_full, a1)
+    g2 = grads(t_dots, a2)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2))
+    checked = 0
+    for path, v1 in flat1:
+        v2 = flat2[path]
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=1e-4, atol=1e-5)
+        checked += 1
+    assert checked > 10
+
+
 def test_fedformer_wavelets_e2e(tmp_path):
     cfg = make_config(task="reconstruction", model="fedformer",
                       hist=32, pred=32, step=16)

@@ -10,6 +10,26 @@ from medtsllm_tpu.tasks import get_trainer
 from conftest import make_config
 
 
+@pytest.mark.parametrize("bits", [8, 4])
+def test_act_quant_input_gradient_is_straight_through(bits):
+    """Training BELOW a frozen int8/int4 backbone (the reference's
+    finetune mode, medtsllm.py:162-173 + frozen params) needs dL/dx to
+    survive the integer matmul: round() alone has zero gradient. The
+    custom VJP must route backward through the DEQUANTIZED weight
+    (bitsandbytes Linear8bitLt semantics)."""
+    from medtsllm_tpu.models.llm.transformer import QuantDense
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 32)), jnp.float32)
+    layer = QuantDense(16, bits=bits, act_quant=True)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    g = jax.grad(lambda xx: layer.apply(params, xx).sum())(x)
+    kq, scale = params["params"]["kernel_q"], params["params"]["scale"]
+    w = np.asarray(kq if bits == 8 else QuantDense.unpack4(kq, 32),
+                   np.float32)
+    expected = np.ones((4, 16), np.float32) @ (w * np.asarray(scale)).T
+    np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-5, atol=1e-6)
+
+
 def test_quantdense_roundtrip_accuracy():
     from medtsllm_tpu.models.llm.transformer import QuantDense
     rng = np.random.default_rng(0)
