@@ -26,9 +26,10 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops.pallas.selective_scan import selective_scan, selective_ssm
 from .transformer import QuantDense, RMSNorm, remat_class
 
-_CHUNK = 64  # associative-scan chunk length (sequence padded up to this)
+__all__ = ["MambaConfig", "MambaBlock", "MambaBackbone", "selective_scan"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,45 +56,6 @@ class MambaConfig:
     @property
     def rank(self) -> int:
         return self.dt_rank or math.ceil(self.d_model / 16)
-
-
-def selective_scan(dA: jnp.ndarray, dBx: jnp.ndarray,
-                   chunk: int = _CHUNK) -> jnp.ndarray:
-    """h_t = dA_t * h_{t-1} + dBx_t  over axis 1; h_0 = 0.
-
-    dA, dBx: [B, L, E, N] -> h: [B, L, E, N], computed in f32.
-    Chunked: an outer `lax.scan` carries h across L/chunk chunks (bounds
-    peak memory at [B, chunk, E, N] per scan stage), an inner
-    `lax.associative_scan` parallelizes within the chunk (log2(chunk)
-    VPU sweeps — no per-token sequential dependence).
-    """
-    B, L, E, N = dA.shape
-    dt = jnp.float32
-    pad = (-L) % chunk
-    if pad:
-        # identity elements: a=1, b=0 leave the carry untouched
-        dA = jnp.concatenate(
-            [dA, jnp.ones((B, pad, E, N), dA.dtype)], axis=1)
-        dBx = jnp.concatenate(
-            [dBx, jnp.zeros((B, pad, E, N), dBx.dtype)], axis=1)
-    C = (L + pad) // chunk
-    dA = dA.astype(dt).reshape(B, C, chunk, E, N).transpose(1, 0, 2, 3, 4)
-    dBx = dBx.astype(dt).reshape(B, C, chunk, E, N).transpose(1, 0, 2, 3, 4)
-
-    def combine(left, right):
-        a1, b1 = left
-        a2, b2 = right
-        return a1 * a2, a2 * b1 + b2
-
-    def step(h0, ab):
-        a, b = ab  # [B, chunk, E, N]
-        a_cum, b_cum = jax.lax.associative_scan(combine, (a, b), axis=1)
-        h = a_cum * h0[:, None] + b_cum
-        return h[:, -1], h
-
-    _, hs = jax.lax.scan(step, jnp.zeros((B, E, N), dt), (dA, dBx))
-    hs = hs.transpose(1, 0, 2, 3, 4).reshape(B, C * chunk, E, N)
-    return hs[:, :L]
 
 
 class MambaBlock(nn.Module):
@@ -152,15 +114,14 @@ class MambaBlock(nn.Module):
                 jnp.arange(1, N + 1, dtype=jnp.float32), s)),
             (E, N))
         A = -jnp.exp(a_log.astype(jnp.float32))  # [E, N]
-        dA = jnp.exp(dt[..., None] * A[None, None])          # [B,L,E,N]
-        dBx = (dt * xs.astype(jnp.float32))[..., None] \
-            * B_ssm.astype(jnp.float32)[:, :, None, :]       # [B,L,E,N]
-        h = selective_scan(dA, dBx)                          # [B,L,E,N]
-        y = jnp.einsum("blen,bln->ble", h,
-                       C_ssm.astype(jnp.float32))            # [B,L,E]
-
         d_skip = self.param("D", nn.initializers.ones, (E,))
-        y = y + d_skip.astype(jnp.float32) * xs.astype(jnp.float32)
+        # fused discretize+scan+contract: the [B, L, N, E] intermediates
+        # never reach HBM (ops/pallas/selective_scan.py — the mamba-ssm
+        # CUDA kernel's TPU-native counterpart)
+        y = selective_ssm(dt, A.T, B_ssm.astype(jnp.float32),
+                          C_ssm.astype(jnp.float32),
+                          xs.astype(jnp.float32),
+                          d_skip.astype(jnp.float32))        # [B,L,E]
         y = (y.astype(xz.dtype)) * nn.silu(z)
         return residual + dense(cfg.d_model, cfg.use_bias, "out_proj")(y)
 

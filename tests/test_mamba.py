@@ -28,6 +28,26 @@ def test_selective_scan_matches_naive_recurrence():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_fused_ssm_kernel_matches_reference_interpret():
+    """The Pallas fused selective-scan kernel (interpret mode off-TPU)
+    must match the XLA reference graph, including chunk padding
+    (L=37 not a multiple of 16)."""
+    from medtsllm_tpu.ops.pallas.selective_scan import (_ssm_pallas,
+                                                        _ssm_reference)
+    rng = np.random.default_rng(3)
+    B, L, E, N = 2, 37, 128, 4
+    dt = jnp.asarray(np.abs(rng.normal(size=(B, L, E))) * 0.1, jnp.float32)
+    A_T = -jnp.asarray(np.abs(rng.normal(size=(N, E))), jnp.float32)
+    Bs = jnp.asarray(rng.normal(size=(B, L, N)), jnp.float32)
+    Cs = jnp.asarray(rng.normal(size=(B, L, N)), jnp.float32)
+    xs = jnp.asarray(rng.normal(size=(B, L, E)), jnp.float32)
+    D = jnp.asarray(rng.normal(size=(E,)), jnp.float32)
+    ref = np.asarray(_ssm_reference(dt, A_T, Bs, Cs, xs, D))
+    got = np.asarray(_ssm_pallas(dt, A_T, Bs, Cs, xs, D, chunk=16,
+                                 block_e=128, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_backbone_causality_and_grads():
     """The SSM recurrence is strictly causal: perturbing a future input
     must not change earlier outputs. Grads finite + nonzero."""
