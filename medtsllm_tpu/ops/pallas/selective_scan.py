@@ -162,18 +162,37 @@ def _ssm_pallas(dt, A_T, Bs, Cs, xs, D, chunk: int, block_e: int,
     return out[:, :L]
 
 
+def _pick_tiles(B: int, E: int, N: int):
+    """Largest (chunk, block_e) whose VMEM residency fits the ~16MB
+    scoped budget; None when even the smallest doesn't (fall back to
+    XLA). Dominant term: the in-kernel dA/dBx chunk tensors
+    [B, chunk, N, block_e] f32 (x2), plus double-buffered io blocks."""
+    budget = 14 * 2 ** 20
+    for chunk in (_CHUNK, 8, 4):
+        for be in (_BLOCK_E, 128):
+            if E % be:
+                continue
+            need = (2 * B * chunk * N * be * 4      # dA_c, dBx_c
+                    + 6 * B * chunk * be * 4        # dt/x/y blocks x2 buf
+                    + B * N * be * 4)               # h scratch
+            if need <= budget:
+                return chunk, be
+    return None
+
+
 @jax.custom_vjp
 def selective_ssm(dt, A_T, Bs, Cs, xs, D):
     """Fused y = SSM(dt, A, B, C, x) + D*x.
 
     dt, xs [B, L, E] f32; A_T [N, E] f32; Bs, Cs [B, L, N] f32; D [E].
-    Pallas kernel on TPU when E tiles (block 256/128), XLA otherwise.
+    Pallas kernel on TPU when the tiles fit VMEM, XLA otherwise.
     """
-    E = dt.shape[-1]
+    B, _, E = dt.shape
+    N = A_T.shape[0]
     if _use_pallas():
-        for be in (_BLOCK_E, 128):
-            if E % be == 0:
-                return _ssm_pallas(dt, A_T, Bs, Cs, xs, D, _CHUNK, be)
+        tiles = _pick_tiles(B, E, N)
+        if tiles is not None:
+            return _ssm_pallas(dt, A_T, Bs, Cs, xs, D, *tiles)
     return _ssm_reference(dt, A_T, Bs, Cs, xs, D)
 
 
