@@ -124,6 +124,106 @@ def _ssm_kernel(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref, o_ref, h_scr, *,
     h_scr[:] = h
 
 
+def _ssm_kernel_bounds(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref,
+                       o_ref, hb_ref, h_scr, *, chunk: int):
+    """Forward kernel that additionally records the state at each chunk
+    START (hb) — the residual the backward kernel resumes from."""
+    from jax.experimental import pallas as pl
+
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _init():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    hb_ref[:, 0] = h_scr[:]
+    at = at_ref[:]
+    d = d_ref[:]
+    dt_c = dt_ref[:]
+    x_c = x_ref[:]
+    dA_c = jnp.exp(dt_c[:, :, None, :] * at[None, None])
+    dBx_c = (dt_c * x_c)[:, :, None, :] * b_ref[:][..., None]
+    c_c = c_ref[:]
+    h = h_scr[:]
+
+    def tok(arr, t):
+        return jax.lax.squeeze(
+            jax.lax.slice_in_dim(arr, t, t + 1, axis=1), (1,))
+
+    for t in range(chunk):
+        h = tok(dA_c, t) * h + tok(dBx_c, t)
+        y = jnp.sum(h * tok(c_c, t)[..., None], axis=1)
+        o_ref[:, t] = y + d * tok(x_c, t)
+    h_scr[:] = h
+
+
+def _ssm_bwd_kernel(dt_ref, x_ref, b_ref, c_ref, at_ref, g_ref, hb_ref,
+                    ddt_ref, dx_ref, db_ref, dc_ref, dat_ref,
+                    hhat_scr, *, chunk: int):
+    """Reverse-time adjoint, chunks processed right-to-left.
+
+    hhat carry = dA_{t0} * hhat_{t0} of the chunk to the right (zero at
+    the sequence end). Per chunk: recompute the forward states from the
+    saved chunk-start boundary, then run the reverse recurrence
+    hhat_t = C_t g_t + dA_{t+1} hhat_{t+1} and accumulate
+      ddt = sum_n hhat*(h_prev*A*dA + B*x),  dx_ssm = dt * sum_n hhat*B,
+      dB_n = sum_e hhat*dt*x,  dC_n = sum_e h*g,
+      dA_T += sum_{b,t} hhat*h_prev*dt*dA   (per e-block slice).
+    """
+    from jax.experimental import pallas as pl
+
+    ci = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(ci == 0)
+    def _init():
+        hhat_scr[:] = jnp.zeros_like(hhat_scr)
+        dat_ref[:] = jnp.zeros_like(dat_ref)
+
+    at = at_ref[:]              # [N, bE]
+    dt_c = dt_ref[:]            # [B, chunk, bE]
+    x_c = x_ref[:]
+    g_c = g_ref[:]              # [B, chunk, bE]
+    b_c = b_ref[:]              # [B, chunk, N]
+    c_c = c_ref[:]
+    dA_c = jnp.exp(dt_c[:, :, None, :] * at[None, None])   # [B,c,N,bE]
+
+    def tok(arr, t):
+        return jax.lax.squeeze(
+            jax.lax.slice_in_dim(arr, t, t + 1, axis=1), (1,))
+
+    # forward recompute from the chunk-start boundary
+    h = hb_ref[:, 0]            # [B, N, bE]
+    hs = [h]                    # hs[t] = h_{t-1} (state BEFORE token t)
+    for t in range(chunk):
+        dBx = (tok(dt_c, t) * tok(x_c, t))[:, None, :] \
+            * tok(b_c, t)[..., None]
+        h = tok(dA_c, t) * h + dBx
+        hs.append(h)
+
+    hhat_next = hhat_scr[:]     # dA_{t+1} * hhat_{t+1} from the right
+    dat_acc = dat_ref[:]
+    for t in range(chunk - 1, -1, -1):
+        hhat = tok(c_c, t)[..., None] * tok(g_c, t)[:, None, :] + hhat_next
+        h_prev = hs[t]
+        dA_t = tok(dA_c, t)
+        hp_dA = hhat * h_prev * dA_t                       # [B, N, bE]
+        ddt_ref[:, t] = (jnp.sum(hp_dA * at[None], axis=1)
+                         + jnp.sum(hhat * tok(b_c, t)[..., None], axis=1)
+                         * tok(x_c, t))
+        dx_ref[:, t] = (jnp.sum(hhat * tok(b_c, t)[..., None], axis=1)
+                        * tok(dt_c, t))
+        db_ref[0, :, t] = jnp.sum(
+            hhat * (tok(dt_c, t) * tok(x_c, t))[:, None, :], axis=2)
+        dc_ref[0, :, t] = jnp.sum(hs[t + 1] * tok(g_c, t)[:, None, :],
+                                  axis=2)
+        dat_acc = dat_acc + jnp.sum(hp_dA * tok(dt_c, t)[:, None, :],
+                                    axis=0)
+        hhat_next = dA_t * hhat
+    dat_ref[:] = dat_acc
+    hhat_scr[:] = hhat_next
+
+
 def _ssm_pallas(dt, A_T, Bs, Cs, xs, D, chunk: int, block_e: int,
                 interpret: bool = False):
     from jax.experimental import pallas as pl
@@ -162,19 +262,128 @@ def _ssm_pallas(dt, A_T, Bs, Cs, xs, D, chunk: int, block_e: int,
     return out[:, :L]
 
 
+def _ssm_pallas_with_bounds(dt, A_T, Bs, Cs, xs, D, chunk: int,
+                            block_e: int, interpret: bool = False):
+    """Forward + chunk-start boundary states hb [B, L/chunk, N, E]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, E = dt.shape
+    N = A_T.shape[0]
+    pad = (-L) % chunk
+    if pad:
+        dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+        xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
+        Bs = jnp.pad(Bs, ((0, 0), (0, pad), (0, 0)))
+        Cs = jnp.pad(Cs, ((0, 0), (0, pad), (0, 0)))
+    Lp = L + pad
+    nc = Lp // chunk
+    grid = (E // block_e, nc)
+
+    out, hb = pl.pallas_call(
+        functools.partial(_ssm_kernel_bounds, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, chunk, block_e), lambda e, c: (0, c, e)),
+            pl.BlockSpec((B, chunk, block_e), lambda e, c: (0, c, e)),
+            pl.BlockSpec((B, chunk, N), lambda e, c: (0, c, 0)),
+            pl.BlockSpec((B, chunk, N), lambda e, c: (0, c, 0)),
+            pl.BlockSpec((N, block_e), lambda e, c: (0, e)),
+            pl.BlockSpec((1, block_e), lambda e, c: (0, e)),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, chunk, block_e), lambda e, c: (0, c, e)),
+            pl.BlockSpec((B, 1, N, block_e), lambda e, c: (0, c, 0, e)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lp, E), jnp.float32),
+            jax.ShapeDtypeStruct((B, nc, N, E), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, N, block_e), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(dt, xs, Bs, Cs, A_T, D.reshape(1, E))
+    return out[:, :L], hb
+
+
+def _ssm_pallas_bwd(dt, A_T, Bs, Cs, xs, g, hb, chunk: int, block_e: int,
+                    interpret: bool = False):
+    """Adjoint via _ssm_bwd_kernel. Returns (ddt, dBs, dCs, dx_ssm,
+    dA_T) — the D-skip terms (dD, D*g into dx) are added by the caller.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, E = dt.shape
+    N = A_T.shape[0]
+    pad = (-L) % chunk
+    if pad:
+        dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+        xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
+        Bs = jnp.pad(Bs, ((0, 0), (0, pad), (0, 0)))
+        Cs = jnp.pad(Cs, ((0, 0), (0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    Lp = L + pad
+    nc = Lp // chunk
+    ne = E // block_e
+    grid = (ne, nc)
+    rev = lambda e, c: (0, nc - 1 - c, e)      # chunks right-to-left
+    rev_n = lambda e, c: (0, nc - 1 - c, 0)
+
+    ddt, dx, db, dc, dat = pl.pallas_call(
+        functools.partial(_ssm_bwd_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, chunk, block_e), rev),
+            pl.BlockSpec((B, chunk, block_e), rev),
+            pl.BlockSpec((B, chunk, N), rev_n),
+            pl.BlockSpec((B, chunk, N), rev_n),
+            pl.BlockSpec((N, block_e), lambda e, c: (0, e)),
+            pl.BlockSpec((B, chunk, block_e), rev),
+            pl.BlockSpec((B, 1, N, block_e),
+                         lambda e, c: (0, nc - 1 - c, 0, e)),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, chunk, block_e), rev),
+            pl.BlockSpec((B, chunk, block_e), rev),
+            # dB/dC reduce over e, which is a PARALLEL grid axis: give
+            # each e-block its own slab and sum outside the kernel
+            pl.BlockSpec((1, B, chunk, N),
+                         lambda e, c: (e, 0, nc - 1 - c, 0)),
+            pl.BlockSpec((1, B, chunk, N),
+                         lambda e, c: (e, 0, nc - 1 - c, 0)),
+            pl.BlockSpec((N, block_e), lambda e, c: (0, e)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lp, E), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lp, E), jnp.float32),
+            jax.ShapeDtypeStruct((ne, B, Lp, N), jnp.float32),
+            jax.ShapeDtypeStruct((ne, B, Lp, N), jnp.float32),
+            jax.ShapeDtypeStruct((N, E), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, N, block_e), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(dt, xs, Bs, Cs, A_T, g, hb)
+    return (ddt[:, :L], dx[:, :L], db.sum(axis=0)[:, :L],
+            dc.sum(axis=0)[:, :L], dat)
+
+
 def _pick_tiles(B: int, E: int, N: int):
     """Largest (chunk, block_e) whose VMEM residency fits the ~16MB
-    scoped budget; None when even the smallest doesn't (fall back to
-    XLA). Dominant term: the in-kernel dA/dBx chunk tensors
-    [B, chunk, N, block_e] f32 (x2), plus double-buffered io blocks."""
-    budget = 14 * 2 ** 20
+    scoped budget for BOTH the forward and the backward kernel (the
+    backward holds chunk+1 recomputed states plus dA_c); None when even
+    the smallest doesn't (fall back to XLA)."""
+    budget = 13 * 2 ** 20
     for chunk in (_CHUNK, 8, 4):
         for be in (_BLOCK_E, 128):
             if E % be:
                 continue
-            need = (2 * B * chunk * N * be * 4      # dA_c, dBx_c
-                    + 6 * B * chunk * be * 4        # dt/x/y blocks x2 buf
-                    + B * N * be * 4)               # h scratch
+            need = ((2 * chunk + 1) * B * N * be * 4  # hs list + dA_c
+                    + 10 * B * chunk * be * 4         # io blocks x2 buf
+                    + 2 * B * N * be * 4)             # scratch + carry
             if need <= budget:
                 return chunk, be
     return None
@@ -197,13 +406,28 @@ def selective_ssm(dt, A_T, Bs, Cs, xs, D):
 
 
 def _ssm_fwd(dt, A_T, Bs, Cs, xs, D):
-    return selective_ssm(dt, A_T, Bs, Cs, xs, D), (dt, A_T, Bs, Cs, xs, D)
+    B, _, E = dt.shape
+    N = A_T.shape[0]
+    tiles = _pick_tiles(B, E, N) if _use_pallas() else None
+    if tiles is not None:
+        y, hb = _ssm_pallas_with_bounds(dt, A_T, Bs, Cs, xs, D, *tiles)
+        return y, (dt, A_T, Bs, Cs, xs, D, hb, tiles)
+    return (_ssm_reference(dt, A_T, Bs, Cs, xs, D),
+            (dt, A_T, Bs, Cs, xs, D, None, None))
 
 
 def _ssm_bwd(res, g):
-    # adjoint via the XLA reference graph (the recurrence adjoint is a
-    # reverse-time scan; XLA handles it — training only)
-    _, vjp = jax.vjp(_ssm_reference, *res)
+    dt, A_T, Bs, Cs, xs, D, hb, tiles = res
+    if hb is not None:
+        # fused Pallas adjoint (same VMEM-resident structure as forward)
+        g32 = g.astype(jnp.float32)
+        ddt, dx_ssm, dB, dC, dAT = _ssm_pallas_bwd(
+            dt, A_T, Bs, Cs, xs, g32, hb, *tiles)
+        dx = dx_ssm + D[None, None, :] * g32
+        dD = jnp.sum(g32 * xs, axis=(0, 1))
+        return ddt, dAT, dB, dC, dx, dD
+    # off-TPU: adjoint via the XLA reference graph
+    _, vjp = jax.vjp(_ssm_reference, dt, A_T, Bs, Cs, xs, D)
     return vjp(g)
 
 

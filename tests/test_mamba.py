@@ -48,6 +48,39 @@ def test_fused_ssm_kernel_matches_reference_interpret():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_fused_ssm_backward_kernel_matches_vjp_interpret():
+    """The Pallas adjoint kernel (chunk recompute + reverse recurrence)
+    must reproduce jax.vjp of the reference graph for all six inputs."""
+    from medtsllm_tpu.ops.pallas.selective_scan import (
+        _ssm_pallas_bwd, _ssm_pallas_with_bounds, _ssm_reference)
+    rng = np.random.default_rng(5)
+    B, L, E, N = 2, 37, 128, 4
+    dt = jnp.asarray(np.abs(rng.normal(size=(B, L, E))) * 0.1, jnp.float32)
+    A_T = -jnp.asarray(np.abs(rng.normal(size=(N, E))), jnp.float32)
+    Bs = jnp.asarray(rng.normal(size=(B, L, N)), jnp.float32)
+    Cs = jnp.asarray(rng.normal(size=(B, L, N)), jnp.float32)
+    xs = jnp.asarray(rng.normal(size=(B, L, E)), jnp.float32)
+    D = jnp.asarray(rng.normal(size=(E,)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, L, E)), jnp.float32)
+
+    y, hb = _ssm_pallas_with_bounds(dt, A_T, Bs, Cs, xs, D, chunk=8,
+                                    block_e=128, interpret=True)
+    y_ref, vjp = jax.vjp(_ssm_reference, dt, A_T, Bs, Cs, xs, D)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    ddt_r, dAT_r, dB_r, dC_r, dx_r, dD_r = vjp(g)
+    ddt, dx_ssm, dB, dC, dAT = _ssm_pallas_bwd(
+        dt, A_T, Bs, Cs, xs, g, hb, chunk=8, block_e=128, interpret=True)
+    dx = dx_ssm + D[None, None, :] * g
+    dD = jnp.sum(g * xs, axis=(0, 1))
+    for got, ref in ((ddt, ddt_r), (dAT, dAT_r), (dB, dB_r), (dC, dC_r),
+                     (dx, dx_r), (dD, dD_r)):
+        scale = float(jnp.abs(ref).max()) + 1e-6
+        np.testing.assert_allclose(np.asarray(got) / scale,
+                                   np.asarray(ref) / scale,
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_backbone_causality_and_grads():
     """The SSM recurrence is strictly causal: perturbing a future input
     must not change earlier outputs. Grads finite + nonzero."""
