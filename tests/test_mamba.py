@@ -104,6 +104,17 @@ def test_backbone_causality_and_grads():
     assert any(float(jnp.abs(t).max()) > 0 for t in leaves)
 
 
+def test_mamba_layer_truncation():
+    """llm_layers truncation (reference medtsllm.py:145-146) applies to
+    the SSM backbone too."""
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        module, params, cfg = load_backbone("mamba-tiny", llm_layers=1)
+    assert cfg.n_layers == 1
+    assert "h_0" in params and "h_1" not in params
+
+
 def test_quantized_mamba_forward():
     """in/x/out projections run the int8 MXU path under quantize=8."""
     import warnings
