@@ -20,6 +20,10 @@ Algorithm (Kitaev et al., "Reformer: The Efficient Transformer"):
      non-causal use).
   4. un-sort outputs; rounds combine via softmax over their logsumexp
      masses.
+
+Measured guidance (v5e, BASELINE.md): the MXU makes dense flash
+attention so cheap that LSH only crosses over beyond ~32k tokens —
+use it for parity/long-context experiments, not the standard configs.
 """
 
 from __future__ import annotations
