@@ -192,16 +192,23 @@ class ReformerLayer(nn.Module):
         pad = (-N) % chunk
         x = jnp.pad(queries, ((0, 0), (0, pad), (0, 0))) if pad else queries
 
-        # shared QK projection (Reformer ties queries and keys)
-        qk = nn.Dense(dh * H, name="qk_projection")(x)
-        v = nn.Dense(dh * H, name="value_projection")(x)
+        # shared QK projection (Reformer ties queries and keys); bias-free
+        # like reformer_pytorch's toqk/tov so zero-padded tokens stay
+        # exactly zero (a bias would give pads nonzero keys/values that
+        # real tokens could attend)
+        qk = nn.Dense(dh * H, use_bias=False, name="qk_projection")(x)
+        v = nn.Dense(dh * H, use_bias=False, name="value_projection")(x)
         L = N + pad
         qk = qk.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
 
-        # hash rotations are fixed per layer instance (a PRNG constant,
-        # not a trainable param — matches LSH theory and keeps jit static)
-        rng = jax.random.PRNGKey(self.bucket_size * 7919 + self.n_hashes)
+        # hash rotations are a fixed PRNG constant (not trainable —
+        # matches LSH theory and keeps jit static), salted by the module
+        # path so stacked layers use independent hashes
+        import zlib
+        salt = zlib.crc32("/".join(map(str, self.path)).encode())
+        rng = jax.random.PRNGKey(
+            (self.bucket_size * 7919 + self.n_hashes + salt) % (2 ** 31))
         out = lsh_attention(qk, v, rng, n_hashes=self.n_hashes,
                             bucket_size=self.bucket_size, causal=self.causal)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, -1)[:, :N]

@@ -15,9 +15,10 @@ Algorithm (Kitaev et al., "Reformer: The Efficient Transformer"):
   2. stable-sort tokens by bucket (position-tiebreak keeps causal order
      inside a bucket), reshape to chunks of ``chunk_len``.
   3. each chunk attends to itself and one chunk back (the paper's
-     look-back window); self-pairs are allowed (shared-QK scores are
-     maximal on the diagonal, matching reformer_pytorch's default for
-     non-causal use).
+     look-back window); self-pairs are soft-masked at -5e4 (shared-QK
+     scores are maximal on the diagonal, so reformer masks self unless
+     a token has no other in-bucket target — then self still wins over
+     the -1e30 hard masks).
   4. un-sort outputs; rounds combine via softmax over their logsumexp
      masses.
 
@@ -34,6 +35,10 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+# self-pairs are NOT -inf: a token whose bucket holds no other target
+# (e.g. the causal-first token) must still be able to attend itself —
+# reformer_pytorch uses the same two-level masking
+SELF_MASK = -5e4
 
 
 def _bucket(qk: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
@@ -64,8 +69,10 @@ def lsh_attention(qk: jnp.ndarray, v: jnp.ndarray, rng: jax.Array,
         rot = jax.random.normal(jax.random.fold_in(rng, r), (dh, nb // 2),
                                 jnp.float32)
         buckets = _bucket(qk.astype(jnp.float32), rot)  # [B, H, N]
-        # stable order: bucket-major, original position minor
-        order = jnp.argsort(buckets * N + pos[None, None, :], axis=-1)
+        # stable sort keeps original positions in order inside a bucket
+        # (bucket-major, position-minor) with no composite key that
+        # could overflow at long N
+        order = jnp.argsort(buckets, axis=-1, stable=True)
         inv = jnp.argsort(order, axis=-1)
 
         def take(x, idx):
@@ -73,8 +80,8 @@ def lsh_attention(qk: jnp.ndarray, v: jnp.ndarray, rng: jax.Array,
 
         qs = take(qk, order).reshape(B, H, n_chunks, chunk, dh)
         vs = take(v, order).reshape(B, H, n_chunks, chunk, dh)
-        ps = jnp.take_along_axis(jnp.broadcast_to(pos, (B, H, N)), order,
-                                 axis=-1).reshape(B, H, n_chunks, chunk)
+        # sorted positions ARE the permutation itself (pos = arange)
+        ps = order.reshape(B, H, n_chunks, chunk)
 
         # keys = own chunk + one chunk back (rolled; chunk 0 wraps, which
         # the causal mask kills and non-causal tolerates as extra context)
@@ -94,6 +101,10 @@ def lsh_attention(qk: jnp.ndarray, v: jnp.ndarray, rng: jax.Array,
               * jax.lax.rsqrt(sumsq + 1e-12)).astype(ks.dtype)
         s = jnp.einsum("bhcqd,bhckd->bhcqk", qs, ks,
                        preferred_element_type=jnp.float32) * scale
+        # mask self-pairs (shared-QK makes q.(q/|q|) the maximal score in
+        # every row; reformer masks them so tokens prefer OTHER bucket
+        # members, falling back to self only when nothing else survives)
+        s = jnp.where(ps[..., :, None] == pk[..., None, :], SELF_MASK, s)
         if causal:
             s = jnp.where(ps[..., :, None] >= pk[..., None, :], s, NEG_INF)
 

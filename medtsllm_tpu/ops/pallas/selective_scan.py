@@ -17,9 +17,11 @@ Inside a chunk the recurrence unrolls per token with [B, N, block_e]
 vector ops — 48 x 16 x 256 elements per op keeps all 8x128 VPU lanes
 busy.
 
-Backward runs the XLA reference implementation through jax.vjp (the
-recurrence adjoint is itself a reverse scan); the Pallas path accelerates
-the inference/forward hot loop.
+The backward is fused too (_ssm_bwd_kernel): the adjoint recurrence is
+the same affine scan reversed, so the forward saves chunk-start boundary
+states and the backward recomputes within-chunk states and accumulates
+all six input gradients in VMEM (7.9x the XLA adjoint, BASELINE.md).
+Off-TPU the XLA reference graph is used for both directions.
 """
 
 from __future__ import annotations
@@ -91,8 +93,15 @@ def _ssm_reference(dt, A_T, Bs, Cs, xs, D):
     return y + D[None, None, :] * xs
 
 
-def _ssm_kernel(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref, o_ref, h_scr, *,
-                chunk: int):
+def _tok(arr, t):
+    """Static slice of token t on axis 1 (Mosaic rejects >2D gather
+    indexing like arr[:, t] on computed values)."""
+    return jax.lax.squeeze(
+        jax.lax.slice_in_dim(arr, t, t + 1, axis=1), (1,))
+
+
+def _ssm_fwd_body(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref, o_ref,
+                  hb_ref, h_scr, chunk: int):
     from jax.experimental import pallas as pl
 
     ci = pl.program_id(1)
@@ -101,6 +110,8 @@ def _ssm_kernel(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref, o_ref, h_scr, *,
     def _init():
         h_scr[:] = jnp.zeros_like(h_scr)
 
+    if hb_ref is not None:  # record the chunk-START state (bwd residual)
+        hb_ref[:, 0] = h_scr[:]
     at = at_ref[:]          # [N, bE]
     d = d_ref[:]            # [1, bE]
     dt_c = dt_ref[:]        # [B, chunk, bE]
@@ -112,49 +123,25 @@ def _ssm_kernel(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref, o_ref, h_scr, *,
     dBx_c = (dt_c * x_c)[:, :, None, :] * b_ref[:][..., None]
     c_c = c_ref[:]          # [B, chunk, N]
     h = h_scr[:]            # [B, N, bE]
-
-    def tok(arr, t):  # static slice (Mosaic rejects >2D gather indexing)
-        return jax.lax.squeeze(
-            jax.lax.slice_in_dim(arr, t, t + 1, axis=1), (1,))
-
     for t in range(chunk):
-        h = tok(dA_c, t) * h + tok(dBx_c, t)
-        y = jnp.sum(h * tok(c_c, t)[..., None], axis=1)    # [B, bE]
-        o_ref[:, t] = y + d * tok(x_c, t)
+        h = _tok(dA_c, t) * h + _tok(dBx_c, t)
+        y = jnp.sum(h * _tok(c_c, t)[..., None], axis=1)   # [B, bE]
+        o_ref[:, t] = y + d * _tok(x_c, t)
     h_scr[:] = h
+
+
+def _ssm_kernel(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref, o_ref, h_scr, *,
+                chunk: int):
+    _ssm_fwd_body(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref, o_ref,
+                  None, h_scr, chunk)
 
 
 def _ssm_kernel_bounds(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref,
                        o_ref, hb_ref, h_scr, *, chunk: int):
     """Forward kernel that additionally records the state at each chunk
     START (hb) — the residual the backward kernel resumes from."""
-    from jax.experimental import pallas as pl
-
-    ci = pl.program_id(1)
-
-    @pl.when(ci == 0)
-    def _init():
-        h_scr[:] = jnp.zeros_like(h_scr)
-
-    hb_ref[:, 0] = h_scr[:]
-    at = at_ref[:]
-    d = d_ref[:]
-    dt_c = dt_ref[:]
-    x_c = x_ref[:]
-    dA_c = jnp.exp(dt_c[:, :, None, :] * at[None, None])
-    dBx_c = (dt_c * x_c)[:, :, None, :] * b_ref[:][..., None]
-    c_c = c_ref[:]
-    h = h_scr[:]
-
-    def tok(arr, t):
-        return jax.lax.squeeze(
-            jax.lax.slice_in_dim(arr, t, t + 1, axis=1), (1,))
-
-    for t in range(chunk):
-        h = tok(dA_c, t) * h + tok(dBx_c, t)
-        y = jnp.sum(h * tok(c_c, t)[..., None], axis=1)
-        o_ref[:, t] = y + d * tok(x_c, t)
-    h_scr[:] = h
+    _ssm_fwd_body(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref, o_ref,
+                  hb_ref, h_scr, chunk)
 
 
 def _ssm_bwd_kernel(dt_ref, x_ref, b_ref, c_ref, at_ref, g_ref, hb_ref,
@@ -173,7 +160,6 @@ def _ssm_bwd_kernel(dt_ref, x_ref, b_ref, c_ref, at_ref, g_ref, hb_ref,
     from jax.experimental import pallas as pl
 
     ci = pl.program_id(1)
-    nc = pl.num_programs(1)
 
     @pl.when(ci == 0)
     def _init():
@@ -188,10 +174,7 @@ def _ssm_bwd_kernel(dt_ref, x_ref, b_ref, c_ref, at_ref, g_ref, hb_ref,
     c_c = c_ref[:]
     dA_c = jnp.exp(dt_c[:, :, None, :] * at[None, None])   # [B,c,N,bE]
 
-    def tok(arr, t):
-        return jax.lax.squeeze(
-            jax.lax.slice_in_dim(arr, t, t + 1, axis=1), (1,))
-
+    tok = _tok
     # forward recompute from the chunk-start boundary
     h = hb_ref[:, 0]            # [B, N, bE]
     hs = [h]                    # hs[t] = h_{t-1} (state BEFORE token t)
@@ -377,15 +360,15 @@ def _pick_tiles(B: int, E: int, N: int):
     backward holds chunk+1 recomputed states plus dA_c); None when even
     the smallest doesn't (fall back to XLA)."""
     budget = 13 * 2 ** 20
+    if E % _BLOCK_E:
+        return None  # lane-width tiling requires E % 128 == 0
+    be = _BLOCK_E
     for chunk in (_CHUNK, 8, 4):
-        for be in (_BLOCK_E, 128):
-            if E % be:
-                continue
-            need = ((2 * chunk + 1) * B * N * be * 4  # hs list + dA_c
-                    + 10 * B * chunk * be * 4         # io blocks x2 buf
-                    + 2 * B * N * be * 4)             # scratch + carry
-            if need <= budget:
-                return chunk, be
+        need = ((2 * chunk + 1) * B * N * be * 4  # hs list + dA_c
+                + 10 * B * chunk * be * 4         # io blocks x2 buf
+                + 2 * B * N * be * 4)             # scratch + carry
+        if need <= budget:
+            return chunk, be
     return None
 
 

@@ -12,12 +12,14 @@ from medtsllm_tpu.ops.lsh_attention import lsh_attention
 
 
 def _full_attention_shared_qk(qk, v, causal=False):
-    """Oracle: full softmax attention with Reformer's normalized keys."""
+    """Oracle: full softmax attention with Reformer's normalized keys and
+    the reformer self-mask (-5e4 on the diagonal)."""
     dh = qk.shape[-1]
+    N = qk.shape[2]
     k = qk / np.maximum(np.linalg.norm(qk, axis=-1, keepdims=True), 1e-6)
     s = np.einsum("bhqd,bhkd->bhqk", qk, k) / np.sqrt(dh)
+    s = np.where(np.eye(N, dtype=bool), -5e4, s)
     if causal:
-        N = qk.shape[2]
         s = np.where(np.tril(np.ones((N, N), bool)), s, -1e30)
     p = jax.nn.softmax(jnp.asarray(s), axis=-1)
     return np.asarray(jnp.einsum("bhqk,bhkd->bhqd", p, jnp.asarray(v)))
@@ -43,7 +45,9 @@ def test_causal_no_future_leakage():
     (Bucket assignment depends on qk for every token — in Reformer the
     chunking itself is whole-sequence, as in the original paper — but the
     causal mask guarantees no earlier position ever reads a future
-    token's value.)"""
+    token's value. With the reformer self-mask the perturbed token's own
+    output need not change, so only the invariant is asserted here; the
+    value-propagation check is the non-causal test below.)"""
     rng = np.random.default_rng(1)
     B, H, N, dh = 1, 2, 32, 8
     qk = rng.normal(size=(B, H, N, dh)).astype(np.float32)
@@ -57,7 +61,21 @@ def test_causal_no_future_leakage():
                                     causal=True))
     np.testing.assert_allclose(out1[:, :, : N - 1], out2[:, :, : N - 1],
                                rtol=1e-5, atol=1e-5)
-    assert np.abs(out1[:, :, -1] - out2[:, :, -1]).max() > 1e-3
+
+
+def test_value_propagates_to_bucket_mates():
+    """Non-causal: a token's value reaches its chunk-mates (every chunk
+    holds 2*bucket_size tokens, so someone attends the perturbed one)."""
+    rng = np.random.default_rng(6)
+    B, H, N, dh = 1, 2, 32, 8
+    qk = rng.normal(size=(B, H, N, dh)).astype(np.float32)
+    v = rng.normal(size=(B, H, N, dh)).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    out1 = np.asarray(lsh_attention(jnp.asarray(qk), jnp.asarray(v), key))
+    v2 = v.copy()
+    v2[:, :, 7] += 10.0
+    out2 = np.asarray(lsh_attention(jnp.asarray(qk), jnp.asarray(v2), key))
+    assert np.abs(out1 - out2).max() > 1e-3
 
 
 def test_approximates_full_attention_on_clustered_inputs():
