@@ -13,13 +13,46 @@ The reference uses AutoTokenizer with pad=eos fallback
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 _BPE_ASSET = Path(__file__).parent / "assets" / "fallback_bpe.json"
 
 
-class BPETokenizer:
-    """Hermetic fallback: a real byte-level BPE (vocab 8192) trained on
+class _SpecialTokensMixin:
+    """Shared encode-with-specials protocol + the minimal HF-shaped
+    ``__call__``. Special tokens are matched as literal substrings via a
+    regex split — plain text (including bare numerals that happen to
+    equal a special id) is never reinterpreted as a special token."""
+
+    def _specials(self) -> dict[str, int]:
+        return {self.bos_token: self.bos_token_id,
+                self.eos_token: self.eos_token_id,
+                self.pad_token: self.pad_token_id}
+
+    def encode(self, text: str) -> list[int]:
+        specials = self._specials()
+        pattern = "(" + "|".join(re.escape(s) for s in specials) + ")"
+        out: list[int] = []
+        for part in re.split(pattern, text):
+            if not part:
+                continue
+            if part in specials:
+                out.append(specials[part])
+            else:
+                out.extend(self._encode_plain(part))
+        return out
+
+    def __call__(self, text, **kw):
+        class _Enc:
+            pass
+        enc = _Enc()
+        enc.input_ids = self.encode(text)
+        return enc
+
+
+class BPETokenizer(_SpecialTokensMixin):
+    """Hermetic fallback: a real byte-level BPE (vocab 16384) trained on
     stdlib-docstring English + this framework's prompt domain with
     Llama-2-style digit splitting (see tools/build_fallback_bpe.py).
     Unlike the word-hash fallback it has no collisions and decodes
@@ -36,38 +69,21 @@ class BPETokenizer:
         self.bos_token = "<s>"
         self.eos_token = "</s>"
 
-    def encode(self, text: str) -> list[int]:
-        out = []
-        specials = {"<s>": self.bos_token_id, "</s>": self.eos_token_id,
-                    "<pad>": self.pad_token_id}
-        for tok, tid in specials.items():
-            text = text.replace(tok, f"\x00{tid}\x00")
-        for chunk in text.split("\x00"):
-            if chunk.isdigit() and int(chunk) in specials.values():
-                out.append(int(chunk))
-            elif chunk:
-                out.extend(self._tok.encode(chunk).ids)
-        return out
-
-    def __call__(self, text, **kw):
-        class _Enc:
-            pass
-        enc = _Enc()
-        enc.input_ids = self.encode(text)
-        return enc
+    def _encode_plain(self, chunk: str) -> list[int]:
+        return self._tok.encode(chunk).ids
 
     def decode(self, ids) -> str:
         return self._tok.decode([int(i) for i in ids]).strip()
 
 
-class WordTokenizer:
+class WordTokenizer(_SpecialTokensMixin):
     """Hermetic fallback tokenizer: word/number/punctuation pieces hashed
     into the vocab. Produces token counts comparable to a real subword
     tokenizer (~1 token per word), unlike a byte-level fallback which
     inflates prompts ~4x and distorts throughput measurements. Decoding
     uses a reverse map accumulated during encoding."""
 
-    _PIECE = __import__("re").compile(r"\w+|[^\w\s]|\s")
+    _PIECE = re.compile(r"\w+|[^\w\s]|\s")
 
     def __init__(self, vocab_size: int = 512):
         import zlib
@@ -87,29 +103,9 @@ class WordTokenizer:
         self._reverse[tid] = piece
         return tid
 
-    def encode(self, text: str) -> list[int]:
-        out = []
-        specials = {self.bos_token: self.bos_token_id,
-                    self.eos_token: self.eos_token_id,
-                    self.pad_token: self.pad_token_id}
-        for tok, tid in specials.items():
-            text = text.replace(tok, f"\x00{tid}\x00")
-        for chunk in text.split("\x00"):
-            if chunk.isdigit() and int(chunk) in specials.values():
-                out.append(int(chunk))
-                continue
-            for piece in self._PIECE.findall(chunk):
-                if piece.isspace():
-                    continue  # whitespace is implicit, like subword joiners
-                out.append(self._piece_id(piece))
-        return out
-
-    def __call__(self, text, **kw):
-        class _Enc:
-            pass
-        enc = _Enc()
-        enc.input_ids = self.encode(text)
-        return enc
+    def _encode_plain(self, chunk: str) -> list[int]:
+        return [self._piece_id(p) for p in self._PIECE.findall(chunk)
+                if not p.isspace()]  # whitespace implicit, like joiners
 
     def decode(self, ids) -> str:
         return " ".join(self._reverse.get(int(i), "<unk>") for i in ids

@@ -6,8 +6,9 @@ next layer's compute unless XLA's async scheduler finds the overlap.
 This module implements the overlap *explicitly* as ring collective
 matmuls under ``shard_map`` (the "collective matmul" of Wang et al. /
 the scaling-book TP recipe, which the reference cannot express at all —
-its NCCL use is framework-internal torch DDP, reference train.py has no
-tensor parallelism):
+its NCCL use is framework-internal torch DDP — the reference is
+strictly single-device, /root/reference/tasks/base.py:157-160 picks one
+cuda/mps/cpu device and train.py:8-30 never shards):
 
   - ``allgather_matmul``:  y = allgather(x) @ W_col  — each ring step
     matmuls the resident shard while the next shard is in flight on ICI.
@@ -31,7 +32,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _ring_perm(n: int, axis_name: str):
+def _ring_perm(n: int):
     return [(j, (j + 1) % n) for j in range(n)]
 
 
@@ -54,7 +55,7 @@ def allgather_matmul(x_shard: jnp.ndarray, w_local: jnp.ndarray,
         y = cur @ w_local
         src = jax.lax.rem(idx - i + n, n)
         out = jax.lax.dynamic_update_slice_in_dim(out, y, src * m, axis=0)
-        cur = jax.lax.ppermute(cur, axis_name, _ring_perm(n, axis_name))
+        cur = jax.lax.ppermute(cur, axis_name, _ring_perm(n))
         return out, cur
 
     out, _ = jax.lax.fori_loop(0, n, body, (out, x_shard))
@@ -73,6 +74,8 @@ def matmul_reduce_scatter(x: jnp.ndarray, w_local: jnp.ndarray,
     to the arriving sum. The ppermute of the accumulator overlaps the
     next chunk's matmul.
     """
+    assert x.shape[0] % n == 0, (
+        f"matmul_reduce_scatter needs M divisible by n ({x.shape[0]} % {n})")
     idx = jax.lax.axis_index(axis_name)
     m = x.shape[0] // n
 
@@ -83,7 +86,7 @@ def matmul_reduce_scatter(x: jnp.ndarray, w_local: jnp.ndarray,
     acc = partial(jax.lax.rem(idx - 1 + n, n))
 
     def body(i, acc):
-        acc = jax.lax.ppermute(acc, axis_name, _ring_perm(n, axis_name))
+        acc = jax.lax.ppermute(acc, axis_name, _ring_perm(n))
         return acc + partial(jax.lax.rem(idx - 1 - i + 2 * n, n))
 
     return jax.lax.fori_loop(1, n, body, acc)
@@ -115,7 +118,6 @@ def make_sharded_mlp(mesh: Mesh, axis_name: str = "tensor",
     from jax.experimental.shard_map import shard_map
 
     n = mesh.shape[axis_name]
-    other = tuple(a for a in mesh.axis_names if a != axis_name)
 
     if overlapped:
         def local(x_shard, w_up, w_down):
@@ -133,5 +135,4 @@ def make_sharded_mlp(mesh: Mesh, axis_name: str = "tensor",
 
     fn = shard_map(local, mesh=mesh, in_specs=in_specs,
                    out_specs=out_spec, check_rep=False)
-    del other
     return jax.jit(fn)

@@ -55,6 +55,10 @@ def lookahead(inner: optax.GradientTransformation,
                                count=jnp.zeros([], jnp.int32))
 
     def update(grads, state, params=None):
+        if params is None:
+            raise ValueError("lookahead requires params in update() — "
+                             "the slow weights interpolate toward the "
+                             "fast weights")
         updates, inner_state = inner.update(grads, state.inner, params)
         count = state.count + 1
         sync = (count % sync_period) == 0
@@ -96,7 +100,6 @@ class Optimizer:
         if scheduler_type not in (None, "none", "constant"):
             raise ValueError(f"Invalid scheduler selection: {scheduler_type}")
 
-        self._labels = param_labels
         groups = set(jax.tree.leaves(param_labels)) if param_labels is not None else {"new"}
         self.has_loaded = "loaded" in groups
 
@@ -115,7 +118,6 @@ class Optimizer:
 
         if param_labels is None:
             self._tx = make()
-            self._multi = False
         else:
             transforms = {"new": make()}
             if "loaded" in groups:
@@ -123,7 +125,6 @@ class Optimizer:
             if "frozen" in groups:
                 transforms["frozen"] = optax.set_to_zero()
             self._tx = optax.multi_transform(transforms, param_labels)
-            self._multi = True
         self.last_lrs = ([self.base_lr, self.base_lr] if self.has_loaded
                          else [self.base_lr])
 

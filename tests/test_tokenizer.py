@@ -137,3 +137,21 @@ def test_bpe_prompt_path_end_to_end():
     assert ids.max() < 16384 and ids.shape[1] >= 16
     out = trainer.eval_step(trainer.params, arrays)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_numerals_never_become_special_tokens():
+    """Regression: a bare numeral in a prompt ('2', '01') must encode as
+    normal text tokens, never as the EOS/BOS id it numerically equals —
+    only the literal special strings map to special ids."""
+    from medtsllm_tpu.models.llm.tokenizer import BPETokenizer, WordTokenizer
+    b = BPETokenizer()
+    assert b.encode("2") != [b.eos_token_id]
+    assert b.decode(b.encode("2")) == "2"
+    assert b.decode(b.encode("heart rate 72 / 2 bpm")) == \
+        "heart rate 72 / 2 bpm"
+    assert b.encode("<s>1") == [b.bos_token_id] + b.encode("1")
+    b.encode("²")  # unicode digit: isdigit() true, int() raises
+    w = WordTokenizer()
+    assert w.encode("2") != [w.eos_token_id]
+    ids = w.encode("<s>stats</s>")
+    assert ids[0] == w.bos_token_id and ids[-1] == w.eos_token_id
