@@ -77,8 +77,10 @@ def find_snapshot(llm_id: str, cache_dir: str | None) -> Path | None:
     """Locate a local HF snapshot directory for `llm_id`."""
     candidates = [Path(llm_id)]  # llm_id may itself be a snapshot dir
     if cache_dir:
-        candidates.append(Path(cache_dir))
+        # per-model subdir BEFORE the cache root: a shared cache dir that
+        # happens to hold a config.json must not shadow the requested id
         candidates.append(Path(cache_dir) / llm_id)
+        candidates.append(Path(cache_dir))
     candidates.append(Path.home() / ".cache" / "huggingface" / "hub"
                       / f"models--{llm_id.replace('/', '--')}" / "snapshots")
     for cand in candidates:
@@ -363,10 +365,10 @@ def load_backbone(llm_id: str, cache_dir: str | None = None,
         tensors = _load_safetensors(snap)
         tree = _hf_to_tree(cfg, tensors, quantize=quantize)
         merged, _ = restore_partial(jax.device_get(params), tree)
-        params = jax.tree.map(
-            lambda x: (jnp.asarray(x, dtype=dtype)
-                       if np.issubdtype(np.asarray(x).dtype, np.floating)
-                       else jnp.asarray(x)), merged)
+        # restore_partial already cast each leaf to its TEMPLATE dtype — the
+        # right per-leaf choice (weights at param_dtype, QuantDense
+        # scales and LoRA adapters deliberately f32); no blanket cast
+        params = jax.tree.map(jnp.asarray, merged)
     else:
         warnings.warn(
             f"LLM {llm_id!r}: no local weights found — using random init "

@@ -142,8 +142,12 @@ def _act_quant_matmul_bwd(bits, res, g):
     import numpy as _np
     n_in, kq, scale = res
     w = kq if bits == 8 else QuantDense.unpack4(kq, n_in)
-    wf = w.astype(g.dtype) * scale[None, :].astype(g.dtype)
-    dx = jax.lax.dot_general(g, wf, (((g.ndim - 1,), (1,)), ((), ())))
+    # fold the per-channel scale into g (O(M*N)) instead of materializing
+    # the dequantized f32 weight (O(K*N)); XLA fuses the int8->f32
+    # convert into the matmul read, preserving the HBM savings
+    gs = g * scale[None, :].astype(g.dtype)
+    dx = jax.lax.dot_general(gs, w.astype(g.dtype),
+                             (((g.ndim - 1,), (1,)), ((), ())))
     # int8 weights have no tangent space (float0); scale is frozen with
     # the backbone — zero cotangent
     d_kq = _np.zeros(kq.shape, jax.dtypes.float0)
@@ -205,13 +209,18 @@ class QuantDense(nn.Module):
         n_in = x.shape[-1]
         bits = self.bits
 
+        # random init: kernel_q and scale are separate flax params (so
+        # they get independent init keys), so both use the SAME fixed
+        # quantization scale — 3.5 sigma of the N(0, 0.02) init mapped
+        # to qmax (values beyond 3.5 sigma clip, ~0.05%); a per-channel
+        # absmax in init_q would silently disagree with the scale param
+        qmax = 127.0 if bits == 8 else 7.0
+        s_init = 3.5 * 0.02 / qmax
+
         def init_q(key, shape, _dtype=jnp.int8):
             import jax as _jax
-            qmax = 127.0 if bits == 8 else 7.0
             w = 0.02 * _jax.random.normal(key, (n_in, self.features), jnp.float32)
-            absmax = jnp.max(jnp.abs(w), axis=0)
-            s = jnp.where(absmax == 0, 1.0, absmax / qmax)
-            q = jnp.clip(jnp.round(w / s[None, :]), -qmax, qmax).astype(jnp.int8)
+            q = jnp.clip(jnp.round(w / s_init), -qmax, qmax).astype(jnp.int8)
             if bits == 4:
                 from ...ops.pallas.quant_matmul import pack4_split
                 q = pack4_split(q)
@@ -220,7 +229,7 @@ class QuantDense(nn.Module):
         rows = n_in if bits == 8 else (n_in + 1) // 2
         kq = self.param("kernel_q", init_q, (rows, self.features))
         scale = self.param("scale",
-                           lambda k, s: 0.02 / 127.0 * jnp.ones(s, jnp.float32),
+                           lambda k, s: s_init * jnp.ones(s, jnp.float32),
                            (self.features,))
         cd = self.dtype or x.dtype
         if self.act_quant:
@@ -322,16 +331,19 @@ class Attention(nn.Module):
                               sm_scale=1.0 if cfg.style == "t5" else None,
                               bias=attn_bias)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, H * D)
-        out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
 
         o_spec = self.lora if (self.lora and "o" in self.lora.targets) else None
         name = "c_proj" if cfg.style == "gpt2" else "o_proj"
-        return LoRADense(cfg.d_model, use_bias=(cfg.style == "gpt2"),
-                         lora=o_spec, name=name, dtype=self.dtype,
-                         param_dtype=self.param_dtype,
-                         quantize=self.quantize,
-                         act_quant=self.act_quant)(
+        out = LoRADense(cfg.d_model, use_bias=(cfg.style == "gpt2"),
+                        lora=o_spec, name=name, dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        quantize=self.quantize,
+                        act_quant=self.act_quant)(
             out, deterministic=deterministic)
+        # HF gpt2's resid_dropout sits AFTER c_proj (softmax-probs dropout
+        # is intentionally not implemented — the flash kernel never
+        # materializes the probs; eval numerics are unaffected)
+        return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
 
 
 class MLP(nn.Module):
@@ -569,14 +581,24 @@ class TransformerEncDec(nn.Module):
                                      name=f"dec_h_{i}", **kw)
                            for i in range(n_dec)]
         if cfg.style == "gpt2":
-            self.enc_norm = nn.LayerNorm(epsilon=cfg.norm_eps, name="enc_ln_f")
-            self.dec_norm = nn.LayerNorm(epsilon=cfg.norm_eps, name="dec_ln_f")
+            self.enc_norm = nn.LayerNorm(epsilon=cfg.norm_eps,
+                                         dtype=self.dtype,
+                                         param_dtype=self.param_dtype,
+                                         name="enc_ln_f")
+            self.dec_norm = nn.LayerNorm(epsilon=cfg.norm_eps,
+                                         dtype=self.dtype,
+                                         param_dtype=self.param_dtype,
+                                         name="dec_ln_f")
             self.wpe = self.param("wpe", nn.initializers.normal(0.01),
                                   (cfg.max_position, cfg.d_model),
                                   self.param_dtype)
         else:
-            self.enc_norm = RMSNorm(eps=cfg.norm_eps, name="enc_norm")
-            self.dec_norm = RMSNorm(eps=cfg.norm_eps, name="dec_norm")
+            self.enc_norm = RMSNorm(eps=cfg.norm_eps,
+                                    param_dtype=self.param_dtype,
+                                    name="enc_norm")
+            self.dec_norm = RMSNorm(eps=cfg.norm_eps,
+                                    param_dtype=self.param_dtype,
+                                    name="dec_norm")
         if cfg.style == "t5":
             # HF keeps these inside block 0's self-attention; every block
             # reuses block 0's computed bias

@@ -209,14 +209,33 @@ def flash_attention(q, k, v, causal: bool = True, sm_scale: float | None = None,
     # (table above): >=512 tokens AND the kv length tiles cleanly into
     # 256s — partial k-tiles (e.g. the 545-token flagship window) waste
     # more MXU work than the kernel saves
-    if max(L, S) < _MIN_SEQ_FOR_KERNEL or S % 256 != 0:
-        # (padding an unaligned L==S up to the next 256 doesn't pay either:
-        # at 545->768 the +93% causal-attention FLOPs exceed the kernel's
-        # measured ~1.3x advantage at this size)
+    if max(L, S) < _MIN_SEQ_FOR_KERNEL:
+        return _attention_reference(q, k, v, causal, sm_scale)
+
+    if S % 256 != 0:
+        # causal self-attention at an unaligned length: pad q/k/v at the
+        # END to the next 256 multiple when the extra FLOPs are small
+        # (<=10%) — real query i still attends exactly keys <= i (padded
+        # keys sit above every real diagonal), padded rows sliced off.
+        # Near the crossover the pad doesn't pay (545 -> 768 = +93%
+        # causal FLOPs vs the kernel's ~1.3x advantage), but at long
+        # lengths it avoids BOTH the partial-tile waste and the XLA
+        # path's materialized [L, S] score tensor (OOM risk at 16k+).
+        pad = (-S) % 256
+        if (_use_pallas() and causal and L == S and D % 64 == 0
+                and pad <= S // 10):
+            widths = ((0, 0), (0, 0), (0, pad), (0, 0))
+            bk = 512 if (S + pad) % 512 == 0 else 256
+            out = _flash_attention_pallas(
+                jnp.pad(q, widths), jnp.pad(k, widths), jnp.pad(v, widths),
+                causal, sm_scale, block_q, bk)
+            return out[:, :, :L]
         return _attention_reference(q, k, v, causal, sm_scale)
 
     tile_ok = (D % 64 == 0) and (L % 8 == 0) and (S % 8 == 0)
     if _use_pallas() and tile_ok and L >= 128 and S >= 128:
+        # keep k-tiles full: block_k 512 only when S tiles into 512s
+        bk = block_k if S % block_k == 0 else 256
         return _flash_attention_pallas(q, k, v, causal, sm_scale,
-                                       block_q, block_k)
+                                       block_q, bk)
     return _attention_reference(q, k, v, causal, sm_scale)
