@@ -83,21 +83,47 @@ class BatchPipeline:
 
 def prefetch(iterator, size: int = 2):
     """Background-thread prefetch so host batch assembly overlaps device
-    compute (the reference relied on DataLoader worker processes)."""
+    compute (the reference relied on DataLoader worker processes).
+
+    Producer exceptions re-raise in the consumer (a dead producer must
+    not look like a clean end-of-epoch), and an early-exiting consumer
+    unblocks the producer (generator close/GC sets the stop event) so
+    the thread and its buffered batches don't leak."""
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
+    error: list[BaseException] = []
 
     def producer():
         try:
             for item in iterator:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:
+            error.append(e)
         finally:
-            q.put(_END)
+            while not stop.is_set():  # consumer gone -> stop set ends us
+                try:
+                    q.put(_END, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        if error:
+            raise error[0]
+    finally:
+        stop.set()

@@ -44,6 +44,8 @@ class BaseLogger:
                 "run_id": self.trainer.run_id,
                 "epoch": self.trainer.epoch,
                 "step": self.trainer.step,
+                # so a resumed run doesn't demote `best` to a worse epoch
+                "best_score": float(self.trainer.best_score),
                 "datetime": datetime.now().isoformat(),
             },
             async_=async_,

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import threading
 from pathlib import Path
 
@@ -21,15 +22,20 @@ import jax
 import numpy as np
 from flax import serialization
 
-_pending_saves: list[threading.Thread] = []
+# all async writes run on ONE ordered worker thread: concurrent threads
+# per save could os.replace() out of order, leaving an OLDER epoch as
+# `latest`/`best` — a single FIFO queue makes completion order == submit
+# order. Sync saves drain the queue first for the same reason.
+_save_queue: queue.Queue = queue.Queue()
+_save_errors: list[BaseException] = []
+_worker_lock = threading.Lock()
+_worker: threading.Thread | None = None
 
 
 def _write(path: Path, params_host, meta: dict):
     blob = serialization.to_bytes(params_host)
     header = json.dumps(meta).encode()
-    # unique tmp per write: concurrent async saves of the same name must
-    # not clobber each other's partial files
-    tmp = path.with_suffix(path.suffix + f".tmp{threading.get_ident()}")
+    tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as f:
         f.write(len(header).to_bytes(8, "little"))
         f.write(header)
@@ -37,26 +43,53 @@ def _write(path: Path, params_host, meta: dict):
     os.replace(tmp, path)
 
 
+def _drain():
+    while True:
+        item = _save_queue.get()
+        try:
+            if item is None:
+                return
+            _write(*item)
+        except BaseException as e:  # surfaced by wait_for_saves
+            _save_errors.append(e)
+        finally:
+            _save_queue.task_done()
+
+
+def _ensure_worker():
+    global _worker
+    with _worker_lock:
+        if _worker is None or not _worker.is_alive():
+            _worker = threading.Thread(target=_drain, daemon=True)
+            _worker.start()
+
+
 def save_checkpoint(path, params, meta: dict, async_: bool = False):
     """Atomic checkpoint write. With async_=True the device->host transfer
-    happens now but serialization+IO run on a background thread (Orbax-style
-    async save, SURVEY.md §5.3) so training continues immediately."""
+    happens now but serialization+IO run on the ordered background worker
+    (Orbax-style async save, SURVEY.md §5.3) so training continues
+    immediately; writes to the same path land in submit order."""
     path = Path(path)
     params_host = jax.device_get(params)
     if not async_:
+        # a pending async save of the same path must not clobber this
+        # sync write afterwards (e.g. the SIGUSR1 preemption save)
+        wait_for_saves()
         _write(path, params_host, meta)
         return
-    t = threading.Thread(target=_write, args=(path, params_host, meta),
-                         daemon=True)
-    t.start()
-    _pending_saves.append(t)
+    _ensure_worker()
+    _save_queue.put((path, params_host, meta))
 
 
 def wait_for_saves():
     """Block until all async checkpoint writes are durable (called before
-    process exit / preemption handoff)."""
-    while _pending_saves:
-        _pending_saves.pop().join()
+    process exit / preemption handoff). Raises the first write error —
+    a run must not report a clean finish with no checkpoint on disk."""
+    if _worker is not None and _worker.is_alive():
+        _save_queue.join()
+    if _save_errors:
+        raise RuntimeError("async checkpoint write failed") from \
+            _save_errors.pop(0)
 
 
 def load_checkpoint(path, params_template=None):

@@ -76,6 +76,8 @@ class BaseTask:
 
         self.epoch = 1
         self.step = 0
+        self._step_in_flight = False
+        self._preempt_requested = False
 
         metric_dir = config.training.eval_metric_direction
         self.best_score = float("inf") if metric_dir == "min" else float("-inf")
@@ -295,30 +297,41 @@ class BaseTask:
     def train(self):
         from ..runtime import profiler
         step_in_run = 0
-        for epoch in range(self.config.training.epochs):
+        # resume-aware: from_run_id restores self.epoch = completed + 1,
+        # so a preempted run continues instead of restarting from 0
+        for epoch in range(self.epoch - 1, self.config.training.epochs):
             print(f"Epoch {epoch + 1}/{self.config.training.epochs}")
             self.opt_state = self.optimizer.set_epoch(self.opt_state, epoch)
             pending_loss = None
+            pending_n = 0
             from ..data.pipeline import prefetch
             for batch in prefetch(iter(self.train_pipeline)):
                 arrays = self._device_batch(self.model_inputs(batch))
                 valid = jnp.asarray(batch["valid"])
                 # profile steps 2-4 (after compile) when configured
                 with profiler.trace(self.profile_dir if step_in_run == 2 else None):
+                    # donation window: SIGUSR1 arriving while the inputs
+                    # are donated must defer the checkpoint to the safe
+                    # point below (handle_termination)
+                    self._step_in_flight = True
                     self.params, self.opt_state, loss = self.train_step(
                         self.params, self.opt_state, arrays, valid,
                         self._next_rng())
+                    self._step_in_flight = False
+                    if self._preempt_requested:
+                        self._save_and_exit()
                     if step_in_run == 2 and self.profile_dir:
                         jax.block_until_ready(loss)
                 # sync the PREVIOUS step's loss: host logging overlaps the
                 # current step's device execution (the reference syncs every
                 # step via loss.item(), forecasting.py:30)
                 if pending_loss is not None:
-                    self.log_step(float(pending_loss))
+                    self.log_step(float(pending_loss), pending_n)
                 pending_loss = loss
+                pending_n = int(batch["valid"].sum())
                 step_in_run += 1
             if pending_loss is not None:
-                self.log_step(float(pending_loss))
+                self.log_step(float(pending_loss), pending_n)
             val_scores = self.val()
             self.log_epoch(val_scores)
 
@@ -412,8 +425,11 @@ class BaseTask:
         wait_for_saves()  # async checkpoint writes must be durable
         self.logger.log_end()
 
-    def log_step(self, loss):
-        self.step += self.config.training.batch_size
+    def log_step(self, loss, n_valid: int | None = None):
+        # count real samples: the padded final batch carries B rows but
+        # only n_valid of them are data
+        self.step += (self.config.training.batch_size
+                      if n_valid is None else n_valid)
         self.logger.log_scores({"train/loss": loss})
 
     def log_epoch(self, scores=None, **kwscores):
@@ -424,24 +440,35 @@ class BaseTask:
 
         scores = dict(scores or {}) | kwscores | lr_scores
         self.logger.log_scores(scores)
-        self.logger.save_state("latest")
 
+        # epoch/best_score update BEFORE the saves so the checkpoint meta
+        # is the correct resume point: a `latest` written at the end of
+        # epoch N resumes at N + 1 with this epoch's best already counted
+        self.epoch += 1
         metric = "val/" + self.config.training.eval_metric
         metric_dir = self.config.training.eval_metric_direction
-        if ((metric_dir == "min" and scores[metric] < self.best_score)
-                or (metric_dir == "max" and scores[metric] > self.best_score)):
+        improved = ((metric_dir == "min" and scores[metric] < self.best_score)
+                    or (metric_dir == "max" and scores[metric] > self.best_score))
+        if improved:
             self.best_score = scores[metric]
-            if self.config.training.get("save_best", True):
-                self.logger.save_state("best")
 
-        if self.epoch < self.config.training.epochs:
-            self.epoch += 1
+        self.logger.save_state("latest")
+        if improved and self.config.training.get("save_best", True):
+            self.logger.save_state("best")
 
     def log_scores(self, scores=None, **kwscores):
         self.logger.log_scores(dict(scores or {}) | kwscores)
 
     def handle_termination(self, signum, frame):
         print("Interrupted!")
+        if getattr(self, "_step_in_flight", False):
+            # self.params currently points at donated (deleted) buffers —
+            # defer the save to the train loop's safe point
+            self._preempt_requested = True
+            return
+        self._save_and_exit()
+
+    def _save_and_exit(self):
         self.logger.save_state("latest", async_=False)  # durable before exit
         self.log_end()
         sys.exit(0)
@@ -451,16 +478,24 @@ class BaseTask:
         ckpt = ckpt or "latest"
         basepath = (Path(basepath) / run_id if basepath is not None
                     else Path.cwd() / "outputs" / "logs" / run_id)
-        config = tomllib.loads((basepath / "config.toml").read_text())
+        config = Config(tomllib.loads((basepath / "config.toml").read_text()))
         if cfg is not None:
-            config = config | (cfg.to_dict() if isinstance(cfg, Config) else cfg)
-        config = Config(config)
+            # deep merge: a {'training': {'epochs': 20}} override tweaks
+            # one field instead of replacing the whole [training] table
+            config = config.merge(cfg)
 
         trainer = cls(run_id, config, newrun=False)
 
         saved, meta = load_checkpoint(basepath / "checkpoints" / f"{ckpt}.ckpt")
         merged, _ = restore_partial(jax.device_get(trainer.params), saved)
         trainer.params = jax.tree.map(jnp.asarray, merged)
+        # re-apply the mesh placement the restore just replaced with
+        # default-device host arrays, and rebuild optimizer state from
+        # the restored (and re-sharded) params
+        trainer.apply_sharding()
+        trainer.opt_state = trainer.optimizer.init(trainer.params)
         trainer.epoch = meta["epoch"]
         trainer.step = meta["step"]
+        if "best_score" in meta:
+            trainer.best_score = meta["best_score"]
         return trainer

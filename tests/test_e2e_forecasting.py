@@ -34,6 +34,29 @@ def test_train_eval_checkpoint_resume(fast_config, tmp_path):
     assert restored.epoch == trainer.epoch
 
 
+def test_resume_continues_not_restarts(fast_config, tmp_path):
+    """Preemption-resume semantics (reference SIGUSR1 + from_run_id,
+    tasks/base.py:277-306): a resumed run continues from the saved epoch
+    (and keeps best_score) instead of retraining from scratch."""
+    trainer = get_trainer("resumerun", fast_config)
+    trainer.train()  # epochs = 2 -> epoch rests at 3
+    best = trainer.best_score
+    trainer.log_end()
+
+    cls = task_lookup["forecasting"]
+    restored = cls.from_run_id("resumerun",
+                               cfg={"training": {"epochs": 3}},
+                               basepath=str(tmp_path / "logs"))
+    assert restored.epoch == 3  # next epoch to run
+    assert restored.best_score == pytest.approx(best)
+    # deep merge kept the rest of [training] intact
+    assert restored.config.training.batch_size == \
+        fast_config.training.batch_size
+    restored.train()  # runs exactly the one new epoch
+    assert restored.epoch == 4
+    restored.log_end()
+
+
 def test_loss_decreases(fast_config):
     trainer = get_trainer("lossrun", fast_config)
     first = trainer.val()["val/mse"]
