@@ -60,9 +60,12 @@ class ReprogrammingLayer(nn.Module):
         v = v.reshape(S, H, self.d_keys)
 
         scale = float(1.0 / np.sqrt(self.d_keys))
-        if deterministic or self.attention_dropout == 0.0:
+        if deterministic:
             # fused Pallas kernel: shared K/V basis resident in VMEM,
-            # scores+softmax+mix in one pass (jnp fallback off-TPU)
+            # scores+softmax+mix in one pass (jnp fallback off-TPU).
+            # Eval/inference only — the kernel has no custom_vjp, so the
+            # training path (even at dropout 0) stays on the einsum
+            # graph XLA can differentiate
             from ..ops.pallas.reprogramming import reprogramming_attention
             out = reprogramming_attention(q, k, v, scale).reshape(B, L, -1)
         else:
@@ -149,6 +152,11 @@ class MedTsLLM(nn.Module):
                             targets=targets)
 
         covariate_mode = mc.covariate_mode
+        known_modes = ("univariate", "independent", "concat", "interleave",
+                       "add", "weighted-average", "merge-end")
+        if covariate_mode not in known_modes:
+            raise ValueError(f"Unknown covariate_mode {covariate_mode!r}; "
+                             f"expected one of {known_modes}")
         if covariate_mode == "univariate":
             assert dataset.n_features == 1
 
@@ -264,10 +272,29 @@ class MedTsLLM(nn.Module):
                 nn.Dense(self.d_llm), nn.gelu, nn.Dense(self.d_ff),
                 nn.LayerNorm()])
 
+    def _downsample(self, dec_out):
+        """d_llm -> d_ff backbone-output reduction (medtsllm.py:352-367);
+        raises on unknown modes like the reference does."""
+        if self.embedding_downsample_mode == "truncate":
+            return dec_out[:, :, :self.d_ff]
+        if self.embedding_downsample_mode == "linear":
+            return self.embedding_downsample_layer(dec_out)
+        if self.embedding_downsample_mode == "average":
+            return dec_out.reshape(dec_out.shape[0], self.n_patches,
+                                   self.d_ff, -1).mean(axis=-1)
+        raise ValueError(f"Unknown embedding downsample mode "
+                         f"{self.embedding_downsample_mode}")
+
     def _word_embeddings(self):
         wte = self.llm.word_embeddings()
         if self.vocab_indices is not None:
             wte = jnp.take(wte, jnp.asarray(self.vocab_indices), axis=0)
+        # deliberate divergence: the reference re-wraps the subsampled
+        # table in a TRAINABLE nn.Parameter for >100k vocabs
+        # (medtsllm.py:219-224) and then drops it from state_dict — the
+        # trained values are lost at save. Here the table is always
+        # frozen, which matches what a reference checkpoint actually
+        # preserves.
         return jax.lax.stop_gradient(wte)
 
     def encode_ts(self, x_enc, *, deterministic):
@@ -340,29 +367,11 @@ class MedTsLLM(nn.Module):
             dec_out = self.llm(inputs_embeds=prompt_emb,
                                decoder_inputs_embeds=ts_emb,
                                deterministic=det)
-            dec_out = dec_out[:, -self.n_patches:, :]
-            if self.embedding_downsample_mode == "truncate":
-                dec_out = dec_out[:, :, :self.d_ff]
-            elif self.embedding_downsample_mode == "linear":
-                dec_out = self.embedding_downsample_layer(dec_out)
-            elif self.embedding_downsample_mode == "average":
-                dec_out = dec_out.reshape(dec_out.shape[0], self.n_patches,
-                                          self.d_ff, -1).mean(axis=-1)
+            dec_out = self._downsample(dec_out[:, -self.n_patches:, :])
         elif self.llm_enabled:
             enc = jnp.concatenate([prompt_emb, ts_emb], axis=1)
             dec_out = self.llm(inputs_embeds=enc, deterministic=det)
-            dec_out = dec_out[:, -self.n_patches:, :]
-            if self.embedding_downsample_mode == "truncate":
-                dec_out = dec_out[:, :, :self.d_ff]
-            elif self.embedding_downsample_mode == "linear":
-                dec_out = self.embedding_downsample_layer(dec_out)
-            elif self.embedding_downsample_mode == "average":
-                dec_out = dec_out.reshape(dec_out.shape[0], self.n_patches,
-                                          self.d_ff, -1).mean(axis=-1)
-            else:
-                raise ValueError(
-                    f"Unknown embedding downsample mode "
-                    f"{self.embedding_downsample_mode}")
+            dec_out = self._downsample(dec_out[:, -self.n_patches:, :])
         else:
             # ablation path (medtsllm.py:103-109): a small MLP replaces the
             # LLM + downsample
@@ -544,6 +553,15 @@ class PromptBuilder:
         self.task_description = self._task_description(config, dataset)
         self.max_bucket = 16  # grows monotonically; few recompiles
         self._cache: dict[str, list[int]] = {}
+        if self.cfg["examples"] and getattr(dataset, "examples", None):
+            # fixed example length from the DATASET's pool median — NOT
+            # from whichever batch arrives first, so runs are reproducible
+            # under shuffling/batch-size changes (the pool holds raw
+            # [len, C] arrays; batches carry (text, tensor) pairs)
+            med = int(np.median([np.asarray(e).shape[0]
+                                 for e in dataset.examples]))
+            self.example_len = min(model.seq_len,
+                                   max(model.patch_len, med))
 
     def _task_description(self, config, dataset) -> str:
         override = getattr(dataset, "task_description", None)
@@ -566,9 +584,9 @@ class PromptBuilder:
 
     def _encode(self, text: str) -> list[int]:
         if text not in self._cache:
+            if len(self._cache) >= 4096:  # evict BEFORE insert: the new
+                self._cache.clear()       # entry must survive the clear
             self._cache[text] = list(self.tokenizer(text).input_ids)
-            if len(self._cache) > 4096:
-                self._cache.clear()
         return self._cache[text]
 
     def _stats_prompts(self, x: np.ndarray) -> list[str]:
@@ -589,7 +607,11 @@ class PromptBuilder:
 
         mins = x.min(axis=1)
         maxs = x.max(axis=1)
-        medians = np.median(x.astype(np.float64), axis=1)
+        # torch.median picks the LOWER middle element for even n (the
+        # reference's torch.median(xs, dim=1)); np.median would average
+        # the two middle values and change the prompt text
+        L_ = x.shape[1]
+        medians = np.sort(x.astype(np.float32), axis=1)[:, (L_ - 1) // 2]
         trends = np.diff(x, axis=1).sum(axis=1) > 0
         lags = calculate_lags(x.astype(np.float64), self.N_LAGS)
 
@@ -605,13 +627,14 @@ class PromptBuilder:
                 f"the top {self.N_LAGS} lags are {lag_list}.")
         return prompts
 
-    def build_prompts(self, batch: dict) -> list[list[str]]:
-        """Ordered prompt parts per sample (medtsllm.py:386-439); the
-        in-context example tensor is handled separately."""
+    def build_prompts(self, batch: dict):
+        """(pre_parts, post_parts): ordered prompt strings per sample
+        before/after the in-context example slot (medtsllm.py:386-439);
+        the example tensor itself is handled separately."""
         x = np.asarray(batch["x_enc"])
         bs = x.shape[0]
         if not self.enabled:
-            return [[] for _ in range(bs)]
+            return [[] for _ in range(bs)], [[] for _ in range(bs)]
 
         dataset_prompt = (f"Dataset: {self.dataset_description}"
                           if self.cfg["dataset"] else "")
@@ -696,8 +719,8 @@ class PromptBuilder:
         """In-context example segments (reference ecg.py:139-166), crop/tile
         to one static example length chosen at first use."""
         tensors = [np.asarray(e[1])[0] for e in batch["examples"]]
-        if not hasattr(self, "example_len"):
-            med = int(np.median([t.shape[0] for t in tensors]))
+        if not hasattr(self, "example_len"):  # dataset had no pool at
+            med = int(np.median([t.shape[0] for t in tensors]))  # init
             self.example_len = min(self.model.seq_len,
                                    max(self.model.patch_len, med))
         fixed = self.example_len

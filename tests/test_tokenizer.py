@@ -155,3 +155,19 @@ def test_numerals_never_become_special_tokens():
     assert w.encode("2") != [w.eos_token_id]
     ids = w.encode("<s>stats</s>")
     assert ids[0] == w.bos_token_id and ids[-1] == w.eos_token_id
+
+
+def test_prompt_cache_eviction_survives_4097th_prompt():
+    """Regression: the tokenization cache cleared itself AFTER inserting
+    the 4097th distinct prompt and then read the evicted entry back —
+    KeyError mid-epoch on any run with >4096 distinct prompt strings
+    (stats prompts make nearly every window distinct)."""
+    from medtsllm_tpu.models.medtsllm import PromptBuilder
+    from medtsllm_tpu.models.llm.tokenizer import WordTokenizer
+    pb = object.__new__(PromptBuilder)
+    pb._cache = {}
+    pb.tokenizer = WordTokenizer()
+    for i in range(4100):
+        ids = pb._encode(f"stats min {i} max {i + 1}")
+        assert ids == pb._encode(f"stats min {i} max {i + 1}")
+    assert len(pb._cache) <= 4096
