@@ -282,6 +282,19 @@ def validate_config(config: Config) -> Config:
                 f"{config.task} requires history_len == pred_len "
                 f"(got {config.history_len} != {config.pred_len})")
 
+    if config.task == "anomaly_detection":
+        ad = config.get("tasks", Config()).get("anomaly_detection", None)
+        require(ad is not None and "threshold" in ad
+                and "normalize_by_feature" in ad,
+                "anomaly_detection requires [tasks.anomaly_detection] with "
+                "`threshold` and `normalize_by_feature` (otherwise the run "
+                "fails only at first eval, after a full training epoch)")
+    if config.task == "segmentation":
+        sg = config.get("tasks", Config()).get("segmentation", None)
+        require(sg is not None and "mode" in sg and "distance_thresh" in sg,
+                "segmentation requires [tasks.segmentation] with `mode` "
+                "and `distance_thresh`")
+
     if config.model == "fedformer":
         dt = config.get("setup", Config()).get("dtype", "float32")
         require(dt in ("float32", "float", "fp32", "32", 32, "mixed"),

@@ -32,7 +32,8 @@ class AnomalyDetectionTask(BaseTask):
 
     def _eval_split(self, pipeline, split):
         results = self.predict(pipeline, split=split)
-        anom = self.score_anomalies(results.anomaly_preds, results.anomaly_labels)
+        anom = self.score_anomalies(results.anomaly_preds, results.anomaly_labels,
+                                    scores=results.anomaly_scores)
         recon = self.score(results.recon_preds, results.recon_targets)
         thresholds = {"anomaly_quantile": results.anomaly_quantile,
                       "anomaly_threshold": results.anomaly_threshold}
@@ -116,11 +117,17 @@ class AnomalyDetectionTask(BaseTask):
             "recon_mae": float(np.mean(np.abs(err))),
         }
 
-    def score_anomalies(self, pred, target):
+    def score_anomalies(self, pred, target, scores=None):
+        # deliberate deviation: the reference feeds the BINARIZED,
+        # point-adjusted predictions to roc_auc_score, which collapses
+        # AUROC to a rescaled single-threshold accuracy; a ranking metric
+        # needs the continuous anomaly scores (available right next to it)
+        auroc_input = scores if scores is not None else pred
         return {
             "accuracy": accuracy_score(target, pred),
             "f1": f1_score(target, pred, average="binary", zero_division=0),
-            "auroc": roc_auc_score(target, pred) if len(np.unique(target)) > 1 else 0.5,
+            "auroc": (roc_auc_score(target, auroc_input)
+                      if len(np.unique(target)) > 1 else 0.5),
             "precision": precision_score(target, pred, average="binary", zero_division=0),
             "recall": recall_score(target, pred, average="binary", zero_division=0),
             "iou": jaccard_score(target, pred, average="binary", zero_division=0),

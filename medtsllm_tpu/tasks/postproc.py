@@ -16,8 +16,9 @@ def adjust_anomalies(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
     is marked fully predicted.
 
     Uses the native C++ kernel when available; the numpy path below is an
-    exact vectorized equivalent of the reference loop (a GT segment is
-    filled iff some index in it has pred==1 and gt==1).
+    exact vectorized equivalent of the reference loop — including its
+    index-0 quirk: the backward fill `for j in range(i, 0, -1)` never
+    visits index 0, so a GT segment starting at 0 keeps pred[0] as-is.
     """
     from ..native import adjust_anomalies_native
     pred = np.asarray(pred).astype(np.int32)
@@ -35,7 +36,10 @@ def adjust_anomalies(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
     seg_hit = np.zeros(seg_id.max() + 1, dtype=bool)
     np.maximum.at(seg_hit, seg_id[hit], True)
     filled = g & seg_hit[seg_id]
-    return (pred.astype(bool) | filled).astype(np.int64)
+    adj = pred.astype(bool) | filled
+    if g[0]:
+        adj[0] = bool(pred[0])  # the reference never back-fills index 0
+    return adj.astype(np.int64)
 
 
 def running_mean(xs: np.ndarray, window_size: int) -> np.ndarray:

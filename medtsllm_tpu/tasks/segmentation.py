@@ -23,17 +23,17 @@ class SegmentationTask(BaseTask):
         self.segmentation_mode = config.tasks.segmentation.mode
         super().__init__(run_id, config, newrun)
 
-    def val(self):
-        results = self.predict(self.val_pipeline)
-        scores = {f"val/{k}": v for k, v in self.score(results).items()}
+    def _eval_split(self, pipeline, split: str):
+        results = self.predict(pipeline)
+        scores = {f"{split}/{k}": v for k, v in self.score(results).items()}
         self.log_scores(scores)
         return scores
 
+    def val(self):
+        return self._eval_split(self.val_pipeline, "val")
+
     def test(self):
-        results = self.predict(self.test_pipeline)
-        scores = {f"test/{k}": v for k, v in self.score(results).items()}
-        self.log_scores(scores)
-        return scores
+        return self._eval_split(self.test_pipeline, "test")
 
     def predict(self, pipeline):
         dataset = pipeline.dataset
@@ -67,7 +67,11 @@ class SegmentationTask(BaseTask):
             # 10th percentile of true segment lengths (segmentation.py:126-127)
             pts = np.flatnonzero(targets)
             seg_lens = np.diff(pts)
-            distance_thresh = float(np.quantile(seg_lens.astype(np.float64), 0.1))
+            if len(seg_lens) == 0:  # <2 true boundaries in this split
+                distance_thresh = 1.0
+            else:
+                distance_thresh = float(
+                    np.quantile(seg_lens.astype(np.float64), 0.1))
         elif thr_cfg == "optimize":
             est = targets.shape[0] / max(targets.sum(), 1)
             distance_thresh = optimize_threshold(pred_scores, targets, est)
@@ -119,9 +123,18 @@ class SegmentationTask(BaseTask):
     def score(self, results):
         pred_points = results["pred_points"]
         target_points = results["label_points"]
-        if len(pred_points) == 0:
-            return {"point_mae": float("inf"), "point_rmse": float("inf"),
-                    "segment_miou": 0, "pred_label_ratio": 0.0}
+        if len(pred_points) == 0 or len(target_points) == 0:
+            # degenerate split/epoch (flat predictions or no true
+            # boundaries): return the FULL metric key set with worst-case
+            # values so eval_metric lookups and loggers see a stable
+            # schema every epoch
+            worst = {"point_mae": float("inf"), "point_rmse": float("inf"),
+                     "segment_miou": 0.0, "pred_label_ratio": 0.0}
+            for thresh in (50, 100, 200):
+                worst[f"point_acc@{thresh}"] = 0.0
+            for thresh in (0.5, 0.75, 0.9):
+                worst[f"segment_acc@{int(thresh*100)}iou"] = 0.0
+            return worst
 
         point_dists = np.abs(pred_points.reshape(-1, 1) - target_points)
         segment_dists = all_pairs_iou(results["pred_segments"],

@@ -131,6 +131,27 @@ def test_point_adjust_matches_reference_loop():
         np.testing.assert_array_equal(got, expected)
 
 
+def test_point_adjust_numpy_path_index0_parity(monkeypatch):
+    """The numpy fallback must reproduce the reference loop exactly —
+    including its quirk that the backward fill never visits index 0, so
+    a GT segment starting at 0 keeps pred[0] unfilled."""
+    import medtsllm_tpu.native as native
+    monkeypatch.setattr(native, "adjust_anomalies_native",
+                        lambda p, g: None)  # force the numpy path
+    gt = np.array([1, 1, 1, 1, 0, 1, 1], np.int64)
+    pred = np.array([0, 0, 1, 0, 0, 0, 1], np.int64)
+    got = adjust_anomalies(pred, gt)
+    np.testing.assert_array_equal(got, _reference_adjust(pred.copy(), gt))
+    assert got[0] == 0  # index-0 quirk preserved
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        gt = (rng.random(300) < 0.15).astype(np.int64)
+        gt[0] = 1  # exercise the segment-at-origin case every time
+        pred = (rng.random(300) < 0.1).astype(np.int64)
+        np.testing.assert_array_equal(adjust_anomalies(pred, gt),
+                                      _reference_adjust(pred.copy(), gt))
+
+
 def test_all_pairs_iou():
     s1 = np.array([[0, 10], [10, 20]])
     s2 = np.array([[5, 15]])
