@@ -20,7 +20,7 @@ import numpy as np
 
 def build_trainer(model_size: str, batch_size: int, history_len: int,
                   bf16: bool, remat=False, quant: int = 0,
-                  int8_matmul: bool = True):
+                  int8_matmul: bool = True, prefix_cache: bool = True):
     from medtsllm_tpu.config import Config
     from medtsllm_tpu.tasks import get_trainer
 
@@ -44,9 +44,13 @@ def build_trainer(model_size: str, batch_size: int, history_len: int,
             "patching": {"patch_len": 16, "stride": 8},
             "prompting": {"dataset": True, "task": True, "clip": False,
                           "input_stats": True, "examples": False,
-                          "input_stats_dim": 0, "input_stats_select": "all"},
+                          "input_stats_dim": 0, "input_stats_select": "all",
+                          # serving layout: constant parts first so the
+                          # prefix KV cache covers [bos, dataset, task]
+                          "cache_order": prefix_cache},
             "llm": {"enabled": True, "llm": model_size, "llm_layers": -1,
                     "remat": remat, "int8_matmul": int8_matmul,
+                    "prefix_cache": prefix_cache,
                     "load_in_4bit": quant == 4, "load_in_8bit": quant == 8},
         }},
         "setup": {"seed": 0, "device": "auto",
@@ -97,8 +101,8 @@ def bench_config(config_path: str, iters: int, warmup: int,
     with contextlib.redirect_stdout(capture):
         trainer = get_trainer("bench", cfg)
         batch = next(iter(trainer.val_pipeline))
-        arrays = trainer.model_inputs(batch)
-        params = trainer.params
+        arrays = trainer.eval_model_inputs(batch)  # serving path (KV-cached
+        params = trainer.params                    # prompt head if enabled)
 
         def run_sync():
             return float(np.asarray(
@@ -272,7 +276,10 @@ def main():
     ap.add_argument("--llm-override", default="llama-1b",
                     help="backbone override for --config medtsllm benches "
                          "('config' keeps the configured id)")
-    ap.add_argument("--batch", type=int, default=48)
+    # 64 is the measured sweet spot with the prefix-cached 112-token
+    # region (48 x 112 = 5376 rows under-fills the MXU; 64 x 112 = 7168
+    # ~= the 7680 rows batch 48 carried uncached; 96 is flat-to-worse)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--history-len", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
@@ -295,6 +302,10 @@ def main():
     ap.add_argument("--no-int8-matmul", action="store_true",
                     help="with --quant: dequantize to bf16 instead of "
                          "running the s8xs8->s32 MXU matmul")
+    ap.add_argument("--no-prefix-cache", action="store_true",
+                    help="disable the prompt-prefix KV cache + serving "
+                         "prompt layout (A/B the reference-order uncached "
+                         "pipeline)")
     args = ap.parse_args()
 
     if args.overlap_ab:
@@ -336,9 +347,16 @@ def main():
                                         'dots': 'dots'}[args.remat]
                                        if args.train else False),
                                 quant=args.quant,
-                                int8_matmul=not args.no_int8_matmul)
+                                int8_matmul=not args.no_int8_matmul,
+                                prefix_cache=not args.no_prefix_cache)
         batch = next(iter(trainer.val_pipeline))
+        # inference uses the serving path (constant prompt head served
+        # from the KV cache); training embeds the head in-graph
         arrays = trainer.model_inputs(batch)
+        prefix_len = (int(arrays["prefix_ids"].shape[0])
+                      if "prefix_ids" in arrays else 0)
+        if not args.train:
+            arrays = trainer.eval_model_inputs(batch)
         if not args.fp32:
             arrays = {k: (v.astype(np.float32) if hasattr(v, "dtype")
                           and np.issubdtype(v.dtype, np.floating) else v)
@@ -391,7 +409,12 @@ def main():
         n_llm += sum(int(np.prod(np.shape(leaf))) for kp, leaf in flat
                      if "kernel_q" in "/".join(str(getattr(k, "key", k))
                                                for k in kp))
-    prompt_len = int(arrays.get("prompt_ids", np.zeros((1, 0))).shape[1])
+    # token accounting for the A100 denominator: the FULL prompt (prefix
+    # included) — the reference-equivalent pipeline recomputes the
+    # constant head per window; serving it from the KV cache instead is
+    # part of this framework's measured advantage
+    prompt_len = (prefix_len
+                  + int(arrays.get("prompt_ids", np.zeros((1, 0))).shape[1]))
     tokens = prompt_len + trainer.model.n_patches
     baseline = a100_estimate_windows_per_sec(n_llm, tokens, train=args.train)
 
@@ -409,6 +432,7 @@ def main():
             "batch": args.batch,
             "history_len": args.history_len,
             "prompt_tokens": prompt_len,
+            "cached_prefix_tokens": prefix_len if not args.train else 0,
             "total_tokens_per_window": tokens,
             "llm_params": n_llm,
             "a100_estimate_windows_per_sec": round(baseline, 3),

@@ -287,11 +287,21 @@ class Attention(nn.Module):
     causal: bool = True
 
     @nn.compact
-    def __call__(self, x, kv=None, *, attn_bias=None,
+    def __call__(self, x, kv=None, *, attn_bias=None, prefix_kv=None,
+                 position_offset: int = 0, return_kv: bool = False,
                  deterministic: bool = True):
         """Self-attention over x, or cross-attention into `kv` (encoder
         output) when given — the enc-dec path (medtsllm.py:346-348).
-        ``attn_bias`` [1, H, L, S] is the t5 relative-position bias."""
+        ``attn_bias`` [1, H, L, S] is the t5 relative-position bias.
+
+        Prefix KV cache (serving): ``prefix_kv`` = (k, v) each
+        [1 or B, KV, P, D] with rotary already applied at positions
+        0..P-1; x is then the suffix at positions P.. (pass
+        ``position_offset=P``) and attends the concatenated keys with the
+        causal diagonal end-aligned — flash_attention's S>L semantics.
+        ``return_kv`` additionally returns this call's (k, v) so a
+        constant prompt prefix can be computed once and reused across
+        every eval window (the reference recomputes it per batch)."""
         cfg = self.cfg
         B, L, _ = x.shape
         H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
@@ -320,9 +330,19 @@ class Attention(nn.Module):
         v = v.reshape(B, S, KV, D).transpose(0, 2, 1, 3)
 
         if cfg.style == "llama" and kv is None:
-            positions = jnp.arange(L)
+            positions = position_offset + jnp.arange(L)
             q = rotary_embedding(q, positions, cfg.rope_theta)
             k = rotary_embedding(k, positions, cfg.rope_theta)
+
+        new_kv = (k, v) if return_kv else None
+        if prefix_kv is not None:
+            pk, pv = prefix_kv  # [1 or B, KV, P, D], rotary pre-applied
+            pk = jnp.broadcast_to(pk.astype(k.dtype),
+                                  (B,) + pk.shape[1:])
+            pv = jnp.broadcast_to(pv.astype(v.dtype),
+                                  (B,) + pv.shape[1:])
+            k = jnp.concatenate([pk, k], axis=2)
+            v = jnp.concatenate([pv, v], axis=2)
 
         # grouped-query attention (KV < H) folds into flash_attention:
         # the repeated K/V heads are broadcast, never materialized
@@ -343,7 +363,8 @@ class Attention(nn.Module):
         # HF gpt2's resid_dropout sits AFTER c_proj (softmax-probs dropout
         # is intentionally not implemented — the flash kernel never
         # materializes the probs; eval numerics are unaffected)
-        return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+        out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+        return (out, new_kv) if return_kv else out
 
 
 class MLP(nn.Module):
@@ -395,7 +416,8 @@ class Block(nn.Module):
     cross: bool = False  # add a cross-attention sublayer (enc-dec decoder)
 
     @nn.compact
-    def __call__(self, x, enc_out=None, *, attn_bias=None,
+    def __call__(self, x, enc_out=None, *, attn_bias=None, prefix_kv=None,
+                 position_offset: int = 0, return_kv: bool = False,
                  deterministic: bool = True):
         cfg = self.cfg
 
@@ -407,13 +429,18 @@ class Block(nn.Module):
             return RMSNorm(eps=cfg.norm_eps, name=name_llama,
                            param_dtype=self.param_dtype)
 
-        x = x + Attention(cfg, self.lora, dtype=self.dtype,
-                          param_dtype=self.param_dtype,
-                          quantize=self.quantize, act_quant=self.act_quant,
-                          causal=self.causal,
-                          name="attn")(
+        attn_out = Attention(cfg, self.lora, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             quantize=self.quantize, act_quant=self.act_quant,
+                             causal=self.causal,
+                             name="attn")(
             norm("ln_1", "input_layernorm")(x), attn_bias=attn_bias,
-            deterministic=deterministic)
+            prefix_kv=prefix_kv, position_offset=position_offset,
+            return_kv=return_kv, deterministic=deterministic)
+        new_kv = None
+        if return_kv:
+            attn_out, new_kv = attn_out
+        x = x + attn_out
         if self.cross:
             x = x + Attention(cfg, self.lora, dtype=self.dtype,
                               param_dtype=self.param_dtype,
@@ -426,7 +453,7 @@ class Block(nn.Module):
                     quantize=self.quantize, act_quant=self.act_quant,
                     name="mlp")(norm("ln_2", "post_attention_layernorm")(x),
                                 deterministic=deterministic)
-        return x
+        return (x, new_kv) if return_kv else x
 
 
 def remat_class(cls: type, remat) -> type:
@@ -451,6 +478,24 @@ def remat_class(cls: type, remat) -> type:
 
 def _remat_block(remat) -> type:
     return remat_class(Block, remat)
+
+
+def _remat_block_call(remat):
+    """Call-site remat for the decoder stack: only (block, x,
+    deterministic) cross the jax.checkpoint boundary, so the serving
+    kwargs (prefix_kv / position_offset / return_kv) never get traced
+    into bools inside the checkpointed region — prefill and the cached
+    eval path call the plain Block directly instead. Param paths are
+    unchanged (the transform wraps the call, not the class)."""
+    def call(block, x, deterministic):
+        return block(x, deterministic=deterministic)
+    if not remat:
+        return call
+    if remat == "dots":
+        return nn.remat(
+            call,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return nn.remat(call)
 
 
 class TransformerDecoder(nn.Module):
@@ -485,11 +530,10 @@ class TransformerDecoder(nn.Module):
         else:
             self.norm = RMSNorm(eps=cfg.norm_eps, name="norm",
                                 param_dtype=self.param_dtype)
-        block_cls = _remat_block(self.remat)
-        self.blocks = [block_cls(cfg, self.lora, dtype=self.dtype,
-                                 param_dtype=self.param_dtype,
-                                 quantize=self.quantize,
-                                 act_quant=self.act_quant, name=f"h_{i}")
+        self.blocks = [Block(cfg, self.lora, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             quantize=self.quantize,
+                             act_quant=self.act_quant, name=f"h_{i}")
                        for i in range(cfg.n_layers)]
 
     def embed(self, token_ids) -> jnp.ndarray:
@@ -499,25 +543,52 @@ class TransformerDecoder(nn.Module):
         return self.wte
 
     def __call__(self, inputs_embeds=None, input_ids=None, *,
-                 deterministic: bool = True):
+                 prefix_kv=None, deterministic: bool = True):
+        """``prefix_kv`` (serving fast path): tuple of per-layer (k, v)
+        from `prefill` — inputs_embeds is then the suffix region at
+        positions P..; numerically identical to running the full
+        [prefix | suffix] sequence (tests/test_prefix_cache.py)."""
         cfg = self.cfg
         if inputs_embeds is None:
             inputs_embeds = self.embed(input_ids)
         x = inputs_embeds
         L = x.shape[1]
+        offset = prefix_kv[0][0].shape[2] if prefix_kv is not None else 0
 
         if cfg.style == "gpt2":
-            x = x + self.wpe[None, :L, :].astype(x.dtype)
+            x = x + self.wpe[None, offset:offset + L, :].astype(x.dtype)
             x = self.embed_drop(x, deterministic=deterministic)
 
-        for block in self.blocks:
-            x = block(x, deterministic=deterministic)
+        if prefix_kv is None:
+            call = _remat_block_call(self.remat)
+            for block in self.blocks:
+                x = call(block, x, deterministic)
+        else:
+            # serving path: eval-only, no backward, so remat is moot and
+            # the plain call keeps the extra kwargs out of jax.checkpoint
+            for i, block in enumerate(self.blocks):
+                x = block(x, deterministic=deterministic,
+                          prefix_kv=prefix_kv[i], position_offset=offset)
 
         if cfg.style == "gpt2":
             x = self.ln_f(x)
         else:
             x = self.norm(x)
         return x
+
+    def prefill(self, inputs_embeds) -> tuple:
+        """Run the stack over a prompt prefix [1, P, d] and return the
+        per-layer post-rotary (k, v) pairs for `__call__(prefix_kv=...)`.
+        Deterministic (eval-only — with LoRA the projections are
+        trainable, so callers must rebuild the cache after updates)."""
+        x = inputs_embeds
+        if self.cfg.style == "gpt2":
+            x = x + self.wpe[None, :x.shape[1], :].astype(x.dtype)
+        kvs = []
+        for block in self.blocks:
+            x, kv = block(x, deterministic=True, return_kv=True)
+            kvs.append(kv)
+        return tuple(kvs)
 
 
 def t5_relative_buckets(L: int, S: int, *, bidirectional: bool,

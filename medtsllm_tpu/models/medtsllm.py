@@ -103,6 +103,7 @@ class MedTsLLM(nn.Module):
     llm_dtype: str = "float32"  # backbone storage+compute dtype
     quantize: int = 0  # backbone quantization: 0 | 8 | 4 bits
     act_quant: bool = True  # with quantize: int8 MXU matmul (bnb LLM.int8())
+    prefix_cache: bool = True  # serving: cache the constant prompt head's KV
 
     supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
                        "semantic_segmentation", "segmentation", "pretraining")
@@ -190,6 +191,7 @@ class MedTsLLM(nn.Module):
             remat=mc.llm.get("remat", False),
             quantize=quantize,
             act_quant=bool(mc.llm.get("int8_matmul", True)),
+            prefix_cache=bool(mc.llm.get("prefix_cache", True)),
             # the reference loads the LLM at the configured dtype
             # (medtsllm.py:149-157); "mixed" here stores the frozen backbone
             # directly at bf16 — it never updates
@@ -339,6 +341,19 @@ class MedTsLLM(nn.Module):
         # prompt order (medtsllm.py:424-437): [bos+dataset(+example text)]
         # -> example TS embedding -> [clip+stats+task+"Time series:"]
         parts = []
+        prefix_kv = inputs.get("prefix_kv")
+        prefix_ids = inputs.get("prefix_ids")
+        if prefix_ids is not None:
+            # the constant prompt head [bos + dataset description], laid
+            # out at positions 0..P-1 (before any padding). Train and
+            # uncached eval embed it here; the serving path replaces it
+            # with `prefix_kv` from `prefill` — numerically identical
+            assert prefix_kv is None
+            pe = self.llm.embed(prefix_ids).astype(ts_emb.dtype)
+            parts.append(jnp.broadcast_to(pe[None], (B,) + pe.shape))
+        if prefix_kv is not None:
+            assert self.supports_prefix_cache, \
+                "prefix_kv requires a decoder-only transformer backbone"
         prompt_ids = inputs.get("prompt_ids")
         if prompt_ids is not None:
             parts.append(self.llm.embed(prompt_ids).astype(ts_emb.dtype))
@@ -370,7 +385,11 @@ class MedTsLLM(nn.Module):
             dec_out = self._downsample(dec_out[:, -self.n_patches:, :])
         elif self.llm_enabled:
             enc = jnp.concatenate([prompt_emb, ts_emb], axis=1)
-            dec_out = self.llm(inputs_embeds=enc, deterministic=det)
+            if prefix_kv is not None:
+                dec_out = self.llm(inputs_embeds=enc, prefix_kv=prefix_kv,
+                                   deterministic=det)
+            else:
+                dec_out = self.llm(inputs_embeds=enc, deterministic=det)
             dec_out = self._downsample(dec_out[:, -self.n_patches:, :])
         else:
             # ablation path (medtsllm.py:103-109): a small MLP replaces the
@@ -407,6 +426,30 @@ class MedTsLLM(nn.Module):
             elif self.task == "segmentation" and self.seg_mode == "boundary-prediction":
                 dec_out = nn.sigmoid(dec_out)
         return dec_out
+
+    # ------------------------------------------------------------------
+    # prefix KV cache (serving)
+    # ------------------------------------------------------------------
+
+    @property
+    def supports_prefix_cache(self) -> bool:
+        """The cache holds per-layer causal-attention K/V, so only the
+        decoder-only transformer path qualifies (the enc-dec encoder is
+        bidirectional — every prompt token sees the whole prompt — and
+        the SSM backbone carries state, not KV)."""
+        return (self.llm_enabled and self.prefix_cache
+                and not getattr(self.llm_cfg, "is_encoder_decoder", False)
+                and getattr(self.llm_cfg, "style", "") in ("gpt2", "llama"))
+
+    def prefill(self, prefix_ids, embed_dtype=jnp.float32):
+        """Per-layer (k, v) for the constant prompt head [1, P] — computed
+        once per eval run and reused for every window (the reference
+        re-runs the full prompt through the 7B backbone per batch).
+        ``embed_dtype`` must match what `__call__` would feed the LLM
+        (ts_emb's dtype, i.e. the trainer's param precision) so cached
+        and uncached paths are bit-identical."""
+        emb = self.llm.embed(prefix_ids)[None].astype(embed_dtype)
+        return self.llm.prefill(emb)
 
     # ------------------------------------------------------------------
     # trainer hooks
@@ -522,7 +565,8 @@ class PromptBuilder:
         if prompting is None:
             self.cfg = {"dataset": True, "clip": True, "input_stats": True,
                         "task": True, "examples": False,
-                        "input_stats_dim": 0, "input_stats_select": "all"}
+                        "input_stats_dim": 0, "input_stats_select": "all",
+                        "cache_order": False}
         else:
             self.cfg = {
                 "dataset": prompting.get("dataset", True),
@@ -532,6 +576,13 @@ class PromptBuilder:
                 "examples": prompting.get("examples", False),
                 "input_stats_dim": prompting.get("input_stats_dim", 0),
                 "input_stats_select": prompting.get("input_stats_select", "all"),
+                # serving option (deviation from the reference prompt
+                # ORDER, medtsllm.py:424-437, content identical): put the
+                # constant task description before the per-window parts so
+                # the KV-cacheable head covers [bos, dataset, task] and the
+                # computed region shrinks to [clip, stats, "Time series:"]
+                # — the standard constant-parts-first serving layout
+                "cache_order": prompting.get("cache_order", False),
             }
         self.enabled = model.llm_enabled and any(
             self.cfg[k] for k in ("dataset", "clip", "input_stats", "task",
@@ -552,6 +603,12 @@ class PromptBuilder:
         self.dataset_description = dataset.description
         self.task_description = self._task_description(config, dataset)
         self.max_bucket = 16  # grows monotonically; few recompiles
+        # prefix split (serving): emit the constant [bos + dataset] prompt
+        # head as separate unpadded `prefix_ids` so eval can KV-cache it;
+        # the variable remainder gets a finer-granularity bucket (the
+        # whole point is fewer computed tokens per window)
+        self.split_prefix = getattr(model, "supports_prefix_cache", False)
+        self.max_bucket_suffix = 16
         self._cache: dict[str, list[int]] = {}
         if self.cfg["examples"] and getattr(dataset, "examples", None):
             # fixed example length from the DATASET's pool median — NOT
@@ -654,12 +711,22 @@ class PromptBuilder:
         example_texts = ([e[0] for e in batch["examples"]]
                          if has_examples else [""] * bs)
 
+        # cache_order (serving): the constant task description joins the
+        # cacheable head instead of trailing the per-window stats; with
+        # in-context examples the head is broken anyway, so keep the
+        # reference order there
+        task_in_head = (self.cfg["cache_order"] and task_prompt
+                        and not has_examples)
+
         pre_prompts, post_prompts = [], []
         for b in range(bs):
             pre = [bos, per_sample_ds[b]]
+            if task_in_head:
+                pre.append(task_prompt)
             if has_examples:
                 pre.append(example_texts[b])
-            post = [clip_prompts[b], stats_prompts[b], task_prompt,
+            post = [clip_prompts[b], stats_prompts[b],
+                    "" if task_in_head else task_prompt,
                     "Time series:"]
             pre = [p for p in pre if p != ""]
             post = [p for p in post if p != ""]
@@ -680,6 +747,26 @@ class PromptBuilder:
             self.max_bucket *= 2
         return self.max_bucket
 
+    def _bucket_suffix(self, maxlen: int) -> int:
+        # multiples of 16 (not powers of two): the split suffix is what
+        # the backbone actually computes per window, so granularity is
+        # throughput; stats-driven length jitter lands in 1-2 buckets
+        self.max_bucket_suffix = max(self.max_bucket_suffix,
+                                     ((maxlen + 15) // 16) * 16)
+        return self.max_bucket_suffix
+
+    def _head_part_count(self, batch: dict) -> int:
+        """Leading parts of `pre` that are batch-constant: bos + the
+        dataset description (+ the task description under `cache_order`;
+        never per-sample except in the pretraining mixture, never the
+        in-context example text)."""
+        if not self.split_prefix or "dataset_description" in batch:
+            return 0
+        has_examples = self.cfg["examples"] and "examples" in batch
+        return (int(bool(self.bos)) + int(bool(self.cfg["dataset"]))
+                + int(bool(self.cfg["task"] and self.cfg["cache_order"]
+                           and not has_examples)))
+
     def __call__(self, batch: dict) -> dict:
         arrays = {k: v for k, v in batch.items()
                   if k in ("x_enc", "y", "labels", "index", "valid")}
@@ -690,22 +777,37 @@ class PromptBuilder:
             return arrays
 
         has_examples = self.cfg["examples"] and "examples" in batch
+        n_head = self._head_part_count(batch)
+        head_ids: list[int] = []
+        if n_head:
+            # per-part tokenization means splitting at a part boundary
+            # preserves the exact token stream of the combined prompt
+            head_ids = sum((self._encode(p)
+                            for p in pre_prompts[0][:n_head]), [])
+            pre_prompts = [parts[n_head:] for parts in pre_prompts]
         pre_ids = [sum((self._encode(p) for p in parts), [])
                    for parts in pre_prompts]
         post_ids = [sum((self._encode(p) for p in parts), [])
                     for parts in post_prompts]
+        if head_ids:
+            arrays["prefix_ids"] = np.asarray(head_ids, dtype=np.int32)
 
         if has_examples:
-            arrays["prompt_ids"] = self._pad_ids(
-                pre_ids, self._bucket_for(max(map(len, pre_ids))))
+            if any(map(len, pre_ids)) or not head_ids:
+                arrays["prompt_ids"] = self._pad_ids(
+                    pre_ids, (self._bucket_suffix if head_ids else
+                              self._bucket_for)(max(map(len, pre_ids))))
             arrays["example_ts"] = self._example_tensor(batch)
             arrays["post_prompt_ids"] = self._pad_ids(
                 post_ids, self._bucket_post(max(map(len, post_ids))))
         else:
-            # single prompt, single left pad — exactly the reference layout
+            # single remainder, single left pad; without a split head this
+            # is exactly the reference layout (medtsllm.py:304-311)
             ids = [a + b for a, b in zip(pre_ids, post_ids)]
-            arrays["prompt_ids"] = self._pad_ids(
-                ids, self._bucket_for(max(map(len, ids))))
+            if any(map(len, ids)) or not head_ids:
+                arrays["prompt_ids"] = self._pad_ids(
+                    ids, (self._bucket_suffix if head_ids else
+                          self._bucket_for)(max(map(len, ids))))
         return arrays
 
     def _bucket_post(self, maxlen: int) -> int:

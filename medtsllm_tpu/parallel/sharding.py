@@ -93,7 +93,15 @@ def batch_spec(ndim: int) -> P:
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     out = {}
     for k, v in batch.items():
-        if hasattr(v, "ndim"):
+        if k == "prefix_ids":
+            # the constant prompt head is shared by every row: replicate
+            # over the mesh instead of sharding over "data"
+            out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+        elif k == "prefix_kv":
+            # already on device from the jitted prefill, sharded however
+            # XLA laid it out (kv heads over "tensor" under TP) — keep it
+            out[k] = v
+        elif hasattr(v, "ndim"):
             out[k] = jax.device_put(
                 v, NamedSharding(mesh, batch_spec(v.ndim)))
         else:

@@ -78,6 +78,8 @@ class BaseTask:
         self.step = 0
         self._step_in_flight = False
         self._preempt_requested = False
+        self._prefix_kv_cache = {}
+        self._prefill_jit = None
 
         metric_dir = config.training.eval_metric_direction
         self.best_score = float("inf") if metric_dir == "min" else float("-inf")
@@ -229,6 +231,32 @@ class BaseTask:
             return self.preprocessor(batch)
         return {k: v for k, v in batch.items() if k in ARRAY_BATCH_KEYS}
 
+    def eval_model_inputs(self, batch: dict) -> dict:
+        """Eval-side inputs: the constant prompt head (`prefix_ids`) is
+        swapped for its cached per-layer KV, so the compiled eval step
+        computes only the variable suffix + TS tokens per window. The
+        cache is rebuilt per eval pass (trivial cost) because LoRA /
+        finetuned embeddings may have updated the backbone between
+        epochs."""
+        arrays = self.model_inputs(batch)
+        ids = arrays.pop("prefix_ids", None)
+        if ids is not None:
+            arrays["prefix_kv"] = self._prefix_kv(np.asarray(ids))
+        return arrays
+
+    def _prefix_kv(self, ids: np.ndarray):
+        key = ids.tobytes()
+        kv = self._prefix_kv_cache.get(key)
+        if kv is None:
+            if self._prefill_jit is None:
+                model = self.model
+                pd = self.precision.param_dtype
+                self._prefill_jit = jax.jit(lambda p, i: model.apply(
+                    {"params": p}, i, pd, method=type(model).prefill))
+            kv = self._prefill_jit(self.params, jnp.asarray(ids))
+            self._prefix_kv_cache[key] = kv
+        return kv
+
     def checkpoint_params(self):
         """Param tree to persist; models can exclude frozen backbones
         (reference medtsllm.py:235-246)."""
@@ -344,6 +372,7 @@ class BaseTask:
         stacked per-window arrays: pred [n, ...] + requested batch keys."""
         preds, extras = [], {k: [] for k in extra_keys}
         pending = None  # one-deep pipeline: host readback overlaps compute
+        self._prefix_kv_cache.clear()  # params may have changed since
 
         def drain(item):
             out_dev, valid = item
@@ -352,7 +381,7 @@ class BaseTask:
 
         from ..data.pipeline import prefetch
         for batch in prefetch(iter(pipeline)):
-            arrays = self._device_batch(self.model_inputs(batch))
+            arrays = self._device_batch(self.eval_model_inputs(batch))
             out_dev = self.eval_step(self.params, arrays)
             v = batch["valid"]
             for k in extra_keys:

@@ -1,0 +1,203 @@
+"""Prompt-prefix KV cache (serving fast path).
+
+The reference re-tokenizes and re-computes the FULL prompt through the
+backbone for every batch (reference models/medtsllm.py:386-439,321-350).
+Here the constant prompt head [bos + dataset description (+ task under
+`cache_order`)] is laid out at positions 0..P-1, computed once per eval
+pass by `MedTsLLM.prefill`, and served from a per-layer KV cache — the
+compiled eval step runs only the variable suffix + TS patch tokens.
+Train and uncached eval embed the same head in-graph at the same
+positions, so cached and uncached paths are numerically identical.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medtsllm_tpu.tasks import get_trainer
+from conftest import make_config
+
+
+def _cfg(tmp_path, llm="llama-tiny", *, input_stats=True, cache_order=False,
+         prefix_cache=True, quant=0, task="reconstruction", **kw):
+    cfg = make_config(task=task, model="medtsllm", hist=32, pred=32,
+                      step=16, **kw)
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.training.epochs = 1
+    cfg.training.batch_size = 4
+    cfg.datasets.synthetic.n_points = 384
+    cfg["models"] = {"medtsllm": {
+        "d_model": 16, "d_ff": 16, "n_heads": 4, "num_tokens": 32,
+        "covariate_mode": "concat",
+        "embedding_downsample_mode": "linear",
+        "patching": {"patch_len": 8, "stride": 4},
+        "prompting": {"dataset": True, "task": True, "clip": False,
+                      "input_stats": input_stats, "examples": False,
+                      "input_stats_dim": 0, "input_stats_select": "all",
+                      "cache_order": cache_order},
+        "llm": {"enabled": True, "llm": llm, "llm_layers": -1,
+                "prefix_cache": prefix_cache,
+                "load_in_4bit": quant == 4, "load_in_8bit": quant == 8},
+    }}
+    return cfg
+
+
+@pytest.mark.parametrize("llm", ["llama-tiny", "gpt2-tiny"])
+def test_cached_equals_uncached(tmp_path, llm):
+    """Serving the prefix from the KV cache must reproduce the in-graph
+    forward exactly (same layout, same positions — llama rotary offset
+    and gpt2 wpe offset both covered)."""
+    trainer = get_trainer(f"pc-{llm}", _cfg(tmp_path, llm=llm))
+    batch = next(iter(trainer.test_pipeline))
+    arrays = trainer.model_inputs(batch)
+    assert "prefix_ids" in arrays and arrays["prefix_ids"].ndim == 1
+    cached = trainer.eval_model_inputs(batch)
+    assert "prefix_kv" in cached and "prefix_ids" not in cached
+
+    out_u = trainer.eval_step(trainer.params, arrays)
+    out_c = trainer.eval_step(trainer.params, cached)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_c),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_cache_order_moves_task_into_head(tmp_path):
+    """`cache_order` relocates the constant task description from the
+    per-window suffix into the cacheable head (content-identical
+    prompt, serving-friendly order)."""
+    t0 = get_trainer("pc-o0", _cfg(tmp_path, cache_order=False))
+    t1 = get_trainer("pc-o1", _cfg(tmp_path, cache_order=True))
+    b0 = next(iter(t0.test_pipeline))
+    b1 = next(iter(t1.test_pipeline))
+    a0, a1 = t0.model_inputs(b0), t1.model_inputs(b1)
+    p0, p1 = list(a0["prefix_ids"]), list(a1["prefix_ids"])
+    # head grows by exactly the task-description tokens, as a suffix
+    task_ids = t1.preprocessor._encode(
+        f"Task: {t1.preprocessor.task_description} ")
+    assert p1 == p0 + task_ids
+    # and the per-window suffix shrank by the same tokens
+    pad = t0.preprocessor.pad_id
+    s0 = [t for t in a0["prompt_ids"][0].tolist() if t != pad]
+    s1 = [t for t in a1["prompt_ids"][0].tolist() if t != pad]
+    assert sorted(s0) == sorted(s1 + task_ids)
+
+
+def test_prefix_cache_disable_and_pretraining(tmp_path):
+    # config off -> reference single left-pad layout (no split)
+    t = get_trainer("pc-off", _cfg(tmp_path, prefix_cache=False))
+    arrays = t.model_inputs(next(iter(t.test_pipeline)))
+    assert "prefix_ids" not in arrays
+    # pretraining mixture: per-sample dataset descriptions -> no split
+    cfg = _cfg(tmp_path, task="pretraining")
+    cfg.tasks = {"pretraining": {"downsample_pct": 0.5, "n_features": 2}}
+    cfg.data.dataset = "pretraining"
+    tp = get_trainer("pc-pt", cfg)
+    arrays = tp.model_inputs(next(iter(tp.train_pipeline)))
+    assert "prefix_ids" not in arrays
+    assert "prompt_ids" in arrays
+
+
+def test_unsupported_backbones_do_not_split(tmp_path):
+    for llm in ("encdec-tiny", "mamba-tiny"):
+        t = get_trainer(f"pc-{llm}", _cfg(tmp_path, llm=llm))
+        arrays = t.model_inputs(next(iter(t.test_pipeline)))
+        assert "prefix_ids" not in arrays, llm
+        assert not t.model.supports_prefix_cache
+
+
+def test_run_eval_populates_and_clears_cache(tmp_path):
+    trainer = get_trainer("pc-e2e", _cfg(tmp_path))
+    scores = trainer.val()
+    assert trainer._prefix_kv_cache, "eval did not build the prefix cache"
+    assert len(trainer._prefix_kv_cache) == 1  # one constant head
+    assert np.isfinite(scores["val/mse"])
+    # a later eval pass must rebuild (params may have changed: LoRA /
+    # finetuned embeddings) — the cache is cleared at entry
+    kv_old = next(iter(trainer._prefix_kv_cache.values()))
+    trainer.val()
+    kv_new = next(iter(trainer._prefix_kv_cache.values()))
+    assert kv_old is not kv_new
+
+
+def test_quantized_prefix_cache(tmp_path):
+    """int8 backbone: prefill runs the same s8xs8 matmuls; cached ==
+    uncached."""
+    trainer = get_trainer("pc-q8", _cfg(tmp_path, quant=8))
+    batch = next(iter(trainer.test_pipeline))
+    out_u = trainer.eval_step(trainer.params, trainer.model_inputs(batch))
+    out_c = trainer.eval_step(trainer.params, trainer.eval_model_inputs(batch))
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_c),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_prefix_cache(tmp_path):
+    """DP x TP mesh eval with the cached head: prefix_kv replicates /
+    stays on-device while batches shard over "data"."""
+    cfg = _cfg(tmp_path)
+    cfg.setup["tensor_parallel"] = 2
+    cfg.setup["data_parallel"] = 4
+    sharded = get_trainer("pc-mesh", cfg)
+    assert sharded.mesh is not None
+    single = get_trainer("pc-single", _cfg(tmp_path))
+
+    batch = next(iter(single.test_pipeline))
+    out_s = sharded.eval_step(
+        sharded.params, sharded._device_batch(sharded.eval_model_inputs(batch)))
+    out_1 = single.eval_step(single.params, single.eval_model_inputs(batch))
+    # same seed -> same init -> same numerics up to collective reduction order
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_1),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_train_step_uses_split_layout(tmp_path):
+    """The train graph embeds the same [head | pads | suffix | ts] layout
+    (prefix_ids in-graph), so train and cached eval see identical
+    sequences."""
+    trainer = get_trainer("pc-train", _cfg(tmp_path))
+    batch = next(iter(trainer.train_pipeline))
+    arrays = trainer.model_inputs(batch)
+    assert "prefix_ids" in arrays
+    valid = jnp.asarray(batch["valid"])
+    _, _, loss = trainer.train_step(trainer.params, trainer.opt_state,
+                                    arrays, valid, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+
+def test_examples_mode_keeps_reference_order(tmp_path):
+    """With in-context examples the head stops at [bos, dataset] (example
+    text is per-sample) and the task description stays in the suffix even
+    under cache_order."""
+    cfg = make_config(task="segmentation", model="medtsllm", hist=64, pred=64,
+                      step=64, loss="bce", eval_metric="segment_miou",
+                      eval_dir="max", dataset="ECG")
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.training.epochs = 1
+    cfg.training.batch_size = 4
+    cfg["datasets"] = {"ECG": {"version": "v2"}}
+    cfg["models"] = {"medtsllm": {
+        "d_model": 8, "d_ff": 8, "n_heads": 2, "num_tokens": 16,
+        "covariate_mode": "concat", "embedding_downsample_mode": "linear",
+        "patching": {"patch_len": 8, "stride": 4},
+        "prompting": {"dataset": True, "task": True, "clip": True,
+                      "input_stats": False, "examples": True,
+                      "example_pool": 16, "input_stats_dim": 0,
+                      "input_stats_select": "all", "cache_order": True},
+        "llm": {"enabled": True, "llm": "llama-tiny", "llm_layers": 1,
+                "load_in_4bit": False, "load_in_8bit": False},
+    }}
+    trainer = get_trainer("pc-ex", cfg)
+    batch = next(iter(trainer.val_pipeline))
+    assert "examples" in batch
+    arrays = trainer.model_inputs(batch)
+    assert "prefix_ids" in arrays  # bos + dataset still cacheable
+    assert "example_ts" in arrays and "post_prompt_ids" in arrays
+    # the task description tokens live in the post suffix, not the head
+    task_ids = trainer.preprocessor._encode(
+        f"Task: {trainer.preprocessor.task_description} ")
+    head = list(arrays["prefix_ids"])
+    assert head[-len(task_ids):] != task_ids
+    # cached eval equals uncached eval in examples mode too
+    out_u = trainer.eval_step(trainer.params, arrays)
+    out_c = trainer.eval_step(trainer.params, trainer.eval_model_inputs(batch))
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_c),
+                               rtol=1e-4, atol=1e-5)
