@@ -355,8 +355,10 @@ def main():
         arrays = trainer.model_inputs(batch)
         prefix_len = (int(arrays["prefix_ids"].shape[0])
                       if "prefix_ids" in arrays else 0)
-        if not args.train:
-            arrays = trainer.eval_model_inputs(batch)
+        # both paths serve the constant prompt head from cache when safe
+        # (train: frozen backbone + no LoRA + no backbone dropout)
+        arrays = (trainer.train_model_inputs(batch) if args.train
+                  else trainer.eval_model_inputs(batch))
         if not args.fp32:
             arrays = {k: (v.astype(np.float32) if hasattr(v, "dtype")
                           and np.issubdtype(v.dtype, np.floating) else v)
@@ -432,7 +434,7 @@ def main():
             "batch": args.batch,
             "history_len": args.history_len,
             "prompt_tokens": prompt_len,
-            "cached_prefix_tokens": prefix_len if not args.train else 0,
+            "cached_prefix_tokens": prefix_len if "prefix_kv" in arrays else 0,
             "total_tokens_per_window": tokens,
             "llm_params": n_llm,
             "a100_estimate_windows_per_sec": round(baseline, 3),

@@ -26,8 +26,10 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ...ops.pallas.selective_scan import selective_scan, selective_ssm
-from .transformer import QuantDense, RMSNorm, remat_class
+from ...ops.pallas.selective_scan import (selective_scan, selective_ssm,
+                                          selective_ssm_final,
+                                          selective_ssm_h0)
+from .transformer import QuantDense, RMSNorm, _remat_block_call
 
 __all__ = ["MambaConfig", "MambaBlock", "MambaBackbone", "selective_scan"]
 
@@ -68,7 +70,14 @@ class MambaBlock(nn.Module):
     act_quant: bool = True
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True, prefix_state=None,
+                 return_state: bool = False):
+        """``prefix_state`` (serving) = (conv_ctx [1|B, K-1, E],
+        h0 [1|B, N, E]): resume the depthwise conv and the SSM recurrence
+        from the cached prompt-prefix state. ``return_state`` (prefill)
+        additionally returns this segment's (conv tail, final SSM state).
+        The recurrence is associative, so resuming from the cached state
+        is numerically the full-sequence scan (tests/test_prefix_cache.py)."""
         cfg = self.cfg
         E, N, R = cfg.d_inner, cfg.d_state, cfg.rank
         residual = x
@@ -85,14 +94,29 @@ class MambaBlock(nn.Module):
 
         xz = dense(2 * E, cfg.use_bias, "in_proj")(x)  # [B, L, 2E]
         xs, z = jnp.split(xz, 2, axis=-1)
+        B_, K = xs.shape[0], cfg.d_conv
 
         # depthwise causal conv over L (kernel [K, 1, E], groups=E); left
-        # pad K-1 so position t sees only t-K+1..t
+        # context = zeros (pad K-1) or the cached prefix tail, so position
+        # t sees only t-K+1..t
         kernel = self.param("conv_kernel", nn.initializers.lecun_normal(),
                             (cfg.d_conv, 1, E), self.param_dtype)
+        if return_state:
+            # conv tail of the RAW pre-activation xs, zero-padded like the
+            # conv's own left context when the segment is shorter than K-1
+            conv_tail = jnp.pad(
+                xs, ((0, 0), (K - 1, 0), (0, 0)))[:, -(K - 1):]
+        if prefix_state is not None:
+            ctx = jnp.broadcast_to(
+                prefix_state[0].astype(xs.dtype), (B_, K - 1, E))
+            conv_in = jnp.concatenate([ctx, xs], axis=1)
+            pad_conv = [(0, 0)]
+        else:
+            conv_in = xs
+            pad_conv = [(K - 1, 0)]
         xc = jax.lax.conv_general_dilated(
-            xs.astype(kernel.dtype), kernel,
-            window_strides=(1,), padding=[(cfg.d_conv - 1, 0)],
+            conv_in.astype(kernel.dtype), kernel,
+            window_strides=(1,), padding=pad_conv,
             dimension_numbers=("NLC", "LIO", "NLC"),
             feature_group_count=E)
         if cfg.use_conv_bias:
@@ -118,12 +142,21 @@ class MambaBlock(nn.Module):
         # fused discretize+scan+contract: the [B, L, N, E] intermediates
         # never reach HBM (ops/pallas/selective_scan.py — the mamba-ssm
         # CUDA kernel's TPU-native counterpart)
-        y = selective_ssm(dt, A.T, B_ssm.astype(jnp.float32),
-                          C_ssm.astype(jnp.float32),
-                          xs.astype(jnp.float32),
-                          d_skip.astype(jnp.float32))        # [B,L,E]
+        args = (dt, A.T, B_ssm.astype(jnp.float32),
+                C_ssm.astype(jnp.float32), xs.astype(jnp.float32),
+                d_skip.astype(jnp.float32))
+        h_final = None
+        if return_state:
+            y, h_final = selective_ssm_final(*args)          # [B,L,E]
+        elif prefix_state is not None:
+            y = selective_ssm_h0(*args, prefix_state[1])
+        else:
+            y = selective_ssm(*args)
         y = (y.astype(xz.dtype)) * nn.silu(z)
-        return residual + dense(cfg.d_model, cfg.use_bias, "out_proj")(y)
+        out = residual + dense(cfg.d_model, cfg.use_bias, "out_proj")(y)
+        if return_state:
+            return out, (conv_tail, h_final)
+        return out
 
 
 class MambaBackbone(nn.Module):
@@ -146,11 +179,10 @@ class MambaBackbone(nn.Module):
         cfg = self.cfg
         self.wte = self.param("wte", nn.initializers.normal(0.02),
                               (cfg.vocab_size, cfg.d_model), self.param_dtype)
-        block_cls = remat_class(MambaBlock, self.remat)
-        self.blocks = [block_cls(cfg, dtype=self.dtype,
-                                 param_dtype=self.param_dtype,
-                                 quantize=self.quantize,
-                                 act_quant=self.act_quant, name=f"h_{i}")
+        self.blocks = [MambaBlock(cfg, dtype=self.dtype,
+                                  param_dtype=self.param_dtype,
+                                  quantize=self.quantize,
+                                  act_quant=self.act_quant, name=f"h_{i}")
                        for i in range(cfg.n_layers)]
         self.norm = RMSNorm(eps=cfg.norm_eps, name="norm_f",
                             param_dtype=self.param_dtype)
@@ -162,8 +194,28 @@ class MambaBackbone(nn.Module):
         return self.wte
 
     def __call__(self, inputs_embeds=None, input_ids=None, *,
-                 deterministic: bool = True):
+                 prefix_kv=None, deterministic: bool = True):
+        """``prefix_kv`` (serving; name shared with TransformerDecoder):
+        tuple of per-layer (conv_tail, ssm_state) from `prefill` — the
+        SSM analogue of a KV cache, O(1)-size per layer."""
         x = self.embed(input_ids) if inputs_embeds is None else inputs_embeds
-        for block in self.blocks:
-            x = block(x, deterministic=deterministic)
+        if prefix_kv is None:
+            call = _remat_block_call(self.remat)
+            for block in self.blocks:
+                x = call(block, x, deterministic)
+        else:
+            for i, block in enumerate(self.blocks):
+                x = block(x, deterministic=deterministic,
+                          prefix_state=prefix_kv[i])
         return self.norm(x)
+
+    def prefill(self, inputs_embeds) -> tuple:
+        """Run the stack over a prompt prefix [1, P, d]; returns per-layer
+        (conv tail [1, K-1, E], SSM state [1, N, E]) to seed
+        `__call__(prefix_kv=...)`."""
+        x = inputs_embeds
+        states = []
+        for block in self.blocks:
+            x, st = block(x, deterministic=True, return_state=True)
+            states.append(st)
+        return tuple(states)

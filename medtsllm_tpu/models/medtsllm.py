@@ -433,13 +433,33 @@ class MedTsLLM(nn.Module):
 
     @property
     def supports_prefix_cache(self) -> bool:
-        """The cache holds per-layer causal-attention K/V, so only the
-        decoder-only transformer path qualifies (the enc-dec encoder is
-        bidirectional — every prompt token sees the whole prompt — and
-        the SSM backbone carries state, not KV)."""
+        """Decoder-only transformers cache per-layer causal-attention K/V;
+        the mamba backbone caches its O(1) per-layer (conv tail, SSM
+        state) instead. The enc-dec path does not qualify: its encoder is
+        bidirectional, so every prompt token sees the whole prompt."""
         return (self.llm_enabled and self.prefix_cache
                 and not getattr(self.llm_cfg, "is_encoder_decoder", False)
-                and getattr(self.llm_cfg, "style", "") in ("gpt2", "llama"))
+                and getattr(self.llm_cfg, "style", "") in ("gpt2", "llama",
+                                                           "mamba"))
+
+    @property
+    def train_prefix_cache_safe(self) -> bool:
+        """The TRAIN step may also serve the prefix from cache when the
+        cached values are constants of the optimization: no LoRA (LoRA
+        adapts the q/v projections, so prefix K/V would change every
+        step) and no backbone dropout (the embedded-prefix path would
+        drop out prefix rows during training; the cache is computed
+        deterministically). The flagship finetune mode — frozen (often
+        int8) backbone + trainable fusion layers below it
+        (medtsllm.py:162-173,231-233) — qualifies: gradients w.r.t. every
+        trainable param are identical with the prefix as constant K/V
+        (tests/test_prefix_cache.py::test_train_step_cached_gradients).
+        Mamba is excluded: its h0-seeded fused scan is eval-only (no
+        custom_vjp) and dL/d(ts embeddings) must flow through the
+        backbone."""
+        return (self.supports_prefix_cache and self.lora is None
+                and getattr(self.llm_cfg, "style", "") != "mamba"
+                and getattr(self.llm_cfg, "dropout", 0.0) == 0.0)
 
     def prefill(self, prefix_ids, embed_dtype=jnp.float32):
         """Per-layer (k, v) for the constant prompt head [1, P] — computed

@@ -46,10 +46,10 @@ def _use_pallas() -> bool:
 
 
 def selective_scan(dA: jnp.ndarray, dBx: jnp.ndarray,
-                   chunk: int = 64) -> jnp.ndarray:
-    """h_t = dA_t * h_{t-1} + dBx_t over axis 1; h_0 = 0 (XLA path).
+                   chunk: int = 64, h0: jnp.ndarray | None = None) -> jnp.ndarray:
+    """h_t = dA_t * h_{t-1} + dBx_t over axis 1; h_0 = `h0` (or 0).
 
-    dA, dBx: [B, L, N, E] -> h [B, L, N, E] in f32. Chunked
+    dA, dBx: [B, L, N, E] -> h [B, L, N, E] in f32; h0 [B, N, E]. Chunked
     lax.scan-of-associative-scan; used by the reference/backward path
     and off-TPU.
     """
@@ -70,27 +70,40 @@ def selective_scan(dA: jnp.ndarray, dBx: jnp.ndarray,
         a2, b2 = right
         return a1 * a2, a2 * b1 + b2
 
-    def step(h0, ab):
+    def step(h0_, ab):
         a, b = ab
         a_cum, b_cum = jax.lax.associative_scan(combine, (a, b), axis=1)
-        h = a_cum * h0[:, None] + b_cum
+        h = a_cum * h0_[:, None] + b_cum
         return h[:, -1], h
 
-    _, hs = jax.lax.scan(step, jnp.zeros((B, N, E), f32), (dA, dBx))
+    init = (jnp.zeros((B, N, E), f32) if h0 is None
+            else jnp.broadcast_to(h0.astype(f32), (B, N, E)))
+    _, hs = jax.lax.scan(step, init, (dA, dBx))
     hs = hs.transpose(1, 0, 2, 3, 4).reshape(B, C * chunk, N, E)
     return hs[:, :L]
 
 
-def _ssm_reference(dt, A_T, Bs, Cs, xs, D):
+def _ssm_reference(dt, A_T, Bs, Cs, xs, D, h0=None):
     """y = C . h + D*x with h the dt-discretized recurrence (all f32).
 
     dt, xs [B, L, E]; A_T [N, E]; Bs, Cs [B, L, N]; D [E] -> y [B, L, E].
     """
     dA = jnp.exp(dt[:, :, None, :] * A_T[None, None])
     dBx = (dt * xs)[:, :, None, :] * Bs[..., None]
-    h = selective_scan(dA, dBx)
+    h = selective_scan(dA, dBx, h0=h0)
     y = jnp.einsum("blne,bln->ble", h, Cs)
     return y + D[None, None, :] * xs
+
+
+def selective_ssm_final(dt, A_T, Bs, Cs, xs, D, h0=None):
+    """(y, h_final [B, N, E]) — the prefill form: XLA path only (the
+    prompt prefix is a few dozen tokens computed once per eval pass, so
+    the fused kernel has nothing to win there)."""
+    dA = jnp.exp(dt[:, :, None, :] * A_T[None, None])
+    dBx = (dt * xs)[:, :, None, :] * Bs[..., None]
+    h = selective_scan(dA, dBx, h0=h0)
+    y = jnp.einsum("blne,bln->ble", h, Cs) + D[None, None, :] * xs
+    return y, h[:, -1]
 
 
 def _tok(arr, t):
@@ -101,14 +114,15 @@ def _tok(arr, t):
 
 
 def _ssm_fwd_body(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref, o_ref,
-                  hb_ref, h_scr, chunk: int):
+                  hb_ref, h_scr, chunk: int, h0_ref=None):
     from jax.experimental import pallas as pl
 
     ci = pl.program_id(1)
 
     @pl.when(ci == 0)
     def _init():
-        h_scr[:] = jnp.zeros_like(h_scr)
+        h_scr[:] = (jnp.zeros_like(h_scr) if h0_ref is None
+                    else h0_ref[:].astype(h_scr.dtype))
 
     if hb_ref is not None:  # record the chunk-START state (bwd residual)
         hb_ref[:, 0] = h_scr[:]
@@ -134,6 +148,15 @@ def _ssm_kernel(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref, o_ref, h_scr, *,
                 chunk: int):
     _ssm_fwd_body(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref, o_ref,
                   None, h_scr, chunk)
+
+
+def _ssm_kernel_h0(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref, h0_ref,
+                   o_ref, h_scr, *, chunk: int):
+    """Forward kernel seeded with an initial state h0 [B, N, bE] — the
+    serving path resumes the recurrence from the cached prompt-prefix
+    state instead of zero."""
+    _ssm_fwd_body(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref, o_ref,
+                  None, h_scr, chunk, h0_ref=h0_ref)
 
 
 def _ssm_kernel_bounds(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref,
@@ -243,6 +266,59 @@ def _ssm_pallas(dt, A_T, Bs, Cs, xs, D, chunk: int, block_e: int,
         interpret=interpret,
     )(dt, xs, Bs, Cs, A_T, D.reshape(1, E))
     return out[:, :L]
+
+
+def _ssm_pallas_h0(dt, A_T, Bs, Cs, xs, D, h0, chunk: int, block_e: int,
+                   interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, E = dt.shape
+    N = A_T.shape[0]
+    pad = (-L) % chunk
+    if pad:
+        dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+        xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
+        Bs = jnp.pad(Bs, ((0, 0), (0, pad), (0, 0)))
+        Cs = jnp.pad(Cs, ((0, 0), (0, pad), (0, 0)))
+    Lp = L + pad
+    grid = (E // block_e, Lp // chunk)
+    h0 = jnp.broadcast_to(h0.astype(jnp.float32), (B, N, E))
+
+    out = pl.pallas_call(
+        functools.partial(_ssm_kernel_h0, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, chunk, block_e), lambda e, c: (0, c, e)),
+            pl.BlockSpec((B, chunk, block_e), lambda e, c: (0, c, e)),
+            pl.BlockSpec((B, chunk, N), lambda e, c: (0, c, 0)),
+            pl.BlockSpec((B, chunk, N), lambda e, c: (0, c, 0)),
+            pl.BlockSpec((N, block_e), lambda e, c: (0, e)),
+            pl.BlockSpec((1, block_e), lambda e, c: (0, e)),
+            pl.BlockSpec((B, N, block_e), lambda e, c: (0, 0, e)),
+        ],
+        out_specs=pl.BlockSpec((B, chunk, block_e), lambda e, c: (0, c, e)),
+        out_shape=jax.ShapeDtypeStruct((B, Lp, E), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, N, block_e), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(dt, xs, Bs, Cs, A_T, D.reshape(1, E), h0)
+    return out[:, :L]
+
+
+def selective_ssm_h0(dt, A_T, Bs, Cs, xs, D, h0):
+    """Eval-only fused SSM seeded from a cached prefix state h0
+    [1 or B, N, E] (no custom_vjp: the serving path never
+    differentiates; prefill/training use selective_ssm_final /
+    selective_ssm)."""
+    B, _, E = dt.shape
+    N = A_T.shape[0]
+    if _use_pallas():
+        tiles = _pick_tiles(B, E, N)
+        if tiles is not None:
+            return _ssm_pallas_h0(dt, A_T, Bs, Cs, xs, D, h0, *tiles)
+    return _ssm_reference(dt, A_T, Bs, Cs, xs, D, h0=h0)
 
 
 def _ssm_pallas_with_bounds(dt, A_T, Bs, Cs, xs, D, chunk: int,

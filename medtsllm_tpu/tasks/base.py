@@ -231,6 +231,19 @@ class BaseTask:
             return self.preprocessor(batch)
         return {k: v for k, v in batch.items() if k in ARRAY_BATCH_KEYS}
 
+    def train_model_inputs(self, batch: dict) -> dict:
+        """Train-side inputs: when the prefix cache is constant w.r.t.
+        the optimization (frozen backbone, no LoRA, no backbone dropout —
+        model.train_prefix_cache_safe), the train step also serves the
+        prompt head from cache: same loss, same gradients, ~30% fewer
+        computed tokens per step at the flagship shape."""
+        arrays = self.model_inputs(batch)
+        if ("prefix_ids" in arrays
+                and getattr(self.model, "train_prefix_cache_safe", False)):
+            arrays["prefix_kv"] = self._prefix_kv(
+                np.asarray(arrays.pop("prefix_ids")))
+        return arrays
+
     def eval_model_inputs(self, batch: dict) -> dict:
         """Eval-side inputs: the constant prompt head (`prefix_ids`) is
         swapped for its cached per-layer KV, so the compiled eval step
@@ -334,7 +347,7 @@ class BaseTask:
             pending_n = 0
             from ..data.pipeline import prefetch
             for batch in prefetch(iter(self.train_pipeline)):
-                arrays = self._device_batch(self.model_inputs(batch))
+                arrays = self._device_batch(self.train_model_inputs(batch))
                 valid = jnp.asarray(batch["valid"])
                 # profile steps 2-4 (after compile) when configured
                 with profiler.trace(self.profile_dir if step_in_run == 2 else None):

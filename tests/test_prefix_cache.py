@@ -98,11 +98,31 @@ def test_prefix_cache_disable_and_pretraining(tmp_path):
 
 
 def test_unsupported_backbones_do_not_split(tmp_path):
-    for llm in ("encdec-tiny", "mamba-tiny"):
-        t = get_trainer(f"pc-{llm}", _cfg(tmp_path, llm=llm))
-        arrays = t.model_inputs(next(iter(t.test_pipeline)))
-        assert "prefix_ids" not in arrays, llm
-        assert not t.model.supports_prefix_cache
+    # enc-dec: the bidirectional encoder sees the whole prompt — no
+    # cacheable prefix exists
+    t = get_trainer("pc-encdec", _cfg(tmp_path, llm="encdec-tiny"))
+    arrays = t.model_inputs(next(iter(t.test_pipeline)))
+    assert "prefix_ids" not in arrays
+    assert not t.model.supports_prefix_cache
+
+
+def test_mamba_prefix_state_cache(tmp_path):
+    """SSM backbone: the cached prefix is an O(1) per-layer (conv tail,
+    recurrence state) pair; resuming from it equals the full scan."""
+    trainer = get_trainer("pc-mamba", _cfg(tmp_path, llm="mamba-tiny"))
+    assert trainer.model.supports_prefix_cache
+    batch = next(iter(trainer.test_pipeline))
+    arrays = trainer.model_inputs(batch)
+    assert "prefix_ids" in arrays
+    cached = trainer.eval_model_inputs(batch)
+    conv_tail, ssm_state = cached["prefix_kv"][0]
+    assert conv_tail.shape[1] == trainer.model.llm_cfg.d_conv - 1
+    assert ssm_state.shape[1] == trainer.model.llm_cfg.d_state
+
+    out_u = trainer.eval_step(trainer.params, arrays)
+    out_c = trainer.eval_step(trainer.params, cached)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_c),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_run_eval_populates_and_clears_cache(tmp_path):
@@ -161,6 +181,51 @@ def test_train_step_uses_split_layout(tmp_path):
     _, _, loss = trainer.train_step(trainer.params, trainer.opt_state,
                                     arrays, valid, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_train_step_cached_gradients(tmp_path):
+    """Frozen backbone + no LoRA: the train path may serve the prefix
+    from cache — loss AND gradients of every trainable subtree must
+    match the embedded-prefix graph."""
+    trainer = get_trainer("pc-tg", _cfg(tmp_path))
+    assert trainer.model.train_prefix_cache_safe
+    batch = next(iter(trainer.train_pipeline))
+    arrays_emb = trainer.model_inputs(batch)
+    arrays_kv = trainer.train_model_inputs(batch)
+    assert "prefix_kv" in arrays_kv and "prefix_ids" not in arrays_kv
+    valid = jnp.asarray(batch["valid"])
+    key = jax.random.PRNGKey(7)
+
+    def loss_of(arr):
+        def f(p):
+            pred = trainer.model.apply({"params": p}, arr, training=True,
+                                       rngs={"dropout": key})
+            return trainer.loss_fn(pred.astype(jnp.float32), arr, valid)
+        return jax.value_and_grad(f, allow_int=True)(trainer.params)
+
+    l1, g1 = loss_of(arrays_emb)
+    l2, g2 = loss_of(arrays_kv)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for sub in ("output_projection", "reprogramming_layer",
+                "patch_embedding", "mapping_layer"):
+        for a, b in zip(jax.tree.leaves(g1[sub]), jax.tree.leaves(g2[sub])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_lora_disables_train_cache(tmp_path):
+    """LoRA adapts q/v, so the prefix KV is NOT constant during training
+    — the train path must embed the head (eval still caches, rebuilt per
+    pass)."""
+    cfg = _cfg(tmp_path)
+    cfg.models.medtsllm["lora"] = {"enabled": True, "rank": 4, "alpha": 8,
+                                   "layers": "auto"}
+    trainer = get_trainer("pc-lora", cfg)
+    assert not trainer.model.train_prefix_cache_safe
+    assert trainer.model.supports_prefix_cache
+    batch = next(iter(trainer.train_pipeline))
+    arrays = trainer.train_model_inputs(batch)
+    assert "prefix_ids" in arrays and "prefix_kv" not in arrays
 
 
 def test_examples_mode_keeps_reference_order(tmp_path):
