@@ -276,10 +276,10 @@ def main():
     ap.add_argument("--llm-override", default="llama-1b",
                     help="backbone override for --config medtsllm benches "
                          "('config' keeps the configured id)")
-    # 64 is the measured sweet spot with the prefix-cached 112-token
-    # region (48 x 112 = 5376 rows under-fills the MXU; 64 x 112 = 7168
-    # ~= the 7680 rows batch 48 carried uncached; 96 is flat-to-worse)
-    ap.add_argument("--batch", type=int, default=64)
+    # measured sweet spot with the prefix-cached 112-token region
+    # (win/s: b48 137.2, b64 148.0, b72 150.3, b80 153.4, b88 149.6,
+    # b96 144.8 — 80 x 112 = 8960 rows fills the MXU best)
+    ap.add_argument("--batch", type=int, default=80)
     ap.add_argument("--history-len", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
@@ -352,13 +352,19 @@ def main():
         batch = next(iter(trainer.val_pipeline))
         # inference uses the serving path (constant prompt head served
         # from the KV cache); training embeds the head in-graph
+        # both paths serve the constant prompt head from cache when safe
+        # (train: frozen backbone + no LoRA + no backbone dropout); read
+        # the head length for the token accounting before the cache
+        # substitution pops prefix_ids (one preprocessing pass total)
         arrays = trainer.model_inputs(batch)
         prefix_len = (int(arrays["prefix_ids"].shape[0])
                       if "prefix_ids" in arrays else 0)
-        # both paths serve the constant prompt head from cache when safe
-        # (train: frozen backbone + no LoRA + no backbone dropout)
-        arrays = (trainer.train_model_inputs(batch) if args.train
-                  else trainer.eval_model_inputs(batch))
+        if "prefix_ids" in arrays:
+            use_cache = (getattr(trainer.model, "train_prefix_cache_safe",
+                                 False) if args.train else True)
+            if use_cache:
+                arrays["prefix_kv"] = trainer._prefix_kv(
+                    np.asarray(arrays.pop("prefix_ids")))
         if not args.fp32:
             arrays = {k: (v.astype(np.float32) if hasattr(v, "dtype")
                           and np.issubdtype(v.dtype, np.floating) else v)

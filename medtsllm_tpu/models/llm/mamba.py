@@ -200,9 +200,9 @@ class MambaBackbone(nn.Module):
         SSM analogue of a KV cache, O(1)-size per layer."""
         x = self.embed(input_ids) if inputs_embeds is None else inputs_embeds
         if prefix_kv is None:
-            call = _remat_block_call(self.remat)
+            call = _remat_block_call(self.remat, deterministic)
             for block in self.blocks:
-                x = call(block, x, deterministic)
+                x = call(block, x)
         else:
             for i, block in enumerate(self.blocks):
                 x = block(x, deterministic=deterministic,

@@ -480,14 +480,16 @@ def _remat_block(remat) -> type:
     return remat_class(Block, remat)
 
 
-def _remat_block_call(remat):
-    """Call-site remat for the decoder stack: only (block, x,
-    deterministic) cross the jax.checkpoint boundary, so the serving
-    kwargs (prefix_kv / position_offset / return_kv) never get traced
-    into bools inside the checkpointed region — prefill and the cached
-    eval path call the plain Block directly instead. Param paths are
-    unchanged (the transform wraps the call, not the class)."""
-    def call(block, x, deterministic):
+def _remat_block_call(remat, deterministic: bool):
+    """Call-site remat for the decoder stack: only (block, x) cross the
+    jax.checkpoint boundary — `deterministic` is CLOSED OVER (a traced
+    bool would crash flax Dropout's `if deterministic` for dropout>0
+    backbones like gpt2), and the serving kwargs (prefix_kv /
+    position_offset / return_kv) never enter the checkpointed region;
+    prefill and the cached eval path call the plain Block directly.
+    Param paths are unchanged (the transform wraps the call, not the
+    class)."""
+    def call(block, x):
         return block(x, deterministic=deterministic)
     if not remat:
         return call
@@ -560,9 +562,9 @@ class TransformerDecoder(nn.Module):
             x = self.embed_drop(x, deterministic=deterministic)
 
         if prefix_kv is None:
-            call = _remat_block_call(self.remat)
+            call = _remat_block_call(self.remat, deterministic)
             for block in self.blocks:
-                x = call(block, x, deterministic)
+                x = call(block, x)
         else:
             # serving path: eval-only, no backward, so remat is moot and
             # the plain call keeps the extra kwargs out of jax.checkpoint

@@ -48,6 +48,32 @@ def test_fused_ssm_kernel_matches_reference_interpret():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_fused_ssm_h0_kernel_matches_reference_interpret():
+    """The h0-seeded kernel (serving path: resume from the cached prefix
+    state) must equal running the full [prefix | region] sequence through
+    the reference graph — interpret mode, so the CPU suite covers the
+    kernel itself, not just the XLA fallback."""
+    from medtsllm_tpu.ops.pallas.selective_scan import (_ssm_pallas_h0,
+                                                        _ssm_reference,
+                                                        selective_ssm_final)
+    rng = np.random.default_rng(5)
+    B, P, L, E, N = 2, 9, 37, 128, 4
+    def mk(*s):
+        return jnp.asarray(rng.normal(size=s), jnp.float32)
+    dt = jnp.abs(mk(B, P + L, E)) * 0.1
+    A_T = -jnp.abs(mk(N, E))
+    Bs, Cs = mk(B, P + L, N), mk(B, P + L, N)
+    xs = mk(B, P + L, E)
+    D = mk(E)
+    full = np.asarray(_ssm_reference(dt, A_T, Bs, Cs, xs, D))
+    _, h0 = selective_ssm_final(dt[:, :P], A_T, Bs[:, :P], Cs[:, :P],
+                                xs[:, :P], D)
+    got = np.asarray(_ssm_pallas_h0(dt[:, P:], A_T, Bs[:, P:], Cs[:, P:],
+                                    xs[:, P:], D, h0, chunk=16,
+                                    block_e=128, interpret=True))
+    np.testing.assert_allclose(got, full[:, P:], rtol=1e-5, atol=1e-5)
+
+
 def test_fused_ssm_backward_kernel_matches_vjp_interpret():
     """The Pallas adjoint kernel (chunk recompute + reverse recurrence)
     must reproduce jax.vjp of the reference graph for all six inputs."""

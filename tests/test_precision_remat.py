@@ -60,6 +60,26 @@ def test_remat_backbone(tmp_path):
     t2.train()  # backward through remat
 
 
+def test_remat_gpt2_dropout_backbone(tmp_path):
+    """remat with a dropout>0 backbone (gpt2, resid/embed dropout 0.1):
+    `deterministic` must stay a STATIC bool through the jax.checkpoint
+    boundary (a traced bool[] crashes flax Dropout) — regression test
+    for the call-site remat wrapper; llama-tiny's dropout=0.0 would
+    short-circuit the check and hide it."""
+    cfg = _medtsllm_cfg(tmp_path, remat="dots")
+    cfg.models.medtsllm.llm.llm = "gpt2-tiny"
+    trainer = get_trainer("rg", cfg)
+    batch = next(iter(trainer.val_pipeline))
+    out = trainer.eval_step(trainer.params, trainer.model_inputs(batch))
+    assert np.isfinite(np.asarray(out)).all()
+    import jax as _jax
+    valid = jnp.asarray(batch["valid"])
+    _, _, loss = trainer.train_step(
+        trainer.params, trainer.opt_state,
+        trainer.train_model_inputs(batch), valid, _jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+
 def test_remat_dots_policy_gradient_parity(tmp_path):
     """The "dots" policy (save projection-matmul outputs, recompute
     elementwise) must produce the SAME gradients as full-block remat —
