@@ -454,11 +454,11 @@ class MedTsLLM(nn.Module):
         (medtsllm.py:162-173,231-233) — qualifies: gradients w.r.t. every
         trainable param are identical with the prefix as constant K/V
         (tests/test_prefix_cache.py::test_train_step_cached_gradients).
-        Mamba is excluded: its h0-seeded fused scan is eval-only (no
-        custom_vjp) and dL/d(ts embeddings) must flow through the
-        backbone."""
+        Mamba qualifies too: selective_ssm_h0 carries a custom_vjp whose
+        backward resumes from the recorded chunk boundaries (the first
+        boundary IS the cached state), with a zero cotangent for the
+        constant h0."""
         return (self.supports_prefix_cache and self.lora is None
-                and getattr(self.llm_cfg, "style", "") != "mamba"
                 and getattr(self.llm_cfg, "dropout", 0.0) == 0.0)
 
     def prefill(self, prefix_ids, embed_dtype=jnp.float32):

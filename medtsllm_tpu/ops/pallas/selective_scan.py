@@ -167,6 +167,14 @@ def _ssm_kernel_bounds(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref,
                   hb_ref, h_scr, chunk)
 
 
+def _ssm_kernel_bounds_h0(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref,
+                          h0_ref, o_ref, hb_ref, h_scr, *, chunk: int):
+    """Bounds-recording forward seeded with h0: hb[0] = h0, so the SAME
+    backward kernel resumes correctly for the cached-prefix train path."""
+    _ssm_fwd_body(dt_ref, x_ref, b_ref, c_ref, at_ref, d_ref, o_ref,
+                  hb_ref, h_scr, chunk, h0_ref=h0_ref)
+
+
 def _ssm_bwd_kernel(dt_ref, x_ref, b_ref, c_ref, at_ref, g_ref, hb_ref,
                     ddt_ref, dx_ref, db_ref, dc_ref, dat_ref,
                     hhat_scr, *, chunk: int):
@@ -307,11 +315,13 @@ def _ssm_pallas_h0(dt, A_T, Bs, Cs, xs, D, h0, chunk: int, block_e: int,
     return out[:, :L]
 
 
+@jax.custom_vjp
 def selective_ssm_h0(dt, A_T, Bs, Cs, xs, D, h0):
-    """Eval-only fused SSM seeded from a cached prefix state h0
-    [1 or B, N, E] (no custom_vjp: the serving path never
-    differentiates; prefill/training use selective_ssm_final /
-    selective_ssm)."""
+    """Fused SSM seeded from a cached prefix state h0 [1 or B, N, E].
+
+    Differentiable in everything but h0 (the cache is a constant of the
+    serving/finetune step — its cotangent is zero): the backward reuses
+    the chunk-boundary adjoint kernel, whose first boundary is h0."""
     B, _, E = dt.shape
     N = A_T.shape[0]
     if _use_pallas():
@@ -321,9 +331,42 @@ def selective_ssm_h0(dt, A_T, Bs, Cs, xs, D, h0):
     return _ssm_reference(dt, A_T, Bs, Cs, xs, D, h0=h0)
 
 
+def _ssm_h0_fwd(dt, A_T, Bs, Cs, xs, D, h0):
+    B, _, E = dt.shape
+    N = A_T.shape[0]
+    tiles = _pick_tiles(B, E, N) if _use_pallas() else None
+    if tiles is not None:
+        y, hb = _ssm_pallas_with_bounds(dt, A_T, Bs, Cs, xs, D, *tiles,
+                                        h0=h0)
+        return y, (dt, A_T, Bs, Cs, xs, D, h0, hb, tiles)
+    return (_ssm_reference(dt, A_T, Bs, Cs, xs, D, h0=h0),
+            (dt, A_T, Bs, Cs, xs, D, h0, None, None))
+
+
+def _ssm_h0_bwd(res, g):
+    dt, A_T, Bs, Cs, xs, D, h0, hb, tiles = res
+    if hb is not None:
+        g32 = g.astype(jnp.float32)
+        ddt, dx_ssm, dB, dC, dAT = _ssm_pallas_bwd(
+            dt, A_T, Bs, Cs, xs, g32, hb, *tiles)
+        dx = dx_ssm + D[None, None, :] * g32
+        dD = jnp.sum(g32 * xs, axis=(0, 1))
+        return ddt, dAT, dB, dC, dx, dD, jnp.zeros_like(h0)
+    # off-TPU: adjoint via the XLA reference graph, h0 held constant
+    def ref(dt_, at_, bs_, cs_, xs_, d_):
+        return _ssm_reference(dt_, at_, bs_, cs_, xs_, d_, h0=h0)
+    _, vjp = jax.vjp(ref, dt, A_T, Bs, Cs, xs, D)
+    return (*vjp(g), jnp.zeros_like(h0))
+
+
+selective_ssm_h0.defvjp(_ssm_h0_fwd, _ssm_h0_bwd)
+
+
 def _ssm_pallas_with_bounds(dt, A_T, Bs, Cs, xs, D, chunk: int,
-                            block_e: int, interpret: bool = False):
-    """Forward + chunk-start boundary states hb [B, L/chunk, N, E]."""
+                            block_e: int, interpret: bool = False,
+                            h0=None):
+    """Forward + chunk-start boundary states hb [B, L/chunk, N, E];
+    optionally seeded with h0 (cached-prefix train path)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -339,17 +382,26 @@ def _ssm_pallas_with_bounds(dt, A_T, Bs, Cs, xs, D, chunk: int,
     nc = Lp // chunk
     grid = (E // block_e, nc)
 
+    in_specs = [
+        pl.BlockSpec((B, chunk, block_e), lambda e, c: (0, c, e)),
+        pl.BlockSpec((B, chunk, block_e), lambda e, c: (0, c, e)),
+        pl.BlockSpec((B, chunk, N), lambda e, c: (0, c, 0)),
+        pl.BlockSpec((B, chunk, N), lambda e, c: (0, c, 0)),
+        pl.BlockSpec((N, block_e), lambda e, c: (0, e)),
+        pl.BlockSpec((1, block_e), lambda e, c: (0, e)),
+    ]
+    operands = [dt, xs, Bs, Cs, A_T, D.reshape(1, E)]
+    kernel = _ssm_kernel_bounds
+    if h0 is not None:
+        in_specs.append(
+            pl.BlockSpec((B, N, block_e), lambda e, c: (0, 0, e)))
+        operands.append(jnp.broadcast_to(h0.astype(jnp.float32), (B, N, E)))
+        kernel = _ssm_kernel_bounds_h0
+
     out, hb = pl.pallas_call(
-        functools.partial(_ssm_kernel_bounds, chunk=chunk),
+        functools.partial(kernel, chunk=chunk),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((B, chunk, block_e), lambda e, c: (0, c, e)),
-            pl.BlockSpec((B, chunk, block_e), lambda e, c: (0, c, e)),
-            pl.BlockSpec((B, chunk, N), lambda e, c: (0, c, 0)),
-            pl.BlockSpec((B, chunk, N), lambda e, c: (0, c, 0)),
-            pl.BlockSpec((N, block_e), lambda e, c: (0, e)),
-            pl.BlockSpec((1, block_e), lambda e, c: (0, e)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((B, chunk, block_e), lambda e, c: (0, c, e)),
             pl.BlockSpec((B, 1, N, block_e), lambda e, c: (0, c, 0, e)),
@@ -362,7 +414,7 @@ def _ssm_pallas_with_bounds(dt, A_T, Bs, Cs, xs, D, chunk: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(dt, xs, Bs, Cs, A_T, D.reshape(1, E))
+    )(*operands)
     return out[:, :L], hb
 
 

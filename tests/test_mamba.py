@@ -74,6 +74,81 @@ def test_fused_ssm_h0_kernel_matches_reference_interpret():
     np.testing.assert_allclose(got, full[:, P:], rtol=1e-5, atol=1e-5)
 
 
+def test_fused_ssm_h0_grads_match_reference():
+    """The h0-seeded scan's custom_vjp (cached-prefix TRAIN path): its
+    gradients must equal jax.vjp of the reference graph with h0 held
+    constant — on the interpret-mode kernel pair AND the XLA fallback.
+    h0-as-constant is the right semantics because the cached train path
+    requires a frozen backbone (train_prefix_cache_safe), so no
+    trainable gradient flows through the prefix state."""
+    from medtsllm_tpu.ops.pallas.selective_scan import (
+        _ssm_pallas_bwd, _ssm_pallas_with_bounds, _ssm_reference,
+        selective_ssm_final, selective_ssm_h0)
+    rng = np.random.default_rng(11)
+    B, P, L, E, N = 2, 9, 37, 128, 4
+    def mk(*s):
+        return jnp.asarray(rng.normal(size=s), jnp.float32)
+    dt = jnp.abs(mk(B, P + L, E)) * 0.1
+    A_T = -jnp.abs(mk(N, E))
+    Bs, Cs = mk(B, P + L, N), mk(B, P + L, N)
+    xs = mk(B, P + L, E)
+    D = mk(E)
+    _, h0 = selective_ssm_final(dt[:, :P], A_T, Bs[:, :P], Cs[:, :P],
+                                xs[:, :P], D)
+    g = mk(B, L, E)
+
+    # oracle: the reference graph seeded with h0 as a closed-over
+    # constant (exactly the cached-step semantics)
+    def region(dt_r, at, bs_r, cs_r, xs_r, d):
+        return _ssm_reference(dt_r, at, bs_r, cs_r, xs_r, d, h0=h0)
+    _, vjp_ref = jax.vjp(region, dt[:, P:], A_T, Bs[:, P:], Cs[:, P:],
+                         xs[:, P:], D)
+    ref_grads = vjp_ref(g)
+
+    # sanity on the oracle itself: vs the FULL-sequence graph (prefix
+    # inputs fixed), every grad except dA_T matches — A_T is the one
+    # input that also feeds h0, and it is frozen in the cached path
+    def full(dt_r, at, bs_r, cs_r, xs_r, d):
+        y = _ssm_reference(jnp.concatenate([dt[:, :P], dt_r], 1), at,
+                           jnp.concatenate([Bs[:, :P], bs_r], 1),
+                           jnp.concatenate([Cs[:, :P], cs_r], 1),
+                           jnp.concatenate([xs[:, :P], xs_r], 1), d)
+        return y[:, P:]
+    _, vjp_full = jax.vjp(full, dt[:, P:], A_T, Bs[:, P:], Cs[:, P:],
+                          xs[:, P:], D)
+    full_grads = vjp_full(g)
+    for i, (got, ref) in enumerate(zip(ref_grads, full_grads)):
+        if i == 1:  # dA_T: differs by the through-prefix term
+            continue
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    # XLA-fallback custom_vjp path
+    _, vjp_h0 = jax.vjp(
+        lambda *a: selective_ssm_h0(*a, h0), dt[:, P:], A_T, Bs[:, P:],
+        Cs[:, P:], xs[:, P:], D)
+    for got, ref in zip(vjp_h0(g), ref_grads):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    # interpret-mode kernel pair: h0-seeded bounds forward feeds the
+    # unchanged backward kernel (first boundary = h0)
+    y_k, hb = _ssm_pallas_with_bounds(dt[:, P:], A_T, Bs[:, P:], Cs[:, P:],
+                                      xs[:, P:], D, chunk=16, block_e=128,
+                                      interpret=True, h0=h0)
+    full_y = np.asarray(_ssm_reference(dt, A_T, Bs, Cs, xs, D))
+    np.testing.assert_allclose(np.asarray(y_k), full_y[:, P:],
+                               rtol=1e-5, atol=1e-5)
+    ddt, dx_ssm, dB, dC, dAT = _ssm_pallas_bwd(
+        dt[:, P:], A_T, Bs[:, P:], Cs[:, P:], xs[:, P:], g, hb,
+        chunk=16, block_e=128, interpret=True)
+    dx = dx_ssm + D[None, None, :] * g
+    dD = jnp.sum(g * xs[:, P:], axis=(0, 1))
+    for got, ref in zip((ddt, dAT, dB, dC, dx, dD), ref_grads):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_fused_ssm_backward_kernel_matches_vjp_interpret():
     """The Pallas adjoint kernel (chunk recompute + reverse recurrence)
     must reproduce jax.vjp of the reference graph for all six inputs."""

@@ -183,11 +183,13 @@ def test_train_step_uses_split_layout(tmp_path):
     assert np.isfinite(float(loss))
 
 
-def test_train_step_cached_gradients(tmp_path):
+@pytest.mark.parametrize("llm", ["llama-tiny", "mamba-tiny"])
+def test_train_step_cached_gradients(tmp_path, llm):
     """Frozen backbone + no LoRA: the train path may serve the prefix
     from cache — loss AND gradients of every trainable subtree must
-    match the embedded-prefix graph."""
-    trainer = get_trainer("pc-tg", _cfg(tmp_path))
+    match the embedded-prefix graph (transformer KV cache and mamba
+    state cache, whose h0-seeded scan carries a custom_vjp)."""
+    trainer = get_trainer(f"pc-tg-{llm}", _cfg(tmp_path, llm=llm))
     assert trainer.model.train_prefix_cache_safe
     batch = next(iter(trainer.train_pipeline))
     arrays_emb = trainer.model_inputs(batch)
