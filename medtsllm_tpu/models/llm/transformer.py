@@ -23,6 +23,9 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops.pallas.flash_attention import flash_attention
+from ...ops.pallas.rope_attention import (fused_rope_attention,
+                                          fused_rope_attention_supported,
+                                          rope_tables)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,16 +90,27 @@ class RMSNorm(nn.Module):
         return xn * w
 
 
-def rotary_embedding(x, positions, theta: float):
-    """Apply RoPE to [B, H, L, D] given positions [L]."""
+def rotary_embedding(x, positions, theta: float, seq_axis: int = 2):
+    """Apply RoPE (Llama half-split convention) along ``seq_axis``.
+
+    x is [B, H, L, D] (seq_axis=2) or [B, L, H, D] (seq_axis=1).
+    Angles/cos/sin are synthesized in f32 (position * inv_freq must not
+    lose precision), then cast to x.dtype so the rotation runs at the
+    compute precision. Call this BEFORE the head transpose (seq_axis=1,
+    projection-output layout): profiling the 7B batch-80 serving graph
+    showed XLA cloning the rotation into kLoop fusions that absorb the
+    [B,L,H,D]->[B,H,L,D] transpose as strided element reads — ~45
+    ms/step vs ~6 ms for the same math over contiguous rows."""
     D = x.shape[-1]
     inv_freq = 1.0 / (theta ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D))
     angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [L, D/2]
-    cos = jnp.cos(angles)[None, None, :, :]
-    sin = jnp.sin(angles)[None, None, :, :]
+    shape = [1, 1, 1, D // 2]
+    shape[seq_axis] = angles.shape[0]
+    cos = jnp.cos(angles).reshape(shape).astype(x.dtype)
+    sin = jnp.sin(angles).reshape(shape).astype(x.dtype)
     x1, x2 = x[..., : D // 2], x[..., D // 2:]
-    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
-    return out.astype(x.dtype)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                           axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -325,32 +339,67 @@ class Attention(nn.Module):
             k = proj("k_proj", KV * D, "k", kv_src)
             v = proj("v_proj", KV * D, "v", kv_src)
 
-        q = q.reshape(B, L, H, D).transpose(0, 2, 1, 3)
-        k = k.reshape(B, S, KV, D).transpose(0, 2, 1, 3)
-        v = v.reshape(B, S, KV, D).transpose(0, 2, 1, 3)
+        # cast to the compute dtype BEFORE the head split: the quantized
+        # projections emit f32 (s32 accumulator x scales), and leaving
+        # the cast to XLA lets rotary + transposes run in f32 (profiled
+        # at ~2x the attention-core time in the bf16 serving step)
+        if self.dtype is not None:
+            q, k, v = (t.astype(self.dtype) for t in (q, k, v))
+        q = q.reshape(B, L, H, D)
+        k = k.reshape(B, S, KV, D)
+        v = v.reshape(B, S, KV, D)
 
-        if cfg.style == "llama" and kv is None:
+        if (kv is None and not return_kv
+                and fused_rope_attention_supported(
+                    cfg.style, H, KV, D, L, attn_bias is not None,
+                    self.causal)):
+            # fused rope + prefix-KV + attention kernel: one VMEM pass
+            # in the projection layout — opt-in only
+            # (MEDTSLLM_FUSED_ROPE_ATTN=1); measured LOSING to the XLA
+            # path at the 7B serving shape, see the gate docstring in
+            # ops/pallas/rope_attention.py
             positions = position_offset + jnp.arange(L)
-            q = rotary_embedding(q, positions, cfg.rope_theta)
-            k = rotary_embedding(k, positions, cfg.rope_theta)
+            cos, sin = rope_tables(positions, D, cfg.rope_theta)
+            pk, pv = prefix_kv if prefix_kv is not None else (None, None)
+            out = fused_rope_attention(q, k, v, cos, sin, pk, pv,
+                                       1.0 / math.sqrt(D))
+            out = out.reshape(B, L, H * D)
+            new_kv = None
+        else:
+            if cfg.style == "llama" and kv is None:
+                # rotate in the contiguous projection layout, THEN
+                # transpose (see rotary_embedding: fusing the rotation
+                # across the head transpose costs ~7x in strided reads)
+                positions = position_offset + jnp.arange(L)
+                q = rotary_embedding(q, positions, cfg.rope_theta,
+                                     seq_axis=1)
+                k = rotary_embedding(k, positions, cfg.rope_theta,
+                                     seq_axis=1)
 
-        new_kv = (k, v) if return_kv else None
-        if prefix_kv is not None:
-            pk, pv = prefix_kv  # [1 or B, KV, P, D], rotary pre-applied
-            pk = jnp.broadcast_to(pk.astype(k.dtype),
-                                  (B,) + pk.shape[1:])
-            pv = jnp.broadcast_to(pv.astype(v.dtype),
-                                  (B,) + pv.shape[1:])
-            k = jnp.concatenate([pk, k], axis=2)
-            v = jnp.concatenate([pv, v], axis=2)
+            q = q.transpose(0, 2, 1, 3)
+            k = k.transpose(0, 2, 1, 3)
+            v = v.transpose(0, 2, 1, 3)
 
-        # grouped-query attention (KV < H) folds into flash_attention:
-        # the repeated K/V heads are broadcast, never materialized
-        out = flash_attention(q, k, v, causal=self.causal and kv is None,
-                              # t5 bakes the 1/sqrt(d) scale into its init
-                              sm_scale=1.0 if cfg.style == "t5" else None,
-                              bias=attn_bias)
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, H * D)
+            new_kv = (k, v) if return_kv else None
+            if prefix_kv is not None:
+                pk, pv = prefix_kv  # [1 or B, KV, P, D], rotary applied
+                pk = jnp.broadcast_to(pk.astype(k.dtype),
+                                      (B,) + pk.shape[1:])
+                pv = jnp.broadcast_to(pv.astype(v.dtype),
+                                      (B,) + pv.shape[1:])
+                k = jnp.concatenate([pk, k], axis=2)
+                v = jnp.concatenate([pv, v], axis=2)
+
+            # grouped-query attention (KV < H) folds into
+            # flash_attention: the repeated K/V heads are broadcast,
+            # never materialized
+            out = flash_attention(q, k, v,
+                                  causal=self.causal and kv is None,
+                                  # t5 bakes 1/sqrt(d) into its init
+                                  sm_scale=(1.0 if cfg.style == "t5"
+                                            else None),
+                                  bias=attn_bias)
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, H * D)
 
         o_spec = self.lora if (self.lora and "o" in self.lora.targets) else None
         name = "c_proj" if cfg.style == "gpt2" else "o_proj"

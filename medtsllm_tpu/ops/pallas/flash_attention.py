@@ -56,9 +56,16 @@ def _attention_reference(q, k, v, causal: bool, sm_scale: float,
     B, H, L, D = q.shape
     KV, S = k.shape[1], k.shape[2]
     G = H // KV
-    q5 = q.reshape(B, KV, G, L, D)
-    scores = jnp.einsum("bkgqd,bksd->bkgqs", q5, k,
-                        preferred_element_type=jnp.float32) * sm_scale
+    # fold the group axis into the q rows: [B, KV, G*L, D] x
+    # [B, KV, S, D]^T is a clean two-batch-dim dot_general for BOTH MHA
+    # (G=1) and GQA. A size-1 free group dim in the einsum pushes XLA's
+    # TPU backend off the batched-matmul emitter onto a dilated
+    # convolution lowering (profiled: the MHA QK dot compiled to
+    # %convolution-base-dilated); the fold keeps it on the MXU.
+    q4 = q.reshape(B, KV, G * L, D)
+    scores = (jnp.einsum("bkqd,bksd->bkqs", q4, k,
+                         preferred_element_type=jnp.float32) * sm_scale
+              ).reshape(B, KV, G, L, S)
     if bias is not None:
         scores = scores + bias.reshape(1, KV, G, L, S).astype(scores.dtype)
     if causal:
@@ -66,7 +73,8 @@ def _attention_reference(q, k, v, causal: bool, sm_scale: float,
         mask = jnp.tril(jnp.ones((L, S), dtype=bool), k=S - L)
         scores = jnp.where(mask, scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bkgqs,bksd->bkgqd", probs.astype(v.dtype), v)
+    out = jnp.einsum("bkqs,bksd->bkqd",
+                     probs.reshape(B, KV, G * L, S).astype(v.dtype), v)
     return out.reshape(B, H, L, D)
 
 

@@ -96,3 +96,93 @@ def test_quantdense_int4_uses_split_layout():
     absmax = np.max(np.abs(w), axis=0)
     expect = np.clip(np.round(w / (absmax / qmax)), -qmax, qmax).astype(np.int8)
     np.testing.assert_array_equal(q, pack4_split(expect))
+
+
+def test_fused_rope_attention_kernel_matches_reference():
+    """Pallas fused rope+attention (interpret mode) == XLA oracle, for
+    no-prefix, shared-prefix (pb=1) and per-batch-prefix, including a
+    prefix length that is not a sublane multiple (exercises padding)."""
+    import jax
+    from medtsllm_tpu.ops.pallas.rope_attention import (
+        _pallas_forward, _reference, rope_tables)
+    rng = np.random.default_rng(3)
+    B, L, H, D = 2, 16, 16, 8
+    sm = 1.0 / np.sqrt(D)
+    xq = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    xk = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    xv = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    for P, pb in ((0, 1), (5, 1), (5, B), (16, 1)):
+        pos = jnp.arange(P, P + L)
+        cos, sin = rope_tables(pos, D, 10000.0)
+        if P:
+            pk = jnp.asarray(rng.normal(size=(pb, H, P, D)), jnp.float32)
+            pv = jnp.asarray(rng.normal(size=(pb, H, P, D)), jnp.float32)
+        else:
+            pk = pv = None
+        out = _pallas_forward(xq, xk, xv, cos, sin, pk, pv, sm,
+                              interpret=True)
+        exp = _reference(xq, xk, xv, cos, sin, pk, pv, sm)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(exp),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_rope_attention_vjp_matches_direct_grad():
+    """custom_vjp backward (XLA recompute) == jax.grad of the oracle."""
+    import jax
+    from medtsllm_tpu.ops.pallas.rope_attention import (
+        _reference, fused_rope_attention, rope_tables)
+    rng = np.random.default_rng(4)
+    B, L, H, D = 1, 8, 2, 8
+    sm = 1.0 / np.sqrt(D)
+    xq = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    xk = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    xv = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    P = 4
+    cos, sin = rope_tables(jnp.arange(P, P + L), D, 10000.0)
+    pk = jnp.asarray(rng.normal(size=(1, H, P, D)), jnp.float32)
+    pv = jnp.asarray(rng.normal(size=(1, H, P, D)), jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_rope_attention(q, k, v, cos, sin, pk, pv,
+                                            sm) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference(q, k, v, cos, sin, pk, pv, sm) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(xq, xk, xv)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(xq, xk, xv)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_rope_attention_gate_default_off(monkeypatch):
+    """Kernel is opt-in: gate is False without MEDTSLLM_FUSED_ROPE_ATTN=1
+    and rejects unsupported shapes even with it."""
+    from medtsllm_tpu.ops.pallas.rope_attention import (
+        fused_rope_attention_supported as gate)
+    monkeypatch.delenv("MEDTSLLM_FUSED_ROPE_ATTN", raising=False)
+    assert not gate("llama", 32, 32, 128, 112, False, True)
+    monkeypatch.setenv("MEDTSLLM_FUSED_ROPE_ATTN", "1")
+    assert gate("llama", 32, 32, 128, 112, False, True)
+    assert not gate("gpt2", 32, 32, 128, 112, False, True)   # style
+    assert not gate("llama", 32, 8, 128, 112, False, True)   # GQA
+    assert not gate("llama", 32, 32, 64, 112, False, True)   # head_dim
+    assert not gate("llama", 32, 32, 128, 113, False, True)  # L % 16
+    assert not gate("llama", 32, 32, 128, 112, True, True)   # bias
+    assert not gate("llama", 32, 32, 128, 112, False, False) # causal
+
+
+def test_rotary_embedding_seq_axis_layouts_agree():
+    """RoPE applied pre-transpose ([B,L,H,D], seq_axis=1) == applied
+    post-transpose ([B,H,L,D], seq_axis=2) then compared in one layout."""
+    from medtsllm_tpu.models.llm.transformer import rotary_embedding
+    rng = np.random.default_rng(5)
+    B, H, L, D = 2, 4, 12, 16
+    x_blhd = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    pos = jnp.arange(7, 7 + L)
+    a = rotary_embedding(x_blhd, pos, 10000.0, seq_axis=1)
+    b = rotary_embedding(x_blhd.transpose(0, 2, 1, 3), pos, 10000.0,
+                         seq_axis=2)
+    np.testing.assert_allclose(np.asarray(a.transpose(0, 2, 1, 3)),
+                               np.asarray(b), rtol=1e-6, atol=1e-6)
