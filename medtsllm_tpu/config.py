@@ -242,6 +242,7 @@ KNOWN_TASKS = (
     "segmentation",
     "semantic_segmentation",
     "pretraining",
+    "classification",
 )
 KNOWN_MODELS = ("medtsllm", "timellm", "gpt4ts", "dlinear", "patchtst", "timesnet", "fedformer")
 KNOWN_OPTIMIZERS = ("adam", "adamw", "sgd", "ranger", "ranger21")
@@ -277,7 +278,8 @@ def validate_config(config: Config) -> Config:
                 f"invalid dtype {dt!r}")
 
     if config.task in ("reconstruction", "anomaly_detection",
-                       "semantic_segmentation", "segmentation"):
+                       "semantic_segmentation", "segmentation",
+                       "classification"):
         require(config.history_len == config.pred_len,
                 f"{config.task} requires history_len == pred_len "
                 f"(got {config.history_len} != {config.pred_len})")
@@ -294,6 +296,13 @@ def validate_config(config: Config) -> Config:
         require(sg is not None and "mode" in sg and "distance_thresh" in sg,
                 "segmentation requires [tasks.segmentation] with `mode` "
                 "and `distance_thresh`")
+
+    if config.task == "classification":
+        cl = config.get("tasks", Config()).get("classification", Config())
+        wl = cl.get("window_label", "majority")
+        require(wl in ("majority", "last", "any"),
+                f"classification window_label must be majority/last/any, "
+                f"got {wl!r}")
 
     if config.model == "fedformer":
         dt = config.get("setup", Config()).get("dtype", "float32")

@@ -181,6 +181,8 @@ class TimeSeriesDataset:
                 out["labels"] = self.labels[slice(*x_range)]
             elif self.task in ("semantic_segmentation", "segmentation"):
                 out["labels"] = self.labels[slice(*x_range)]
+            elif self.task == "classification":
+                out["labels"] = self.window_label(x_range)
         if self.clip_descriptions is not None:
             clip_id = int(self.clip_ids[x_range[0]])
             out["descriptions"] = self.clip_descriptions[clip_id]
@@ -200,9 +202,36 @@ class TimeSeriesDataset:
     def real_features(self) -> int:
         return self.n_features
 
+    def window_label(self, x_range) -> np.int64:
+        """Per-window class label for the classification task.
+
+        The reference defines no classification trainer (its models only
+        expose classification heads, e.g. dlinear.py:86), so the window ->
+        label rule is defined here: derived from the per-timestep labels by
+        `tasks.classification.window_label`:
+          - "majority" (default): most frequent label in the window
+            (ties break to the lowest class id, deterministically);
+          - "last": label at the final timestep (streaming-style);
+          - "any": 1 if any timestep is nonzero, else 0 (binary presence,
+            e.g. artifact detection).
+        """
+        seg = np.asarray(self.labels[slice(*x_range)])
+        mode = self.task_config.get("window_label", "majority")
+        if mode == "majority":
+            return np.int64(np.bincount(seg).argmax())
+        if mode == "last":
+            return np.int64(seg[-1])
+        if mode == "any":
+            return np.int64((seg != 0).any())
+        raise ValueError(f"Unknown classification window_label {mode!r}")
+
     @property
     def n_classes(self) -> int:
         if self.task == "semantic_segmentation":
+            return len(np.unique(self.labels))
+        if self.task == "classification":
+            if self.task_config.get("window_label", "majority") == "any":
+                return 2
             return len(np.unique(self.labels))
         return 0
 

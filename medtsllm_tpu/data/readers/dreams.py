@@ -19,7 +19,7 @@ EOG_COLS = ["EOG1-A1", "EOG2-A1"]
 
 class DreamsFamily(TimeSeriesDataset):
     supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
-                       "semantic_segmentation")
+                       "semantic_segmentation", "classification")
     description = ("The DREAMS database consists of digital 32-channel "
                    "polysomnographic recordings (PSG), acquired from patients "
                    "with different pathologies in a sleep hospital laboratory. "
@@ -31,8 +31,8 @@ class DreamsFamily(TimeSeriesDataset):
 
     @property
     def n_classes(self):
-        if self.task == "semantic_segmentation":
-            return 2  # dreams.py:136-138
+        if self.task in ("semantic_segmentation", "classification"):
+            return 2  # binary artifact labels (dreams.py:136-138)
         return super().n_classes
 
     def _n_synth_features(self):
@@ -57,7 +57,7 @@ class DreamsFamily(TimeSeriesDataset):
 
     def _read_real(self, base, split) -> dict:
         import pandas as pd
-        if self.task == "semantic_segmentation":
+        if self.task in ("semantic_segmentation", "classification"):
             df = pd.read_csv(base / "test.csv")
         else:
             fn = "train.csv" if split == "train" else "test.csv"
@@ -68,7 +68,7 @@ class DreamsFamily(TimeSeriesDataset):
         clip_ids = df["patient_ID"].values.astype(int)
         timestamps = df["ts"].values
 
-        if self.task == "semantic_segmentation":
+        if self.task in ("semantic_segmentation", "classification"):
             ldf = pd.read_csv(base / "test_label.csv")
             labels = ldf[label_col].values.astype(int)
             split_pt = int(xs.shape[0] * 0.8)
@@ -93,7 +93,7 @@ class DreamsFamily(TimeSeriesDataset):
 
     def generate_synthetic(self, split) -> dict:
         C = self._n_synth_features()
-        if self.task == "semantic_segmentation":
+        if self.task in ("semantic_segmentation", "classification"):
             rng = syn.rng_for("dreams:semseg")
             n = 20000
             data = syn.sine_mixture(rng, n, C, period_range=(40, 400), noise=0.3)

@@ -15,7 +15,8 @@ from .. import synthetic as syn
 
 class SyntheticFamily(TimeSeriesDataset):
     supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
-                       "segmentation", "semantic_segmentation", "pretraining")
+                       "segmentation", "semantic_segmentation", "pretraining",
+                       "classification")
     description = "A synthetic sinusoid-mixture dataset used for testing."
 
     def get_data(self, split=None) -> dict:
@@ -29,6 +30,10 @@ class SyntheticFamily(TimeSeriesDataset):
     @property
     def n_classes(self):
         if self.task == "semantic_segmentation":
+            return int(self.dataset_config.get("n_classes", 2))
+        if self.task == "classification":
+            if self.task_config.get("window_label", "majority") == "any":
+                return 2
             return int(self.dataset_config.get("n_classes", 2))
         return 0
 
@@ -44,7 +49,7 @@ class SyntheticFamily(TimeSeriesDataset):
                 out["data"], out["labels"] = syn.inject_anomalies(rng, data, rate=0.05)
         elif self.task == "segmentation":
             out["labels"] = syn.periodic_boundaries(rng, n, mean_period=100)
-        elif self.task == "semantic_segmentation":
+        elif self.task in ("semantic_segmentation", "classification"):
             out["labels"] = syn.segment_class_labels(
                 rng, n, self.n_classes, mean_seg=64)
         if self.dataset_config.get("clips", False):

@@ -10,6 +10,7 @@ def _lookup():
     from .segmentation import SegmentationTask
     from .semantic_segmentation import SemanticSegmentationTask
     from .pretraining import PretrainingTask
+    from .classification import ClassificationTask
     return {
         "forecasting": ForecastTask,
         "reconstruction": ReconstructionTask,
@@ -17,6 +18,7 @@ def _lookup():
         "segmentation": SegmentationTask,
         "semantic_segmentation": SemanticSegmentationTask,
         "pretraining": PretrainingTask,
+        "classification": ClassificationTask,
     }
 
 
@@ -31,6 +33,7 @@ task_lookup = _TaskLookup()
 
 def get_trainer(run_id, config):
     if config.task not in ("forecasting", "reconstruction", "anomaly_detection",
-                           "segmentation", "semantic_segmentation", "pretraining"):
+                           "segmentation", "semantic_segmentation", "pretraining",
+                           "classification"):
         raise ValueError(f"Unknown task {config.task!r}")
     return task_lookup[config.task](run_id, config)

@@ -133,6 +133,9 @@ def build_loss(name: str, task: str, n_classes: int = 0):
             return lambda p, b, v: bce_with_logits(p, b["labels"], v)
         case ("ce" | "cross_entropy" | "auto", "semantic_segmentation"):
             return lambda p, b, v: cross_entropy(p, b["labels"], v)
+        case ("ce" | "cross_entropy" | "auto", "classification"):
+            # logits [B, C], labels [B] int — per-window classification
+            return lambda p, b, v: cross_entropy(p, b["labels"], v)
         case ("iou" | "jaccard", _):
             return lambda p, b, v: jaccard_loss(p, b["labels"], v, binary=is_binary)
         case ("lovasz" | "lovasz-hinge", _) if is_binary:

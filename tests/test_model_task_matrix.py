@@ -11,7 +11,7 @@ from medtsllm_tpu.models import build_model, model_lookup
 from conftest import make_config
 
 ALL_TASKS = ("forecasting", "reconstruction", "anomaly_detection",
-             "segmentation", "semantic_segmentation")
+             "segmentation", "semantic_segmentation", "classification")
 
 MODEL_SECTIONS = {
     "dlinear": {"individual": False, "moving_avg": 13},
@@ -41,7 +41,7 @@ MODEL_SECTIONS = {
 
 LOSS_FOR_TASK = {"forecasting": "mse", "reconstruction": "mse",
                  "anomaly_detection": "mse", "segmentation": "bce",
-                 "semantic_segmentation": "auto"}
+                 "semantic_segmentation": "auto", "classification": "ce"}
 
 B, L, C = 2, 32, 3
 
@@ -88,6 +88,8 @@ def test_forward_shapes(model_name, task):
     elif task == "semantic_segmentation":
         assert out_eval.shape == (B, L)  # binary synthetic default
         assert (out_eval >= 0).all() and (out_eval <= 1).all()
+    elif task == "classification":
+        assert out_eval.shape == (B, dataset.n_classes)
     assert np.isfinite(out_eval).all()
     assert np.isfinite(out_train).all()
 

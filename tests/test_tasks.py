@@ -74,6 +74,47 @@ def test_semantic_segmentation_multiclass(tmp_path):
     assert 0 <= scores["test/accuracy"] <= 1
 
 
+def test_classification(tmp_path):
+    cfg = _cfg("classification", tmp_path, loss="ce",
+               eval_metric="accuracy", eval_dir="max")
+    cfg.datasets.synthetic.n_classes = 3
+    trainer = get_trainer("cls", cfg)
+    trainer.train()
+    scores = trainer.test()
+    for k in ("test/accuracy", "test/f1", "test/precision", "test/recall"):
+        assert k in scores
+        assert 0 <= scores[k] <= 1
+    assert "test/auroc" not in scores  # multiclass
+
+
+def test_classification_binary_any(tmp_path):
+    cfg = _cfg("classification", tmp_path, loss="auto",
+               eval_metric="f1", eval_dir="max")
+    cfg["tasks"] = {"classification": {"window_label": "any"}}
+    trainer = get_trainer("cls2", cfg)
+    scores = trainer.test()
+    assert trainer.test_dataset.n_classes == 2
+    assert "test/auroc" in scores
+
+
+def test_classification_window_label_modes():
+    from medtsllm_tpu.data import get_dataset
+    cfg = make_config(task="classification", model="dlinear",
+                      hist=32, pred=32, step=16, loss="ce")
+    cfg.datasets.synthetic.n_points = 512
+    cfg.datasets.synthetic.n_classes = 3
+    for mode, rule in (
+            ("majority", lambda seg: np.bincount(seg).argmax()),
+            ("last", lambda seg: seg[-1]),
+            ("any", lambda seg: int((seg != 0).any()))):
+        cfg["tasks"] = {"classification": {"window_label": mode}}
+        ds = get_dataset(cfg, "train")
+        for idx in (0, 1, len(ds) - 1):
+            x_range = ds.inverse_index(idx)
+            seg = ds.labels[slice(*x_range)]
+            assert ds[idx]["labels"] == rule(seg), (mode, idx)
+
+
 def test_pretraining_dataset_mixture(tmp_path):
     # the PretrainingTask trainer itself is exercised in test_medtsllm.py
     # (only MedTsLLM supports the pretraining task, like the reference);
