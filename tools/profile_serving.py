@@ -1,0 +1,126 @@
+"""Profile the flagship serving step and print top self-time ops.
+
+Captures a jax.profiler trace of the 7B int8 prefix-cached serving step
+(the driver headline shape) and parses the xplane with
+tensorboard_plugin_profile to rank ops by self time — the tool that
+found the rotary-in-transpose 45 ms fusion (models/llm/transformer.py
+rotary_embedding docstring). Usage:
+
+    python tools/profile_serving.py [--batch 80] [--quant 8] [--steps 3]
+
+Prints a table of {op name, category, self time, occurrences} summed
+over the captured steps.
+"""
+
+import argparse
+import glob
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def capture(args) -> str:
+    import jax
+    from bench import build_trainer
+
+    trainer = build_trainer(args.model, args.batch, args.history_len,
+                            bf16=True, quant=args.quant,
+                            prefix_cache=not args.no_prefix_cache)
+    batch = next(iter(trainer.val_pipeline))
+    arrays = trainer.eval_model_inputs(batch)
+    params = jax.tree.map(
+        lambda x: x.astype(jax.numpy.bfloat16)
+        if jax.numpy.issubdtype(x.dtype, jax.numpy.floating) else x,
+        trainer.params)
+    arrays = {k: (v.astype(np.float32) if hasattr(v, "dtype")
+                  and np.issubdtype(v.dtype, np.floating) else v)
+              for k, v in arrays.items()}
+
+    def run_sync():
+        return float(trainer.eval_step(params, arrays).sum())
+
+    run_sync()
+    run_sync()
+    logdir = args.out or tempfile.mkdtemp(prefix="medtsllm_prof_")
+    jax.profiler.start_trace(logdir)
+    for _ in range(args.steps):
+        run_sync()
+    jax.profiler.stop_trace()
+    print(f"trace -> {logdir}", file=sys.stderr)
+    return logdir
+
+
+def report(logdir: str, top: int) -> None:
+    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+    paths = sorted(glob.glob(os.path.join(
+        logdir, "plugins/profile/*/*.xplane.pb")))
+    if not paths:
+        raise SystemExit(f"no xplane.pb under {logdir}")
+    csv, _ = rtd.xspace_to_tool_data([paths[-1]], "framework_op_stats", {
+        "tqx": "out:csv;"})
+    import csv as csvmod
+    import io
+    rows = list(csvmod.DictReader(io.StringIO(csv)))
+    key = ("Total self-time (us)" if rows and "Total self-time (us)"
+           in rows[0] else "total_self_time_us")
+    # column names vary across plugin versions; find them defensively
+    def col(row, *cands, default="?"):
+        for c in cands:
+            if c in row:
+                return row[c]
+        return default
+
+    scored = []
+    for r in rows:
+        t = col(r, "Total self-time (us)", "total_self_time_us",
+                "Self-time (us)", default=None)
+        if t is None:
+            continue
+        try:
+            scored.append((float(t), r))
+        except ValueError:
+            continue
+    scored.sort(key=lambda x: -x[0])
+    total = sum(t for t, _ in scored)
+    print(f"{'self_us':>12} {'%':>6}  {'occ':>5}  {'category':<22} op")
+    for t, r in scored[:top]:
+        print(f"{t:12.0f} {100*t/total:6.2f}  "
+              f"{col(r, 'Occurrences', '#Occurrences', 'occurrences'):>5}  "
+              f"{col(r, 'Category', 'category'):<22} "
+              f"{col(r, 'Operation', 'Op name', 'operation')[:90]}")
+    print(f"total device self time: {total/1e3:.1f} ms over capture")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="meta-llama/Llama-2-7b-hf")
+    ap.add_argument("--batch", type=int, default=80)
+    ap.add_argument("--history-len", type=int, default=256)
+    ap.add_argument("--quant", type=int, default=8, choices=(0, 4, 8))
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--no-prefix-cache", action="store_true")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--report-only", default=None, metavar="LOGDIR",
+                    help="skip capture, parse an existing trace dir")
+    args = ap.parse_args()
+
+    if args.report_only:
+        report(args.report_only, args.top)
+        return
+    import warnings
+    warnings.filterwarnings("ignore")
+    import contextlib
+    import io
+    with contextlib.redirect_stdout(io.StringIO()):
+        logdir = capture(args)
+    report(logdir, args.top)
+
+
+if __name__ == "__main__":
+    main()
