@@ -243,6 +243,7 @@ KNOWN_TASKS = (
     "semantic_segmentation",
     "pretraining",
     "classification",
+    "imputation",
 )
 KNOWN_MODELS = ("medtsllm", "timellm", "gpt4ts", "dlinear", "patchtst", "timesnet", "fedformer")
 KNOWN_OPTIMIZERS = ("adam", "adamw", "sgd", "ranger", "ranger21")
@@ -279,7 +280,7 @@ def validate_config(config: Config) -> Config:
 
     if config.task in ("reconstruction", "anomaly_detection",
                        "semantic_segmentation", "segmentation",
-                       "classification"):
+                       "classification", "imputation"):
         require(config.history_len == config.pred_len,
                 f"{config.task} requires history_len == pred_len "
                 f"(got {config.history_len} != {config.pred_len})")
@@ -303,6 +304,12 @@ def validate_config(config: Config) -> Config:
         require(wl in ("majority", "last", "any"),
                 f"classification window_label must be majority/last/any, "
                 f"got {wl!r}")
+
+    if config.task == "imputation":
+        imp = config.get("tasks", Config()).get("imputation", Config())
+        rate = imp.get("mask_rate", 0.25)
+        require(0.0 < float(rate) < 1.0,
+                f"imputation mask_rate must be in (0, 1), got {rate!r}")
 
     if config.model == "fedformer":
         dt = config.get("setup", Config()).get("dtype", "float32")

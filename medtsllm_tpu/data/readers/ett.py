@@ -13,7 +13,7 @@ from .. import synthetic as syn
 
 
 class ETTFamily(TimeSeriesDataset):
-    supported_tasks = ("forecasting", "reconstruction")
+    supported_tasks = ("forecasting", "reconstruction", "imputation")
     description = ("The Electricity Transformer Temperature (ETT) is a crucial "
                    "indicator in the electric power long-term deployment.")
 

@@ -13,7 +13,8 @@ from .. import synthetic as syn
 
 
 class MSLFamily(TimeSeriesDataset):
-    supported_tasks = ("forecasting", "reconstruction", "anomaly_detection")
+    supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
+                       "imputation")
     description = ("The MSL (Mars Science Laboratory rover) dataset was created "
                    "by NASA and consists of telemetry data across 55 sensors on "
                    "the rover. The data is collected at 1 minute intervals and "

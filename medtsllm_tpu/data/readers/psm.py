@@ -14,7 +14,8 @@ from .. import synthetic as syn
 
 
 class PSMFamily(TimeSeriesDataset):
-    supported_tasks = ("forecasting", "reconstruction", "anomaly_detection")
+    supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
+                       "imputation")
     description = ("The PSM dataset is proposed by eBay and consists of 26 "
                    "dimensional data captured internally from application server "
                    "nodes. The dataset is used to predict the number of sessions "

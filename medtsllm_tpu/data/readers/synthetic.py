@@ -16,7 +16,7 @@ from .. import synthetic as syn
 class SyntheticFamily(TimeSeriesDataset):
     supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
                        "segmentation", "semantic_segmentation", "pretraining",
-                       "classification")
+                       "classification", "imputation")
     description = "A synthetic sinusoid-mixture dataset used for testing."
 
     def get_data(self, split=None) -> dict:

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.embed import DataEmbedding, patch_unfold
+from ..ops.revin import masked_window_norm
 from .llm.loader import resolve_config
 from .llm.transformer import TransformerDecoder
 
@@ -131,7 +132,12 @@ class GPT4TS(nn.Module):
             return out * stdev + means
 
         if self.task == "imputation":
-            x, means, stdev = self._normalize(x_enc)
+            mask = inputs.get("mask")
+            if mask is not None:
+                # mask-aware statistics (reference gpt4ts.py:105-112)
+                x, means, stdev = masked_window_norm(x_enc, mask)
+            else:
+                x, means, stdev = self._normalize(x_enc)
             enc = DataEmbedding(self.d_model, embed_type="timeF", freq="h",
                                 dropout=self.dropout, name="enc_embedding")(
                 x, None, deterministic=det)

@@ -15,6 +15,7 @@ import flax.linen as nn
 
 from ..ops.attention import AttentionLayer, FullAttention
 from ..ops.embed import patch_unfold, positional_embedding
+from ..ops.revin import masked_window_norm
 from ..ops.transformer import Encoder, EncoderLayer
 
 
@@ -102,9 +103,14 @@ class PatchTST(nn.Module):
         stdev = jnp.sqrt(jnp.var(x, axis=1, keepdims=True) + 1e-5)
         return x / stdev, means, stdev
 
-    def _encode(self, x, *, deterministic):
-        """normalize -> patch -> transformer -> [B, C, d_model, P]."""
-        x, means, stdev = self._normalize(x)
+    def _encode(self, x, *, deterministic, mask=None):
+        """normalize -> patch -> transformer -> [B, C, d_model, P].
+        With `mask` (imputation), statistics cover observed points only
+        (reference PatchTST.py:157-166)."""
+        if mask is not None:
+            x, means, stdev = masked_window_norm(x, mask)
+        else:
+            x, means, stdev = self._normalize(x)
         x = jnp.swapaxes(x, 1, 2)  # [B, C, L]
         enc, n_vars = LinearPatchEmbedding(
             self.d_model, self.patch_len, self.stride, self.dropout,
@@ -135,7 +141,8 @@ class PatchTST(nn.Module):
     def __call__(self, inputs: dict, training: bool = False):
         det = not training
         x_enc = inputs["x_enc"]
-        enc, means, stdev = self._encode(x_enc, deterministic=det)
+        mask = inputs.get("mask") if self.task == "imputation" else None
+        enc, means, stdev = self._encode(x_enc, deterministic=det, mask=mask)
 
         if self.task == "forecasting":
             out = self._regression_head(enc, self.pred_len, deterministic=det)

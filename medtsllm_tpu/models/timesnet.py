@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.embed import DataEmbedding
+from ..ops.revin import masked_window_norm
 from ..ops.inception import InceptionBlockV1, fft_for_period
 
 
@@ -131,7 +132,13 @@ class TimesNet(nn.Module):
             return out[:, -self.pred_len:, :]
 
         if self.task in ("reconstruction", "anomaly_detection", "imputation"):
-            x, means, stdev = self._normalize(x_enc)
+            mask = inputs.get("mask") if self.task == "imputation" else None
+            if mask is not None:
+                # mask-aware statistics over observed points only
+                # (reference TimesNet.py:114-123)
+                x, means, stdev = masked_window_norm(x_enc, mask)
+            else:
+                x, means, stdev = self._normalize(x_enc)
             enc = self._backbone(x, det)
             out = nn.Dense(self.c_out, name="projection")(enc)
             return out * stdev[:, 0:1, :] + means[:, 0:1, :]

@@ -50,3 +50,18 @@ class RevINAffine(nn.Module):
         elif mode == "denorm":
             return (x - bias) / (weight + self.eps * self.eps)
         raise NotImplementedError(mode)
+
+
+def masked_window_norm(x, mask):
+    """Mask-aware Non-stationary-Transformer window normalization for the
+    imputation task (reference TimesNet.py:114-123, PatchTST.py:157-166,
+    gpt4ts.py:105-112): statistics over OBSERVED points only, both
+    detached; x must already be zero-filled at held-out points.
+    x [B, L, C], mask [B, L, C] (1 = observed) -> (x_norm, means, stdev)."""
+    m = mask.astype(x.dtype)
+    cnt = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
+    means = jax.lax.stop_gradient(x.sum(axis=1, keepdims=True) / cnt)
+    xc = (x - means) * m
+    stdev = jax.lax.stop_gradient(
+        jnp.sqrt((xc * xc).sum(axis=1, keepdims=True) / cnt + 1e-5))
+    return xc / stdev, means, stdev

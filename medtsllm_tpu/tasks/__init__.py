@@ -11,6 +11,7 @@ def _lookup():
     from .semantic_segmentation import SemanticSegmentationTask
     from .pretraining import PretrainingTask
     from .classification import ClassificationTask
+    from .imputation import ImputationTask
     return {
         "forecasting": ForecastTask,
         "reconstruction": ReconstructionTask,
@@ -19,6 +20,7 @@ def _lookup():
         "semantic_segmentation": SemanticSegmentationTask,
         "pretraining": PretrainingTask,
         "classification": ClassificationTask,
+        "imputation": ImputationTask,
     }
 
 
@@ -34,6 +36,6 @@ task_lookup = _TaskLookup()
 def get_trainer(run_id, config):
     if config.task not in ("forecasting", "reconstruction", "anomaly_detection",
                            "segmentation", "semantic_segmentation", "pretraining",
-                           "classification"):
+                           "classification", "imputation"):
         raise ValueError(f"Unknown task {config.task!r}")
     return task_lookup[config.task](run_id, config)

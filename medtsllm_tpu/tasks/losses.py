@@ -52,6 +52,18 @@ def cross_entropy(logits, labels, valid):
     return _masked_mean(_per_sample(loss), valid)
 
 
+def masked_point_loss(pred, target, mask, valid, kind: str = "mse"):
+    """Imputation loss: mean error over the MASKED (held-out) points only.
+    pred/target [B, L, C], mask [B, L, C] (1 = observed, 0 = held out)."""
+    hold = 1.0 - mask.astype(pred.dtype)
+    err = ((pred - target) ** 2 if kind == "mse"
+           else jnp.abs(pred - target)) * hold
+    B = pred.shape[0]
+    per_sample = (err.reshape(B, -1).sum(axis=1)
+                  / jnp.maximum(hold.reshape(B, -1).sum(axis=1), 1.0))
+    return _masked_mean(per_sample, valid)
+
+
 def jaccard_loss(pred, target, valid, binary: bool = True, eps: float = 1e-7):
     """Soft IoU loss (reference uses pytorch_optimizer.JaccardLoss,
     semantic_segmentation.py:130-131)."""
@@ -111,6 +123,14 @@ def build_loss(name: str, task: str, n_classes: int = 0):
         target_key = "x_enc"
     else:
         target_key = "labels"
+
+    if task == "imputation":
+        # target rides in "y" (the UNmasked window; "x_enc" is pre-masked),
+        # loss counts held-out points only
+        assert name in ("mse", "mae"), \
+            f"imputation supports mse/mae losses, got {name!r}"
+        return lambda p, b, v: masked_point_loss(
+            p, jax.lax.stop_gradient(b["y"]), b["mask"], v, kind=name)
 
     def regression(fn):
         def loss(pred, batch, valid):

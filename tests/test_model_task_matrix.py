@@ -11,7 +11,8 @@ from medtsllm_tpu.models import build_model, model_lookup
 from conftest import make_config
 
 ALL_TASKS = ("forecasting", "reconstruction", "anomaly_detection",
-             "segmentation", "semantic_segmentation", "classification")
+             "segmentation", "semantic_segmentation", "classification",
+             "imputation")
 
 MODEL_SECTIONS = {
     "dlinear": {"individual": False, "moving_avg": 13},
@@ -41,7 +42,8 @@ MODEL_SECTIONS = {
 
 LOSS_FOR_TASK = {"forecasting": "mse", "reconstruction": "mse",
                  "anomaly_detection": "mse", "segmentation": "bce",
-                 "semantic_segmentation": "auto", "classification": "ce"}
+                 "semantic_segmentation": "auto", "classification": "ce",
+                 "imputation": "mse"}
 
 B, L, C = 2, 32, 3
 
@@ -76,7 +78,7 @@ def test_forward_shapes(model_name, task):
     pred_len = cfg.pred_len
     if task == "forecasting":
         assert out_eval.shape == (B, pred_len, C)
-    elif task in ("reconstruction", "anomaly_detection"):
+    elif task in ("reconstruction", "anomaly_detection", "imputation"):
         assert out_eval.shape == (B, L, C)
     elif task == "segmentation":
         assert out_eval.shape == (B, L)

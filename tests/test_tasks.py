@@ -115,6 +115,69 @@ def test_classification_window_label_modes():
             assert ds[idx]["labels"] == rule(seg), (mode, idx)
 
 
+def test_imputation(tmp_path):
+    cfg = _cfg("imputation", tmp_path, loss="mse",
+               eval_metric="masked_mse", eval_dir="min")
+    cfg["tasks"] = {"imputation": {"mask_rate": 0.3}}
+    trainer = get_trainer("imp", cfg)
+    trainer.train()
+    scores = trainer.test()
+    for k in ("test/masked_mse", "test/masked_mae", "test/full_mse"):
+        assert k in scores and np.isfinite(scores[k])
+    # eval masks are deterministic per window index
+    p1, t1, m1 = trainer.predict(trainer.test_pipeline)
+    p2, t2, m2 = trainer.predict(trainer.test_pipeline)
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(p1, p2)
+    assert 0.2 < 1 - m1.mean() < 0.4  # ~mask_rate held out
+    # train masks are salted by epoch (fresh masks each epoch)
+    batch = next(iter(trainer.train_pipeline))
+    trainer.epoch = 1
+    a1 = trainer.train_model_inputs(batch)
+    trainer.epoch = 2
+    a2 = trainer.train_model_inputs(batch)
+    assert not np.array_equal(a1["mask"], a2["mask"])
+    np.testing.assert_array_equal(a1["y"], a2["y"])
+
+
+def test_imputation_masked_norm_oracle():
+    """masked_window_norm vs the reference torch formula
+    (TimesNet.py:114-123) as a numpy loop oracle."""
+    from medtsllm_tpu.ops.revin import masked_window_norm
+    rng = np.random.default_rng(0)
+    x_full = rng.normal(2.0, 3.0, size=(2, 16, 3)).astype(np.float32)
+    mask = (rng.random((2, 16, 3)) >= 0.3).astype(np.float32)
+    x_in = x_full * mask  # pre-masked input, like the exp loop
+    got_x, got_mu, got_sd = (np.asarray(v) for v in
+                             masked_window_norm(x_in, mask))
+    for b in range(2):
+        for c in range(3):
+            obs = mask[b, :, c] == 1
+            mu = x_full[b, obs, c].sum() / max(obs.sum(), 1)
+            xc = (x_in[b, :, c] - mu) * mask[b, :, c]
+            sd = np.sqrt((xc ** 2).sum() / max(obs.sum(), 1) + 1e-5)
+            np.testing.assert_allclose(got_mu[b, 0, c], mu, rtol=1e-5)
+            np.testing.assert_allclose(got_sd[b, 0, c], sd, rtol=1e-5)
+            np.testing.assert_allclose(got_x[b, :, c], xc / sd, rtol=1e-4,
+                                       atol=1e-5)
+
+
+def test_imputation_loss_counts_held_out_only():
+    import jax.numpy as jnp
+    from medtsllm_tpu.tasks import losses as L
+    loss = L.build_loss("mse", "imputation", 0)
+    pred = jnp.zeros((2, 4, 1))
+    y = jnp.ones((2, 4, 1))
+    mask = jnp.asarray([[[1.0], [1.0], [0.0], [0.0]],
+                        [[1.0], [1.0], [1.0], [1.0]]])
+    valid = jnp.asarray([True, True])
+    # sample 0: 2 held-out points, each err 1 -> 1.0; sample 1: none -> 0
+    assert float(loss(pred, {"y": y, "mask": mask}, valid)) == 0.5
+    # invalid rows are excluded
+    valid = jnp.asarray([True, False])
+    assert float(loss(pred, {"y": y, "mask": mask}, valid)) == 1.0
+
+
 def test_pretraining_dataset_mixture(tmp_path):
     # the PretrainingTask trainer itself is exercised in test_medtsllm.py
     # (only MedTsLLM supports the pretraining task, like the reference);
