@@ -76,6 +76,36 @@ def a100_estimate_windows_per_sec(n_params: int, tokens_per_window: int,
     return (a100_tflops * 1e12 * mfu) / flops_per_window
 
 
+
+def serving_inputs(trainer, bf16: bool = True, train: bool = False):
+    """Shared serving-path setup (bench main + tools/profile_serving):
+    one preprocessed batch with the prompt head swapped for its KV cache
+    (when safe), float inputs cast to f32, params to bf16 when requested.
+    Returns (params, arrays, prefix_len)."""
+    import jax
+    batch = next(iter(trainer.val_pipeline))
+    arrays = trainer.model_inputs(batch)
+    prefix_len = (int(arrays["prefix_ids"].shape[0])
+                  if "prefix_ids" in arrays else 0)
+    if "prefix_ids" in arrays:
+        use_cache = (getattr(trainer.model, "train_prefix_cache_safe",
+                             False) if train else True)
+        if use_cache:
+            arrays["prefix_kv"] = trainer._prefix_kv(
+                np.asarray(arrays.pop("prefix_ids")))
+    if bf16:
+        arrays = {k: (v.astype(np.float32) if hasattr(v, "dtype")
+                      and np.issubdtype(v.dtype, np.floating) else v)
+                  for k, v in arrays.items()}
+        params = jax.tree.map(
+            lambda x: x.astype(jax.numpy.bfloat16)
+            if jax.numpy.issubdtype(x.dtype, jax.numpy.floating) else x,
+            trainer.params)
+    else:
+        params = trainer.params
+    return params, arrays, prefix_len
+
+
 def bench_config(config_path: str, iters: int, warmup: int,
                  llm_override: str | None = "llama-1b") -> dict:
     """Throughput for one of the reference-mirroring TOML configs
@@ -349,32 +379,12 @@ def main():
                                 quant=args.quant,
                                 int8_matmul=not args.no_int8_matmul,
                                 prefix_cache=not args.no_prefix_cache)
-        batch = next(iter(trainer.val_pipeline))
         # inference uses the serving path (constant prompt head served
-        # from the KV cache); training embeds the head in-graph
-        # both paths serve the constant prompt head from cache when safe
-        # (train: frozen backbone + no LoRA + no backbone dropout); read
-        # the head length for the token accounting before the cache
-        # substitution pops prefix_ids (one preprocessing pass total)
-        arrays = trainer.model_inputs(batch)
-        prefix_len = (int(arrays["prefix_ids"].shape[0])
-                      if "prefix_ids" in arrays else 0)
-        if "prefix_ids" in arrays:
-            use_cache = (getattr(trainer.model, "train_prefix_cache_safe",
-                                 False) if args.train else True)
-            if use_cache:
-                arrays["prefix_kv"] = trainer._prefix_kv(
-                    np.asarray(arrays.pop("prefix_ids")))
-        if not args.fp32:
-            arrays = {k: (v.astype(np.float32) if hasattr(v, "dtype")
-                          and np.issubdtype(v.dtype, np.floating) else v)
-                      for k, v in arrays.items()}
-            params = jax.tree.map(
-                lambda x: x.astype(jax.numpy.bfloat16)
-                if jax.numpy.issubdtype(x.dtype, jax.numpy.floating) else x,
-                trainer.params)
-        else:
-            params = trainer.params
+        # from the KV cache); training embeds the head in-graph when the
+        # cache is not gradient-safe (serving_inputs gates on
+        # train_prefix_cache_safe)
+        params, arrays, prefix_len = serving_inputs(
+            trainer, bf16=not args.fp32, train=args.train)
 
         # compile + warmup; sync via a host readback of a scalar — on some
         # remote backends block_until_ready alone returns before execution

@@ -304,6 +304,10 @@ def validate_config(config: Config) -> Config:
         require(wl in ("majority", "last", "any"),
                 f"classification window_label must be majority/last/any, "
                 f"got {wl!r}")
+        loss = config.training.get("loss", "ce")
+        require(loss in ("ce", "cross_entropy", "auto"),
+                f"classification requires loss ce/cross_entropy/auto, "
+                f"got {loss!r}")
 
     if config.task == "imputation":
         imp = config.get("tasks", Config()).get("imputation", Config())

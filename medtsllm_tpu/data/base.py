@@ -232,7 +232,10 @@ class TimeSeriesDataset:
         if self.task == "classification":
             if self.task_config.get("window_label", "majority") == "any":
                 return 2
-            return len(np.unique(self.labels))
+            # max+1, not len(unique): non-contiguous label ids must still
+            # map inside the head, and a split missing a class must not
+            # shrink it (readers with a fixed class set should override)
+            return int(np.max(self.labels)) + 1
         return 0
 
     # -- synthetic fallback --------------------------------------------------

@@ -17,6 +17,23 @@ EEG_COLS = ["FP1-A1", "CZ-A1", "O1-A1", "FP2-A1", "O2-A1"]
 EOG_COLS = ["EOG1-A1", "EOG2-A1"]
 
 
+
+def _labeled_split(n: int, task: str, split: str) -> slice:
+    """Row range of the labeled test file for one split.
+
+    semantic_segmentation keeps the reference's 80/20 scheme where val and
+    test are the same tail (dreams.py:110-116). classification is this
+    framework's own task, so it gets a leak-free 3-way split: best-checkpoint
+    selection (val) must not score the reported test rows."""
+    if task == "classification":
+        bounds = {"train": (0, int(n * 0.64)),
+                  "val": (int(n * 0.64), int(n * 0.8)),
+                  "test": (int(n * 0.8), n)}
+        return slice(*bounds[split])
+    split_pt = int(n * 0.8)
+    return slice(None, split_pt) if split == "train" else slice(split_pt, None)
+
+
 class DreamsFamily(TimeSeriesDataset):
     supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
                        "semantic_segmentation", "classification")
@@ -71,8 +88,7 @@ class DreamsFamily(TimeSeriesDataset):
         if self.task in ("semantic_segmentation", "classification"):
             ldf = pd.read_csv(base / "test_label.csv")
             labels = ldf[label_col].values.astype(int)
-            split_pt = int(xs.shape[0] * 0.8)
-            sl = slice(None, split_pt) if split == "train" else slice(split_pt, None)
+            sl = _labeled_split(xs.shape[0], self.task, split)
             xs, labels = xs[sl], labels[sl]
             clip_ids, timestamps = clip_ids[sl], timestamps[sl]
             sf = self.dataset_config.downsample_factor
@@ -99,8 +115,7 @@ class DreamsFamily(TimeSeriesDataset):
             data = syn.sine_mixture(rng, n, C, period_range=(40, 400), noise=0.3)
             labels = syn.segment_class_labels(rng, n, 2, mean_seg=500)
             clip_ids = np.zeros(n, dtype=np.int64)
-            split_pt = int(n * 0.8)
-            sl = slice(None, split_pt) if split == "train" else slice(split_pt, None)
+            sl = _labeled_split(n, self.task, split)
             sf = self.dataset_config.get("downsample_factor", 1)
             data, labels = data[sl][::sf], labels[sl][::sf]
             clip_ids = clip_ids[sl][::sf]

@@ -34,8 +34,8 @@ task_lookup = _TaskLookup()
 
 
 def get_trainer(run_id, config):
-    if config.task not in ("forecasting", "reconstruction", "anomaly_detection",
-                           "segmentation", "semantic_segmentation", "pretraining",
-                           "classification", "imputation"):
-        raise ValueError(f"Unknown task {config.task!r}")
-    return task_lookup[config.task](run_id, config)
+    try:
+        cls = task_lookup[config.task]
+    except KeyError:
+        raise ValueError(f"Unknown task {config.task!r}") from None
+    return cls(run_id, config)

@@ -124,6 +124,16 @@ def build_loss(name: str, task: str, n_classes: int = 0):
     else:
         target_key = "labels"
 
+    if task == "classification":
+        # must precede the generic regression arms: loss="mse" would
+        # otherwise match them and broadcast logits [B, C] against
+        # integer labels [B]
+        if name not in ("ce", "cross_entropy", "auto"):
+            raise ValueError(
+                f"classification requires a cross-entropy loss "
+                f"(ce/cross_entropy/auto), got {name!r}")
+        return lambda p, b, v: cross_entropy(p, b["labels"], v)
+
     if task == "imputation":
         # target rides in "y" (the UNmasked window; "x_enc" is pre-masked),
         # loss counts held-out points only
@@ -152,9 +162,6 @@ def build_loss(name: str, task: str, n_classes: int = 0):
         case ("bce" | "ce" | "cross_entropy" | "auto", "semantic_segmentation") if is_binary:
             return lambda p, b, v: bce_with_logits(p, b["labels"], v)
         case ("ce" | "cross_entropy" | "auto", "semantic_segmentation"):
-            return lambda p, b, v: cross_entropy(p, b["labels"], v)
-        case ("ce" | "cross_entropy" | "auto", "classification"):
-            # logits [B, C], labels [B] int — per-window classification
             return lambda p, b, v: cross_entropy(p, b["labels"], v)
         case ("iou" | "jaccard", _):
             return lambda p, b, v: jaccard_loss(p, b["labels"], v, binary=is_binary)

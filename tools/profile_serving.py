@@ -25,20 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def capture(args) -> str:
     import jax
-    from bench import build_trainer
+    from bench import build_trainer, serving_inputs
 
     trainer = build_trainer(args.model, args.batch, args.history_len,
                             bf16=True, quant=args.quant,
                             prefix_cache=not args.no_prefix_cache)
-    batch = next(iter(trainer.val_pipeline))
-    arrays = trainer.eval_model_inputs(batch)
-    params = jax.tree.map(
-        lambda x: x.astype(jax.numpy.bfloat16)
-        if jax.numpy.issubdtype(x.dtype, jax.numpy.floating) else x,
-        trainer.params)
-    arrays = {k: (v.astype(np.float32) if hasattr(v, "dtype")
-                  and np.issubdtype(v.dtype, np.floating) else v)
-              for k, v in arrays.items()}
+    # identical setup to the bench harness, so the profile measures
+    # exactly the benchmarked configuration
+    params, arrays, _ = serving_inputs(trainer, bf16=True)
 
     def run_sync():
         return float(trainer.eval_step(params, arrays).sum())
@@ -66,8 +60,6 @@ def report(logdir: str, top: int) -> None:
     import csv as csvmod
     import io
     rows = list(csvmod.DictReader(io.StringIO(csv)))
-    key = ("Total self-time (us)" if rows and "Total self-time (us)"
-           in rows[0] else "total_self_time_us")
     # column names vary across plugin versions; find them defensively
     def col(row, *cands, default="?"):
         for c in cands:
