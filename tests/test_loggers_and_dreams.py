@@ -105,3 +105,24 @@ def test_dreams_real(tmp_path):
                                    "labels": "eog"}}
     ds = get_dataset(cfg2, "val")
     assert ds.n_features == 2 and ds.labels is not None
+
+    # classification: leak-free 3-way split of the labeled test file
+    cfg3 = make_config(task="classification", dataset="dreams",
+                       hist=16, pred=16, step=8, loss="ce",
+                       eval_metric="f1", eval_dir="max")
+    cfg3["paths"] = {"data": str(tmp_path)}
+    cfg3.data.allow_synthetic = False
+    cfg3["datasets"] = {"dreams": {"version": "v2", "features": "eeg",
+                                   "labels": "eeg", "downsample_factor": 1}}
+    cfg3["tasks"] = {"classification": {"window_label": "any"}}
+    tr = get_dataset(cfg3, "train")
+    va = get_dataset(cfg3, "val")
+    te = get_dataset(cfg3, "test")
+    assert tr.n_points == int(n * 0.64)
+    assert va.n_points == int(n * 0.8) - int(n * 0.64)
+    assert te.n_points == n - int(n * 0.8)
+    # disjoint: timestamps from the shared test.csv must not overlap
+    assert tr.timestamps.max() < va.timestamps.min() < va.timestamps.max() \
+        < te.timestamps.min()
+    assert te.n_classes == 2
+    assert te[0]["labels"] in (0, 1)
