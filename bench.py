@@ -18,6 +18,27 @@ import time
 import numpy as np
 
 
+def wait_for_backend(retries: int = 5, probe_timeout: int = 180,
+                     sleep_s: int = 60) -> None:
+    """Wait out transient TPU-tunnel outages before initializing the
+    in-process backend (a failed axon init can hang for many minutes or
+    poison the process, so the probe runs in a subprocess). Gives up
+    silently after `retries` — the old failure behavior, just later."""
+    import subprocess
+    for i in range(retries):
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return
+        print(f"backend probe {i + 1}/{retries} failed (rc={rc}); "
+              f"retrying in {sleep_s}s", file=sys.stderr)
+        time.sleep(sleep_s)
+
+
 def build_trainer(model_size: str, batch_size: int, history_len: int,
                   bf16: bool, remat=False, quant: int = 0,
                   int8_matmul: bool = True, prefix_cache: bool = True):
@@ -337,6 +358,9 @@ def main():
                          "prompt layout (A/B the reference-order uncached "
                          "pipeline)")
     args = ap.parse_args()
+
+    if not (args.overlap_ab or args.mesh):  # those force the CPU platform
+        wait_for_backend()
 
     if args.overlap_ab:
         import warnings
