@@ -311,6 +311,17 @@ def _hf_to_tree(cfg: DecoderConfig, tensors: dict,
     return tree
 
 
+def stack_decoder_tree(tree: dict, n_layers: int) -> dict:
+    """Convert per-layer ``h_i`` subtrees to the pipeline layout
+    (``h_stack/block`` with a leading [n_layers] axis on every leaf) —
+    the param layout TransformerDecoder(pipeline=S) creates natively.
+    Host-side (numpy); non-layer keys pass through."""
+    from ...parallel.pipeline import stack_layer_params
+    layers = [tree.pop(f"h_{i}") for i in range(n_layers)]
+    tree["h_stack"] = {"block": stack_layer_params(layers)}
+    return tree
+
+
 def _load_safetensors(snap: Path) -> dict:
     from safetensors import safe_open
     tensors = {}
@@ -328,15 +339,20 @@ def _load_safetensors(snap: Path) -> dict:
 def load_backbone(llm_id: str, cache_dir: str | None = None,
                   llm_layers: int = -1, lora: LoraSpec | None = None,
                   dtype=np.float32, rng=None, remat: bool = False,
-                  quantize: int = 0, act_quant: bool = True):
+                  quantize: int = 0, act_quant: bool = True,
+                  pipeline: int = 0, pipeline_microbatches: int = 0,
+                  pipeline_mesh=None):
     """Returns (module, params, cfg). Params are loaded from a local
     snapshot when available, otherwise random-init with a warning.
-    quantize: 0 (off), 8, or 4 bits; True is accepted as 8."""
+    quantize: 0 (off), 8, or 4 bits; True is accepted as 8.
+    pipeline > 1 builds the decoder in pipeline-parallel layout (stacked
+    h_stack params; HF layer weights are stacked to match)."""
     quantize = 8 if quantize is True else int(quantize or 0)
     assert quantize in (0, 4, 8), quantize
     cfg, snap = resolve_config(llm_id, cache_dir, llm_layers)
     import jax.numpy as _jnp
     _dt = _jnp.dtype(dtype)
+    extra = {}
     if cfg.style == "mamba":
         from .mamba import MambaBackbone
         module_cls = MambaBackbone
@@ -344,9 +360,17 @@ def load_backbone(llm_id: str, cache_dir: str | None = None,
         module_cls = TransformerEncDec
     else:
         module_cls = TransformerDecoder
+        extra = dict(pipeline=pipeline,
+                     pipeline_microbatches=pipeline_microbatches,
+                     pipeline_mesh=pipeline_mesh)
+    if pipeline and pipeline > 1 and module_cls is not TransformerDecoder:
+        raise NotImplementedError(
+            f"pipeline parallelism supports decoder-only backbones; "
+            f"got {module_cls.__name__} for {llm_id!r}")
     module = module_cls(
         cfg, lora=lora, remat=remat, quantize=quantize, act_quant=act_quant,
-        dtype=(None if _dt == _jnp.float32 else _dt), param_dtype=_dt)
+        dtype=(None if _dt == _jnp.float32 else _dt), param_dtype=_dt,
+        **extra)
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -364,6 +388,8 @@ def load_backbone(llm_id: str, cache_dir: str | None = None,
         from ...runtime.checkpoint import restore_partial
         tensors = _load_safetensors(snap)
         tree = _hf_to_tree(cfg, tensors, quantize=quantize)
+        if pipeline and pipeline > 1:
+            tree = stack_decoder_tree(tree, cfg.n_layers)
         merged, _ = restore_partial(jax.device_get(params), tree)
         # restore_partial already cast each leaf to its TEMPLATE dtype — the
         # right per-leaf choice (weights at param_dtype, QuantDense

@@ -549,6 +549,30 @@ def _remat_block_call(remat, deterministic: bool):
     return nn.remat(call)
 
 
+class _PipeBlock(nn.Module):
+    """nn.scan adapter around Block for pipeline parallelism: gives the
+    layer stack STACKED params (one tree, leading [n_layers] axis, sharded
+    P("stage", ...)) instead of per-layer h_i subtrees — the storage
+    layout pipeline stages need (each stage holds only its layers' HBM).
+    Deterministic by construction: the pipeline path is for frozen /
+    dropout-free backbones (the reference's finetune mode freezes the
+    LLM, /root/reference/models/medtsllm.py:162-173)."""
+
+    cfg: DecoderConfig
+    lora: LoraSpec | None = None
+    dtype: object = None
+    param_dtype: object = jnp.float32
+    quantize: int = 0
+    act_quant: bool = True
+
+    @nn.compact
+    def __call__(self, x, _):
+        return Block(self.cfg, self.lora, dtype=self.dtype,
+                     param_dtype=self.param_dtype, quantize=self.quantize,
+                     act_quant=self.act_quant, name="block")(
+            x, deterministic=True), None
+
+
 class TransformerDecoder(nn.Module):
     """Returns the last hidden state, like HF `AutoModel` without an LM head
     (the reference only consumes `.last_hidden_state`, medtsllm.py:350).
@@ -556,6 +580,12 @@ class TransformerDecoder(nn.Module):
     setup()-style so fusion models can both read the token table (`embed`,
     `word_embeddings` — the reference's llm.get_input_embeddings(),
     medtsllm.py:219,301) and run the stack in one apply.
+
+    ``pipeline`` > 1 stages the layer stack over the mesh's "stage" axis
+    (parallel/pipeline.py): params live stacked under ``h_stack`` and the
+    forward streams microbatches through the stages. Composes with DP
+    ("data", auto) and Megatron TP ("tensor", auto). Serving prefix-KV
+    and in-graph dropout are gated off on this path.
     """
 
     cfg: DecoderConfig
@@ -565,6 +595,9 @@ class TransformerDecoder(nn.Module):
     param_dtype: object = jnp.float32  # storage dtype
     quantize: int = 0  # projection quantization: 0 | 8 | 4 bits
     act_quant: bool = True  # with quantize: int8 MXU matmul vs dequant
+    pipeline: int = 0  # pipeline stages (0/1 = off)
+    pipeline_microbatches: int = 0  # 0 = auto (gcd(batch, 2*stages))
+    pipeline_mesh: object = None  # jax.sharding.Mesh with a "stage" axis
 
     def setup(self):
         cfg = self.cfg
@@ -581,11 +614,58 @@ class TransformerDecoder(nn.Module):
         else:
             self.norm = RMSNorm(eps=cfg.norm_eps, name="norm",
                                 param_dtype=self.param_dtype)
-        self.blocks = [Block(cfg, self.lora, dtype=self.dtype,
-                             param_dtype=self.param_dtype,
-                             quantize=self.quantize,
-                             act_quant=self.act_quant, name=f"h_{i}")
-                       for i in range(cfg.n_layers)]
+        if self.pipeline and self.pipeline > 1:
+            kwargs = dict(lora=self.lora, dtype=self.dtype,
+                          param_dtype=self.param_dtype,
+                          quantize=self.quantize, act_quant=self.act_quant)
+            self.h_stack = nn.scan(
+                remat_class(_PipeBlock, self.remat),
+                variable_axes={"params": 0}, split_rngs={"params": True},
+                length=cfg.n_layers)(cfg, name="h_stack", **kwargs)
+            # unbound per-layer template for the pipeline's functional
+            # block apply; constructed here (legal module context) and
+            # stashed in a closure so flax doesn't register it as a child
+            tmpl = Block(cfg, **kwargs)
+            self._pipe_tmpl = (lambda t=tmpl: t)
+        else:
+            self.blocks = [Block(cfg, self.lora, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 quantize=self.quantize,
+                                 act_quant=self.act_quant, name=f"h_{i}")
+                           for i in range(cfg.n_layers)]
+
+    def _pipeline_stack(self, x, deterministic: bool):
+        """Run the layer stack in pipeline mode: microbatches stream over
+        the mesh's "stage" axis (parallel/pipeline.py). During init (and
+        without a mesh) the lifted scan runs the same stacked params
+        sequentially — numerically identical, single-device."""
+        cfg = self.cfg
+        if not deterministic and cfg.dropout > 0:
+            raise NotImplementedError(
+                "pipeline parallelism requires a dropout-free backbone "
+                "(the frozen-LLM finetune mode); got training dropout "
+                f"{cfg.dropout} with pipeline={self.pipeline}")
+        if self.is_initializing() or self.pipeline_mesh is None:
+            x, _ = self.h_stack(x, None)
+            return x
+        import math
+
+        from ...parallel.pipeline import pipeline_apply
+
+        stacked = self.h_stack.variables["params"]["block"]
+        tmpl = self._pipe_tmpl()
+
+        def block_fn(p, h):
+            return tmpl.apply({"params": p}, h, deterministic=True)
+
+        mb = self.pipeline_microbatches or math.gcd(x.shape[0],
+                                                    2 * self.pipeline)
+        if self.remat == "dots":
+            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        else:
+            policy = True if self.remat else None
+        return pipeline_apply(block_fn, stacked, x, mesh=self.pipeline_mesh,
+                              n_microbatches=mb, checkpoint_policy=policy)
 
     def embed(self, token_ids) -> jnp.ndarray:
         return jnp.take(self.wte, token_ids, axis=0)
@@ -610,7 +690,14 @@ class TransformerDecoder(nn.Module):
             x = x + self.wpe[None, offset:offset + L, :].astype(x.dtype)
             x = self.embed_drop(x, deterministic=deterministic)
 
-        if prefix_kv is None:
+        if self.pipeline and self.pipeline > 1:
+            if prefix_kv is not None:
+                raise NotImplementedError(
+                    "prefix KV cache is not supported under pipeline "
+                    "parallelism (cache layers live on different stages); "
+                    "models gate it off (medtsllm.py can_prefix_cache)")
+            x = self._pipeline_stack(x, deterministic)
+        elif prefix_kv is None:
             call = _remat_block_call(self.remat, deterministic)
             for block in self.blocks:
                 x = call(block, x)
@@ -632,6 +719,10 @@ class TransformerDecoder(nn.Module):
         per-layer post-rotary (k, v) pairs for `__call__(prefix_kv=...)`.
         Deterministic (eval-only — with LoRA the projections are
         trainable, so callers must rebuild the cache after updates)."""
+        if self.pipeline and self.pipeline > 1:
+            raise NotImplementedError(
+                "prefill (prefix KV cache) is not supported under "
+                "pipeline parallelism")
         x = inputs_embeds
         if self.cfg.style == "gpt2":
             x = x + self.wpe[None, :x.shape[1], :].astype(x.dtype)

@@ -104,6 +104,9 @@ class MedTsLLM(nn.Module):
     quantize: int = 0  # backbone quantization: 0 | 8 | 4 bits
     act_quant: bool = True  # with quantize: int8 MXU matmul (bnb LLM.int8())
     prefix_cache: bool = True  # serving: cache the constant prompt head's KV
+    pipeline: int = 0  # backbone pipeline-parallel stages (0/1 = off)
+    pipeline_microbatches: int = 0  # 0 = auto
+    pipeline_mesh: object = None  # Mesh with a "stage" axis (static attr)
 
     supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
                        "semantic_segmentation", "segmentation", "pretraining")
@@ -165,6 +168,18 @@ class MedTsLLM(nn.Module):
         if mc.llm.get("load_in_4bit", False):
             quantize = 4  # packed int4, two weights per byte
 
+        # pipeline parallelism ([setup] pipeline_parallel): stages the
+        # backbone's layer stack over the mesh's "stage" axis
+        pipeline = int(config.setup.get("pipeline_parallel", 0) or 0)
+        pipeline_mesh = None
+        if pipeline > 1 and mc.llm.enabled:
+            from ..parallel import mesh_from_config
+            pipeline_mesh = mesh_from_config(config)
+            assert pipeline_mesh is not None and \
+                "stage" in pipeline_mesh.shape, (
+                    "setup.pipeline_parallel > 1 requires a mesh with a "
+                    "stage axis (enough devices for data*stage*tensor)")
+
         return cls(
             task=task,
             seq_len=config.history_len,
@@ -192,6 +207,10 @@ class MedTsLLM(nn.Module):
             quantize=quantize,
             act_quant=bool(mc.llm.get("int8_matmul", True)),
             prefix_cache=bool(mc.llm.get("prefix_cache", True)),
+            pipeline=(pipeline if mc.llm.enabled else 0),
+            pipeline_microbatches=int(
+                config.setup.get("pipeline_microbatches", 0) or 0),
+            pipeline_mesh=pipeline_mesh,
             # the reference loads the LLM at the configured dtype
             # (medtsllm.py:149-157); "mixed" here stores the frozen backbone
             # directly at bf16 — it never updates
@@ -240,16 +259,26 @@ class MedTsLLM(nn.Module):
     def setup(self):
         lp = jnp.dtype(self.llm_dtype)
         llm_cls = TransformerDecoder
+        extra = {}
         if getattr(self.llm_cfg, "style", "") == "mamba":
             from .llm.mamba import MambaBackbone
             llm_cls = MambaBackbone
         elif getattr(self.llm_cfg, "is_encoder_decoder", False):
             from .llm.transformer import TransformerEncDec
             llm_cls = TransformerEncDec
+        else:
+            extra = dict(pipeline=self.pipeline,
+                         pipeline_microbatches=self.pipeline_microbatches,
+                         pipeline_mesh=self.pipeline_mesh)
+        if self.pipeline > 1 and llm_cls is not TransformerDecoder:
+            raise NotImplementedError(
+                f"pipeline parallelism supports decoder-only backbones; "
+                f"{self.llm_id!r} is {llm_cls.__name__}")
         self.llm = llm_cls(
             self.llm_cfg, lora=self.lora, remat=self.remat,
             dtype=(None if lp == jnp.float32 else lp), param_dtype=lp,
-            quantize=self.quantize, act_quant=self.act_quant, name="llm")
+            quantize=self.quantize, act_quant=self.act_quant, name="llm",
+            **extra)
         self.patch_embedding = PatchEmbedding(
             self.d_model, self.patch_len, self.stride, self.dropout,
             pos_embed=False, name="patch_embedding")
@@ -436,8 +465,11 @@ class MedTsLLM(nn.Module):
         """Decoder-only transformers cache per-layer causal-attention K/V;
         the mamba backbone caches its O(1) per-layer (conv tail, SSM
         state) instead. The enc-dec path does not qualify: its encoder is
-        bidirectional, so every prompt token sees the whole prompt."""
+        bidirectional, so every prompt token sees the whole prompt.
+        Pipeline parallelism gates it off too: the cached layers live on
+        different stages (transformer.py prefill raises)."""
         return (self.llm_enabled and self.prefix_cache
+                and self.pipeline <= 1
                 and not getattr(self.llm_cfg, "is_encoder_decoder", False)
                 and getattr(self.llm_cfg, "style", "") in ("gpt2", "llama",
                                                            "mamba"))
@@ -524,7 +556,8 @@ class MedTsLLM(nn.Module):
             _, loaded, _ = load_backbone(
                 self.llm_id, self.cache_dir, self.llm_cfg.n_layers,
                 lora=self.lora, dtype=jnp.dtype(self.llm_dtype),
-                quantize=self.quantize, act_quant=self.act_quant)
+                quantize=self.quantize, act_quant=self.act_quant,
+                pipeline=self.pipeline)
             params = dict(params)
             params["llm"] = loaded
             return params

@@ -131,7 +131,14 @@ def pipeline_apply(block_fn, stacked_params, x, *, mesh: Mesh,
         return jax.lax.psum(jnp.where(s == n_stages - 1, acc, 0.0),
                             stage_axis)
 
-    out = jax.shard_map(body, mesh=mesh, axis_names={stage_axis},
-                        in_specs=(P(stage_axis), P()), out_specs=P())(
-        stacked_params, stream)
+    # scope the ambient (abstract) mesh so the partial-manual shard_map
+    # (auto axes: everything but stage) resolves even when the caller's
+    # jit has no mesh context (the trainer relies on NamedSharding
+    # propagation); use_abstract_mesh is legal under tracing, set_mesh is
+    # not
+    from jax.sharding import use_abstract_mesh
+    with use_abstract_mesh(mesh.abstract_mesh):
+        out = jax.shard_map(body, mesh=mesh, axis_names={stage_axis},
+                            in_specs=(P(stage_axis), P()), out_specs=P())(
+            stacked_params, stream)
     return out.reshape(batch, *x.shape[1:])

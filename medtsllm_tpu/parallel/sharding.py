@@ -49,12 +49,18 @@ LLM_PARTITION_RULES = (
 
 
 def partition_spec_for(path: str, shape, rules=LLM_PARTITION_RULES) -> P:
+    # pipeline-stacked blocks (nn.scan over layers, transformer.py
+    # h_stack): every leaf gains a leading [n_layers] axis sharded over
+    # the "stage" mesh axis; the per-layer rule applies one dim deeper
+    stacked = "h_stack" in path
     for pattern, spec in rules:
         if re.match(pattern, path):
+            if stacked:
+                spec = P("stage", *spec)
             # drop axes the shape can't support
             if len(spec) <= len(shape):
                 return spec
-    return P()
+    return P("stage") if stacked else P()
 
 
 def _iter_paths(params):
@@ -66,18 +72,19 @@ def _iter_paths(params):
 
 def shard_params(params, mesh: Mesh, rules=LLM_PARTITION_RULES,
                  divisibility_fallback: bool = True):
-    """device_put each param with its NamedSharding. Params whose sharded
-    dim is not divisible by the mesh axis fall back to replication."""
+    """device_put each param with its NamedSharding. A sharded dim that is
+    not divisible by its mesh axis (or whose axis the mesh doesn't have)
+    falls back to replication along that dim only — the other dims keep
+    their sharding (a stacked pipeline leaf stays stage-sharded even when
+    its tensor dim can't split)."""
     def place(path, leaf):
         spec = partition_spec_for(path, np.shape(leaf), rules)
         if divisibility_fallback and spec != P():
-            for dim, axis in enumerate(spec):
-                if axis is None:
-                    continue
-                size = mesh.shape[axis]
-                if np.shape(leaf)[dim] % size != 0:
-                    spec = P()
-                    break
+            shape = np.shape(leaf)
+            spec = P(*[
+                axis if (axis is not None and axis in mesh.shape
+                         and shape[dim] % mesh.shape[axis] == 0) else None
+                for dim, axis in enumerate(spec)])
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     flat = jax.tree_util.tree_flatten_with_path(params)
