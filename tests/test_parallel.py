@@ -195,6 +195,27 @@ def test_pipeline_parallel_matches_single_device(tmp_path):
     np.testing.assert_allclose(p1, p2, atol=2e-4)
 
 
+def test_pipeline_parallel_quantized(tmp_path):
+    """pp x tp x int8 together: the stacked quantized kernels keep their
+    int8 dtype, gain the leading stage axis, and shard stage x tensor —
+    the HBM story (each stage holds only its layers, each TP rank only
+    its columns) must survive quantization."""
+    import jax.numpy as jnp
+    cfg = _cfg(tmp_path, tensor=2)
+    cfg.setup["pipeline_parallel"] = 2
+    cfg.models.medtsllm.llm["load_in_8bit"] = True
+    trainer = get_trainer("ppq8", cfg)
+    kq = trainer.params["llm"]["h_stack"]["block"]["attn"]["q_proj"]["base"]["kernel_q"]
+    assert kq.dtype == jnp.int8 and kq.shape[0] == 2
+    shard = kq.sharding.shard_shape(kq.shape)
+    assert shard[0] == 1  # one layer per stage
+    assert shard[-1] == kq.shape[-1] // 2  # columns split over tensor
+    sc = trainer.params["llm"]["h_stack"]["block"]["attn"]["q_proj"]["base"]["scale"]
+    assert sc.sharding.shard_shape(sc.shape)[0] == 1
+    trainer.train()
+    assert np.isfinite(trainer.val()["val/mse"])
+
+
 def test_mamba_sharded_matches_single_device(tmp_path):
     """Mamba channel-parallel TP (the selective scan is elementwise over
     d_inner, so E shards across the tensor axis) must match the unsharded
