@@ -41,7 +41,8 @@ def wait_for_backend(retries: int = 5, probe_timeout: int = 180,
 
 def build_trainer(model_size: str, batch_size: int, history_len: int,
                   bf16: bool, remat=False, quant: int = 0,
-                  int8_matmul: bool = True, prefix_cache: bool = True):
+                  int8_matmul: bool = True, prefix_cache: bool = True,
+                  setup_extra: dict | None = None):
     from medtsllm_tpu.config import Config
     from medtsllm_tpu.tasks import get_trainer
 
@@ -76,7 +77,8 @@ def build_trainer(model_size: str, batch_size: int, history_len: int,
         }},
         "setup": {"seed": 0, "device": "auto",
                   "dtype": "bf16" if bf16 else "float32",
-                  "num_workers": 0, "logger": "print"},
+                  "num_workers": 0, "logger": "print",
+                  **(setup_extra or {})},
     })
     return get_trainer("bench", cfg)
 
@@ -186,7 +188,8 @@ def bench_config(config_path: str, iters: int, warmup: int,
 
 def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
                warmup: int, model_size: str = "llama-tiny") -> dict:
-    """DP/TP scaling on a virtual CPU mesh: '8' or '8:2' (devices[:tensor]).
+    """DP/TP/PP scaling on a virtual CPU mesh: '8', '8:2' or '8:2:2'
+    (devices[:tensor[:stage]]).
 
     Provisions N virtual CPU devices (this process must not have
     initialized a backend yet), then times the jit train step at the SAME
@@ -194,12 +197,14 @@ def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
     the total work per step is constant, so
     ``efficiency = t_single / t_mesh`` isolates the partitioning +
     collective overhead: projected N-chip throughput = N x efficiency x
-    single-chip throughput.
+    single-chip throughput. (With a stage axis the pipeline bubble —
+    M/(M+S-1) utilization — is part of what the ratio measures.)
     """
     import os
     parts = spec.split(":")
     n = int(parts[0])
     tensor = int(parts[1]) if len(parts) > 1 else 1
+    stage = int(parts[2]) if len(parts) > 2 else 1
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -233,26 +238,42 @@ def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
 
     import io
     import contextlib
+    # pipeline gates the cached-prefix train path off; compare uncached
+    # vs uncached so the ratio isolates the parallelism alone
+    cache = stage <= 1
     with contextlib.redirect_stdout(io.StringIO()):
         t_single = step_time(build_trainer(model_size, batch, history_len,
-                                           bf16=False))
-        sharded = build_trainer(model_size, batch, history_len, bf16=False)
-        sharded.config.setup["tensor_parallel"] = tensor
-        sharded.config.setup["data_parallel"] = n // tensor
-        sharded.apply_sharding()
+                                           bf16=False, prefix_cache=cache))
+        if stage > 1:
+            # the pipeline param layout (stacked h_stack) is a model-build
+            # attribute — configure before get_trainer, not post-hoc
+            sharded = build_trainer(
+                model_size, batch, history_len, bf16=False,
+                prefix_cache=cache,
+                setup_extra={"tensor_parallel": tensor,
+                             "pipeline_parallel": stage,
+                             "data_parallel": n // (tensor * stage)})
+        else:
+            sharded = build_trainer(model_size, batch, history_len,
+                                    bf16=False, prefix_cache=cache)
+            sharded.config.setup["tensor_parallel"] = tensor
+            sharded.config.setup["data_parallel"] = n // tensor
+            sharded.apply_sharding()
         assert sharded.mesh is not None
         sharded.opt_state = sharded.optimizer.init(sharded.params)
         t_mesh = step_time(sharded)
 
     eff = t_single / t_mesh
+    name = f"mesh{n}x{tensor}" + (f"x{stage}pp" if stage > 1 else "")
     return {
-        "metric": f"mesh{n}x{tensor}_dp_scaling_efficiency",
+        "metric": f"{name}_dp_scaling_efficiency",
         "value": round(eff, 3),
         "unit": "t_single/t_mesh at fixed global batch",
         "vs_baseline": None,
         "detail": {
             "devices": n, "tensor_parallel": tensor,
-            "data_parallel": n // tensor, "global_batch": batch,
+            "pipeline_parallel": stage,
+            "data_parallel": n // (tensor * stage), "global_batch": batch,
             "t_single_ms": round(t_single * 1e3, 2),
             "t_mesh_ms": round(t_mesh * 1e3, 2),
             "projected_n_chip_speedup": round(n * min(eff, 1.0), 2),
@@ -346,10 +367,10 @@ def main():
     ap.add_argument("--overlap-ab", type=int, default=None, metavar="N",
                     help="A/B ring collective matmul vs psum TP MLP on an "
                          "N-device virtual CPU mesh")
-    ap.add_argument("--mesh", default=None, metavar="N[:T]",
-                    help="DP/TP scaling bench on an N-device virtual CPU "
-                         "mesh (optionally T-way tensor parallel), e.g. "
-                         "--mesh 8 or --mesh 8:2")
+    ap.add_argument("--mesh", default=None, metavar="N[:T[:S]]",
+                    help="DP/TP/PP scaling bench on an N-device virtual CPU "
+                         "mesh (optionally T-way tensor parallel and S "
+                         "pipeline stages), e.g. --mesh 8, 8:2 or 8:2:2")
     ap.add_argument("--no-int8-matmul", action="store_true",
                     help="with --quant: dequantize to bf16 instead of "
                          "running the s8xs8->s32 MXU matmul")
