@@ -598,6 +598,8 @@ class TransformerDecoder(nn.Module):
     pipeline: int = 0  # pipeline stages (0/1 = off)
     pipeline_microbatches: int = 0  # 0 = auto (gcd(batch, 2*stages))
     pipeline_mesh: object = None  # jax.sharding.Mesh with a "stage" axis
+    sp: bool = False  # sequence-parallel ring-collective TP (parallel/sp.py)
+    sp_mesh: object = None  # jax.sharding.Mesh with a "tensor" axis
 
     def setup(self):
         cfg = self.cfg
@@ -633,6 +635,20 @@ class TransformerDecoder(nn.Module):
                                  quantize=self.quantize,
                                  act_quant=self.act_quant, name=f"h_{i}")
                            for i in range(cfg.n_layers)]
+        if self.sp and self.sp_mesh is not None:
+            from ...parallel.sp import sp_supported
+            if self.pipeline and self.pipeline > 1:
+                raise NotImplementedError(
+                    "sequence-parallel TP and pipeline parallelism are "
+                    "mutually exclusive (both re-schedule the layer stack)")
+            if not sp_supported(cfg, self.lora, self.quantize, self.sp_mesh):
+                raise NotImplementedError(
+                    "sequence-parallel TP supports llama-style backbones "
+                    "without LoRA, quantize in (0, 8), heads divisible by "
+                    f"the tensor axis; got style={cfg.style!r} "
+                    f"lora={self.lora is not None} quantize={self.quantize} "
+                    f"heads={cfg.n_heads}/{cfg.kv_heads} "
+                    f"mesh={dict(self.sp_mesh.shape)}")
 
     def _pipeline_stack(self, x, deterministic: bool):
         """Run the layer stack in pipeline mode: microbatches stream over
@@ -697,6 +713,24 @@ class TransformerDecoder(nn.Module):
                     "parallelism (cache layers live on different stages); "
                     "models gate it off (medtsllm.py can_prefix_cache)")
             x = self._pipeline_stack(x, deterministic)
+        elif (self.sp and self.sp_mesh is not None
+              and not self.is_initializing() and prefix_kv is None):
+            # sequence-parallel ring-collective TP (parallel/sp.py): the
+            # whole stack runs token-sharded inside one shard_map over
+            # "tensor"; param layout is IDENTICAL to the plain path
+            # (init/checkpoints interchangeable)
+            from ...parallel.sp import sp_decoder_stack
+            if not deterministic and cfg.dropout > 0:
+                raise NotImplementedError(
+                    "sequence-parallel TP requires a dropout-free "
+                    "backbone (the frozen-LLM finetune mode); got "
+                    f"training dropout {cfg.dropout}")
+            layers = [self.variables["params"][f"h_{i}"]
+                      for i in range(cfg.n_layers)]
+            x = sp_decoder_stack(layers, x, cfg, self.sp_mesh,
+                                 quantize=self.quantize,
+                                 act_quant=self.act_quant,
+                                 dtype=self.dtype, remat=self.remat)
         elif prefix_kv is None:
             call = _remat_block_call(self.remat, deterministic)
             for block in self.blocks:

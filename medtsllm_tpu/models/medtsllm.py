@@ -107,6 +107,8 @@ class MedTsLLM(nn.Module):
     pipeline: int = 0  # backbone pipeline-parallel stages (0/1 = off)
     pipeline_microbatches: int = 0  # 0 = auto
     pipeline_mesh: object = None  # Mesh with a "stage" axis (static attr)
+    sp: bool = False  # sequence-parallel ring-collective TP (parallel/sp.py)
+    sp_mesh: object = None  # Mesh with a "tensor" axis (static attr)
 
     supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
                        "semantic_segmentation", "segmentation", "pretraining")
@@ -180,6 +182,18 @@ class MedTsLLM(nn.Module):
                     "setup.pipeline_parallel > 1 requires a mesh with a "
                     "stage axis (enough devices for data*stage*tensor)")
 
+        # [setup] tp_overlap: run the backbone stack sequence-parallel
+        # with ring collective matmuls (parallel/sp.py) instead of
+        # GSPMD-auto TP — hides the TP collectives inside the MXU matmuls
+        sp = bool(config.setup.get("tp_overlap", False))
+        sp_mesh = None
+        if sp and mc.llm.enabled:
+            from ..parallel import mesh_from_config
+            sp_mesh = mesh_from_config(config)
+            assert sp_mesh is not None and \
+                sp_mesh.shape.get("tensor", 1) > 1, (
+                    "setup.tp_overlap requires tensor_parallel > 1")
+
         return cls(
             task=task,
             seq_len=config.history_len,
@@ -211,6 +225,8 @@ class MedTsLLM(nn.Module):
             pipeline_microbatches=int(
                 config.setup.get("pipeline_microbatches", 0) or 0),
             pipeline_mesh=pipeline_mesh,
+            sp=(sp and mc.llm.enabled),
+            sp_mesh=sp_mesh,
             # the reference loads the LLM at the configured dtype
             # (medtsllm.py:149-157); "mixed" here stores the frozen backbone
             # directly at bf16 — it never updates
@@ -269,11 +285,16 @@ class MedTsLLM(nn.Module):
         else:
             extra = dict(pipeline=self.pipeline,
                          pipeline_microbatches=self.pipeline_microbatches,
-                         pipeline_mesh=self.pipeline_mesh)
+                         pipeline_mesh=self.pipeline_mesh,
+                         sp=self.sp, sp_mesh=self.sp_mesh)
         if self.pipeline > 1 and llm_cls is not TransformerDecoder:
             raise NotImplementedError(
                 f"pipeline parallelism supports decoder-only backbones; "
                 f"{self.llm_id!r} is {llm_cls.__name__}")
+        if self.sp and llm_cls is not TransformerDecoder:
+            raise NotImplementedError(
+                f"sequence-parallel TP supports llama-style decoder-only "
+                f"backbones; {self.llm_id!r} is {llm_cls.__name__}")
         self.llm = llm_cls(
             self.llm_cfg, lora=self.lora, remat=self.remat,
             dtype=(None if lp == jnp.float32 else lp), param_dtype=lp,
@@ -467,9 +488,13 @@ class MedTsLLM(nn.Module):
         state) instead. The enc-dec path does not qualify: its encoder is
         bidirectional, so every prompt token sees the whole prompt.
         Pipeline parallelism gates it off too: the cached layers live on
-        different stages (transformer.py prefill raises)."""
+        different stages (transformer.py prefill raises). Sequence-parallel
+        TP (tp_overlap) gates it off as well: the cached suffix path runs
+        per-block with prefix_kv, which would silently bypass the ring
+        schedule the user explicitly opted into — the two serving levers
+        are an either/or until the sp path learns prefix concat."""
         return (self.llm_enabled and self.prefix_cache
-                and self.pipeline <= 1
+                and self.pipeline <= 1 and not self.sp
                 and not getattr(self.llm_cfg, "is_encoder_decoder", False)
                 and getattr(self.llm_cfg, "style", "") in ("gpt2", "llama",
                                                            "mamba"))

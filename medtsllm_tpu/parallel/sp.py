@@ -1,0 +1,365 @@
+"""Sequence-parallel tensor parallelism for the llama decoder stack.
+
+The plain TP path (parallel/sharding.py rules + GSPMD auto) leaves XLA
+to place an all-reduce after every row-parallel matmul; on real ICI that
+collective serializes with the next layer's compute unless XLA's async
+scheduler finds the overlap. This module runs the WHOLE layer stack
+inside one partial-manual ``shard_map`` over the "tensor" axis with the
+Megatron sequence-parallel schedule (Korthikanti et al., the
+scaling-book TP recipe — machinery the reference cannot express at all:
+it is strictly single-device, /root/reference/tasks/base.py:157-160
+picks one cuda/mps/cpu device):
+
+  - activations stay TOKEN-sharded between blocks ([B, L/n, D] per
+    device) — layernorms, residual adds and dropout-free elementwise ops
+    run on 1/n of the tokens;
+  - the fan-out projections (fused qkv, fused gate|up) consume a ring
+    ``allgather_matmul``: each ring step matmuls the resident token
+    chunk while the next chunk is in flight on ICI;
+  - the fan-in projections (o_proj, down_proj) produce a ring
+    ``matmul_reduce_scatter``: each step matmuls one token chunk's
+    partial while the previous chunk's accumulator travels the ring;
+  - no exposed all-reduce anywhere; the only boundary collectives are
+    the entry scatter / exit gather of the whole stack.
+
+Composes with DP ("data" stays GSPMD-auto, exactly like
+parallel/pipeline.py). Int8 (w8a8) projections are supported: the
+column-parallel matmuls see full-feature activations so per-token
+quantization is bit-identical to the single-device path; the
+row-parallel matmuls compute the per-token absmax with one tiny
+``pmax`` so every device quantizes with the SAME global scale, keeping
+the s32 partials exact (only the f32 ring-sum order differs).
+
+Scope (asserted): llama-style blocks (RMSNorm, RoPE, SwiGLU, no
+biases), deterministic (the frozen-backbone finetune/serving modes —
+the reference freezes the LLM, /root/reference/models/medtsllm.py:162-173),
+no LoRA, quantize in {0, 8}. int4's split-halves packing interleaves
+logical rows across the packed row axis, so a row-shard of the packed
+tensor is not a row-shard of the logical tensor — gated off.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _ring_perm(n: int):
+    return [(j, (j + 1) % n) for j in range(n)]
+
+
+def _allgather_matmul(x, mm, axis: str, n: int, out_features: int):
+    """x [B, l, D] (token shard) -> y [B, n*l, F_local] = mm(gather(x)).
+
+    Ring schedule: at step i every device matmuls the token chunk that
+    originated at device (idx - i) % n while forwarding it around the
+    ring — compute and ICI transfer of successive steps overlap (no data
+    dependency between them). ``mm`` maps [B, l, D] -> [B, l, F_local].
+    """
+    idx = jax.lax.axis_index(axis)
+    B, l = x.shape[0], x.shape[1]
+    # the zeros carry must be marked device-varying for the scan's type
+    # check (x and the updates are; see shard_map's scan-vma docs)
+    out = jax.lax.pcast(jnp.zeros((B, n * l, out_features), x.dtype),
+                        axis_name=(axis,), to="varying")
+
+    def body(i, carry):
+        out, cur = carry
+        y = mm(cur).astype(out.dtype)
+        src = jax.lax.rem(idx - i + n, n)
+        out = jax.lax.dynamic_update_slice_in_dim(out, y, src * l, axis=1)
+        cur = jax.lax.ppermute(cur, axis, _ring_perm(n))
+        return out, cur
+
+    out, _ = jax.lax.fori_loop(0, n, body, (out, x), unroll=True)
+    return out
+
+
+def _matmul_reduce_scatter(x, mm, axis: str, n: int):
+    """x [B, L, F_local] (feature shard) -> y [B, L/n, D] (token shard),
+    y(chunk c) = sum over devices of mm(x[:, chunk c]) — the fan-in
+    matmul's contraction is completed by a ring reduce-scatter over
+    token chunks; device d ends holding its own chunk d.
+
+    Ring schedule: the accumulator for chunk c starts at device
+    (c + 1) % n and rides the ring once, landing fully reduced at device
+    c; the ppermute of the accumulator overlaps the next chunk's matmul.
+    """
+    idx = jax.lax.axis_index(axis)
+    assert x.shape[1] % n == 0, (x.shape, n)
+    m = x.shape[1] // n
+
+    def partial_chunk(c):
+        rows = jax.lax.dynamic_slice_in_dim(x, c * m, m, axis=1)
+        return mm(rows)
+
+    acc = partial_chunk(jax.lax.rem(idx - 1 + n, n))
+
+    def body(i, acc):
+        acc = jax.lax.ppermute(acc, axis, _ring_perm(n))
+        return acc + partial_chunk(jax.lax.rem(idx - 1 - i + 2 * n, n))
+
+    return jax.lax.fori_loop(1, n, body, acc, unroll=True)
+
+
+# --- quantized matmuls with an externally-supplied per-token scale -----
+# (the row-parallel fan-in matmuls quantize feature SHARDS; the absmax
+# must be global so every device uses the same per-token scale — see the
+# module docstring. STE backward like transformer._act_quant_matmul.)
+
+@jax.custom_vjp
+def _qmm_scaled(xf, x_scale, kq, w_scale):
+    xq = jnp.round(xf / x_scale).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, kq, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (x_scale * w_scale[None, :])
+
+
+def _qmm_scaled_fwd(xf, x_scale, kq, w_scale):
+    return _qmm_scaled(xf, x_scale, kq, w_scale), (x_scale, kq, w_scale)
+
+
+def _qmm_scaled_bwd(res, g):
+    import numpy as _np
+    x_scale, kq, w_scale = res
+    gs = g * w_scale[None, :].astype(g.dtype)
+    dx = jax.lax.dot_general(gs, kq.astype(g.dtype),
+                             (((g.ndim - 1,), (1,)), ((), ())))
+    # straight-through: the quantization is identity for dx; the scales
+    # are frozen with the backbone — zero cotangent
+    return (dx, jnp.zeros_like(x_scale),
+            _np.zeros(kq.shape, jax.dtypes.float0), jnp.zeros_like(w_scale))
+
+
+_qmm_scaled.defvjp(_qmm_scaled_fwd, _qmm_scaled_bwd)
+
+
+def _proj_mm(leaf: dict, quantize: int, act_quant: bool, dtype):
+    """mm(x [.., l, K_local or K]) for a column-parallel projection leaf
+    ({kernel} or {kernel_q, scale}); per-token quantization over the full
+    feature axis — bit-identical to the single-device QuantDense."""
+    if not quantize:
+        kernel = leaf["kernel"]
+        return lambda x: x @ kernel.astype(x.dtype)
+    kq, scale = leaf["kernel_q"], leaf["scale"]
+    if not act_quant:
+        return lambda x: (x @ kq.astype(x.dtype)) * scale.astype(x.dtype)
+    from ..models.llm.transformer import _act_quant_matmul
+
+    def mm(x):
+        return _act_quant_matmul(x.astype(jnp.float32), kq, scale,
+                                 8).astype(dtype or x.dtype)
+    return mm
+
+
+def _rmsnorm(x, weight, eps: float):
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    xn = x * jax.lax.rsqrt(var + eps).astype(x.dtype)
+    return xn * weight.astype(x.dtype)
+
+
+def _sp_attention(layer, x, cfg, axis: str, n: int, quantize: int,
+                  act_quant: bool, dtype):
+    """Token-sharded in/out self-attention: fused qkv ring-gather matmul,
+    local heads, ring reduce-scatter o_proj."""
+    from ..models.llm.transformer import rotary_embedding
+    from ..ops.pallas.flash_attention import flash_attention
+
+    H, KV, D = cfg.n_heads, cfg.kv_heads, cfg.head_dim
+    Hl, KVl = H // n, KV // n
+    B, l = x.shape[0], x.shape[1]
+    L = n * l
+
+    h = _rmsnorm(x, layer["input_layernorm"]["weight"], cfg.norm_eps)
+
+    att = layer["attn"]
+    qkv_leaves = [att["q_proj"]["base"], att["k_proj"]["base"],
+                  att["v_proj"]["base"]]
+    # one ring gather for q|k|v: concatenate the column shards so the
+    # token gather happens once (the single-chip fused-qkv dead end in
+    # BASELINE.md was an XLA epilogue-fusion effect; here the fusion is
+    # what makes one ring instead of three)
+    if quantize:
+        kq = jnp.concatenate([lf["kernel_q"] for lf in qkv_leaves], axis=1)
+        sc = jnp.concatenate([lf["scale"] for lf in qkv_leaves], axis=0)
+        mm = _proj_mm({"kernel_q": kq, "scale": sc}, quantize, act_quant,
+                      dtype)
+    else:
+        kernel = jnp.concatenate([lf["kernel"] for lf in qkv_leaves], axis=1)
+        mm = _proj_mm({"kernel": kernel}, 0, act_quant, dtype)
+    out_f = (Hl + 2 * KVl) * D
+    qkv = _allgather_matmul(h, mm, axis, n, out_f)  # [B, L, out_f]
+    q, k, v = jnp.split(qkv, [Hl * D, (Hl + KVl) * D], axis=-1)
+
+    cd = dtype or x.dtype
+    q = q.reshape(B, L, Hl, D).astype(cd)
+    k = k.reshape(B, L, KVl, D).astype(cd)
+    v = v.reshape(B, L, KVl, D).astype(cd)
+    positions = jnp.arange(L)
+    q = rotary_embedding(q, positions, cfg.rope_theta, seq_axis=1)
+    k = rotary_embedding(k, positions, cfg.rope_theta, seq_axis=1)
+    out = flash_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                          v.transpose(0, 2, 1, 3), causal=True)
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, Hl * D)
+
+    o_leaf = att["o_proj"]["base"]
+    o_mm = _make_row_mm(o_leaf, quantize, act_quant, dtype, out, axis)
+    return _matmul_reduce_scatter2(out, o_mm, axis, n, dtype).astype(x.dtype)
+
+
+def _make_row_mm(leaf, quantize: int, act_quant: bool, dtype, x_full,
+                 axis: str):
+    """mm (or a _RowQuant bundle) for a ROW-parallel (fan-in) projection
+    over token chunks. With act-quant the activation features are
+    sharded, so the per-token absmax is computed GLOBALLY (one pmax of
+    [B, L] over the tensor axis) — every device quantizes with the same
+    scale and the s32 partials stay exact; _matmul_reduce_scatter2
+    slices activation and scale rows with the same chunk index."""
+    if not quantize:
+        kernel = leaf["kernel"]
+        return lambda rows: rows @ kernel.astype(rows.dtype)
+    kq, w_scale = leaf["kernel_q"], leaf["scale"]
+    if not act_quant:
+        return lambda rows: ((rows @ kq.astype(rows.dtype))
+                             * w_scale.astype(rows.dtype))
+    # the scale is straight-through in backward (stop_gradient keeps the
+    # non-differentiable pmax out of the AD graph)
+    amax = jnp.max(jnp.abs(jax.lax.stop_gradient(x_full)
+                           .astype(jnp.float32)), axis=-1)
+    amax = jax.lax.pmax(amax, axis)
+    x_scale = jnp.maximum(amax / 127.0, 1e-10)  # [B, L]
+    return _RowQuant(x_full.astype(jnp.float32), x_scale, kq, w_scale)
+
+
+class _RowQuant:
+    """Marker bundling the tensors a quantized row-parallel reduce-scatter
+    needs; _matmul_reduce_scatter2 slices activation and scale rows with
+    the same chunk index so they stay aligned."""
+
+    def __init__(self, xf, x_scale, kq, w_scale):
+        self.xf, self.x_scale, self.kq, self.w_scale = xf, x_scale, kq, w_scale
+
+
+def _matmul_reduce_scatter2(x_or_rq, mm_or_rq, axis: str, n: int, dtype):
+    """Like _matmul_reduce_scatter but accepts a _RowQuant bundle, whose
+    per-token scale rows are sliced alongside the activation rows."""
+    if not isinstance(mm_or_rq, _RowQuant):
+        return _matmul_reduce_scatter(x_or_rq, mm_or_rq, axis, n)
+    rq = mm_or_rq
+    xf, x_scale = rq.xf, rq.x_scale
+    idx = jax.lax.axis_index(axis)
+    assert xf.shape[1] % n == 0
+    m = xf.shape[1] // n
+
+    def partial_chunk(c):
+        rows = jax.lax.dynamic_slice_in_dim(xf, c * m, m, axis=1)
+        sc = jax.lax.dynamic_slice_in_dim(x_scale, c * m, m, axis=1)
+        y = _qmm_scaled(rows, sc[..., None], rq.kq, rq.w_scale)
+        return y.astype(dtype or jnp.float32)
+
+    acc = partial_chunk(jax.lax.rem(idx - 1 + n, n))
+
+    def body(i, acc):
+        acc = jax.lax.ppermute(acc, axis, _ring_perm(n))
+        return acc + partial_chunk(jax.lax.rem(idx - 1 - i + 2 * n, n))
+
+    return jax.lax.fori_loop(1, n, body, acc, unroll=True)
+
+
+def _sp_block(layer, x, cfg, axis: str, n: int, quantize: int,
+              act_quant: bool, dtype):
+    """One llama block, token-sharded residual stream [B, L/n, D]."""
+    attn = _sp_attention(layer, x, cfg, axis, n, quantize, act_quant, dtype)
+    x = x + attn
+
+    h = _rmsnorm(x, layer["post_attention_layernorm"]["weight"],
+                 cfg.norm_eps)
+    mlp = layer["mlp"]
+    gu = [mlp["gate_proj"], mlp["up_proj"]]
+    if quantize:
+        kq = jnp.concatenate([lf["kernel_q"] for lf in gu], axis=1)
+        sc = jnp.concatenate([lf["scale"] for lf in gu], axis=0)
+        mm = _proj_mm({"kernel_q": kq, "scale": sc}, quantize, act_quant,
+                      dtype)
+    else:
+        kernel = jnp.concatenate([lf["kernel"] for lf in gu], axis=1)
+        mm = _proj_mm({"kernel": kernel}, 0, act_quant, dtype)
+    Fl = (mlp["gate_proj"]["kernel_q"] if quantize
+          else mlp["gate_proj"]["kernel"]).shape[-1]
+    h2 = _allgather_matmul(h, mm, axis, n, 2 * Fl)  # [B, L, 2*F_local]
+    gate, up = jnp.split(h2, 2, axis=-1)
+    act = (jax.nn.silu(gate) * up).astype(dtype or x.dtype)
+
+    down = _make_row_mm(mlp["down_proj"], quantize, act_quant, dtype, act,
+                        axis)
+    out = _matmul_reduce_scatter2(act, down, axis, n, dtype)
+    return x + out.astype(x.dtype)
+
+
+def sp_supported(cfg, lora, quantize: int, mesh) -> bool:
+    n = mesh.shape.get("tensor", 1) if mesh is not None else 1
+    return (mesh is not None and n > 1
+            and getattr(cfg, "style", "") == "llama"
+            and lora is None and quantize in (0, 8)
+            and cfg.n_heads % n == 0 and cfg.kv_heads % n == 0)
+
+
+def sp_decoder_stack(layers: list, x, cfg, mesh: Mesh, *,
+                     quantize: int = 0, act_quant: bool = True,
+                     dtype=None, remat=False,
+                     tensor_axis: str = "tensor"):
+    """Run the llama layer stack sequence-parallel over ``tensor_axis``.
+
+    layers: list of per-layer param subtrees (the decoder's ``h_i``, the
+    SAME layout as the plain path — checkpoints are interchangeable);
+    x [B, L, D] full (GSPMD view). Tokens are padded to a multiple of the
+    axis size (causal attention makes end-padding exact: position i never
+    attends beyond i) and the pad sliced off on exit.
+    """
+    n = mesh.shape[tensor_axis]
+    B, L, D = x.shape
+    Lp = -(-L // n) * n  # ceil to a multiple of n
+    if Lp != L:
+        x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
+
+    def block_fn(layer, h):
+        return _sp_block(layer, h, cfg, tensor_axis, n, quantize,
+                         act_quant, dtype)
+
+    if remat == "dots":
+        block_fn = jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    elif remat:
+        block_fn = jax.checkpoint(block_fn)
+
+    def body(layers_local, xs):
+        h = xs
+        for layer in layers_local:
+            h = block_fn(layer, h)
+        return h
+
+    # partial-manual: only "tensor" is manual; "data" (batch) stays auto
+    specs = [_layer_specs(layer) for layer in layers]
+    from jax.sharding import use_abstract_mesh
+    with use_abstract_mesh(mesh.abstract_mesh):
+        out = jax.shard_map(
+            body, mesh=mesh, axis_names={tensor_axis},
+            in_specs=(specs, P(None, tensor_axis, None)),
+            out_specs=P(None, tensor_axis, None))(layers, x)
+    return out[:, :L] if Lp != L else out
+
+
+def _layer_specs(layer):
+    """Tensor-axis in_specs for one llama layer subtree — the same
+    Megatron placement parallel/sharding.py rules give the params, so the
+    shard_map consumes them exactly where device_put left them."""
+    from .sharding import partition_spec_for
+
+    def spec(path, leaf):
+        keys = "/".join(str(k.key) for k in path)
+        return partition_spec_for(keys, leaf.shape)
+
+    return jax.tree_util.tree_map_with_path(spec, layer)
