@@ -43,6 +43,10 @@ PRESETS = {
         style="llama", vocab_size=512, d_model=64, n_layers=2,
         n_heads=4, d_ff=128, max_position=512, bos_token_id=1,
         eos_token_id=2),
+    "mixtral-tiny": DecoderConfig(  # test-sized mixtral-style sparse MoE
+        style="llama", vocab_size=512, d_model=64, n_layers=2,
+        n_heads=4, d_ff=128, max_position=512, bos_token_id=1,
+        eos_token_id=2, n_experts=4, n_experts_per_tok=2),
     "llama-tiny-bpe": DecoderConfig(  # tiny body, full BPE vocab: CI
         style="llama", vocab_size=16384, d_model=64, n_layers=2,
         n_heads=4, d_ff=128, max_position=512, bos_token_id=1,
@@ -136,7 +140,13 @@ def config_from_hf_json(path: Path) -> DecoderConfig:
             use_conv_bias=hf.get("use_conv_bias", True),
             bos_token_id=hf.get("bos_token_id"),
             eos_token_id=hf.get("eos_token_id"))
-    if model_type in ("llama", "mistral"):
+    if model_type in ("llama", "mistral", "mixtral"):
+        moe = {}
+        if model_type == "mixtral":
+            # sliding-window attention is not implemented; mixtral ships
+            # with sliding_window=null and sequences here are <1k tokens
+            moe = dict(n_experts=hf.get("num_local_experts", 8),
+                       n_experts_per_tok=hf.get("num_experts_per_tok", 2))
         return DecoderConfig(
             style="llama", vocab_size=hf["vocab_size"],
             d_model=hf["hidden_size"], n_layers=hf["num_hidden_layers"],
@@ -147,7 +157,7 @@ def config_from_hf_json(path: Path) -> DecoderConfig:
             rope_theta=hf.get("rope_theta", 10000.0),
             norm_eps=hf.get("rms_norm_eps", 1e-5),
             bos_token_id=hf.get("bos_token_id"),
-            eos_token_id=hf.get("eos_token_id"))
+            eos_token_id=hf.get("eos_token_id"), **moe)
     raise ValueError(f"Unsupported HF model_type {model_type!r}")
 
 
@@ -305,9 +315,35 @@ def _hf_to_tree(cfg: DecoderConfig, tensors: dict,
                                ("v_proj", "v_proj"), ("o_proj", "o_proj")):
                 put_kernel(f"h_{i}/attn/{fx_n}/base/kernel",
                            tensors[p + f"self_attn.{hf_n}.weight"].T)
-            for hf_n in ("gate_proj", "up_proj", "down_proj"):
-                put_kernel(f"h_{i}/mlp/{hf_n}/kernel",
-                           tensors[p + f"mlp.{hf_n}.weight"].T)
+            if getattr(cfg, "n_experts", 0) > 1:
+                # mixtral sparse MoE: router + per-expert SwiGLU weights
+                # stacked on a leading E axis (transformer.py MoEMLP)
+                put(f"h_{i}/mlp/gate",
+                    tensors[p + "block_sparse_moe.gate.weight"].T)
+                for hf_n, fx_n in (("w1", "w_gate"), ("w3", "w_up"),
+                                   ("w2", "w_down")):
+                    w = np.stack([
+                        tensors[p + f"block_sparse_moe.experts.{e}."
+                                    f"{hf_n}.weight"].T
+                        for e in range(cfg.n_experts)])  # [E, in, out]
+                    if quantize == 8:
+                        from .transformer import QuantDense
+                        qs = [QuantDense.quantize(
+                            np.asarray(w[e], dtype=np.float32), bits=8)
+                            for e in range(cfg.n_experts)]
+                        put(f"h_{i}/mlp/{fx_n}_q",
+                            np.stack([q for q, _ in qs]))
+                        put(f"h_{i}/mlp/{fx_n}_scale",
+                            np.stack([s for _, s in qs]))
+                    elif quantize:
+                        raise NotImplementedError(
+                            "MoE experts support int8 quantization only")
+                    else:
+                        put(f"h_{i}/mlp/{fx_n}", w)
+            else:
+                for hf_n in ("gate_proj", "up_proj", "down_proj"):
+                    put_kernel(f"h_{i}/mlp/{hf_n}/kernel",
+                               tensors[p + f"mlp.{hf_n}.weight"].T)
     return tree
 
 

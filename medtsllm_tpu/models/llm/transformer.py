@@ -67,6 +67,11 @@ class DecoderConfig:
     rel_buckets: int = 32
     rel_max_distance: int = 128
     t5_gated: bool = False
+    # mixtral-style sparse MoE FFN (n_experts > 1): top-k routed SwiGLU
+    # experts; expert_capacity is the GShard capacity factor (0 = dropless)
+    n_experts: int = 0
+    n_experts_per_tok: int = 2
+    expert_capacity: float = 0.0
 
     @property
     def head_dim(self) -> int:
@@ -454,6 +459,181 @@ class MLP(nn.Module):
         return dense(cfg.d_model, False, "down_proj")(nn.silu(gate) * up)
 
 
+def moe_capacity(n_tokens: int, n_experts: int, top_k: int,
+                 factor: float) -> int:
+    """Static per-expert slot count. factor <= 0 means dropless: top_k
+    gives each token at most ONE slot per expert, so capacity = n_tokens
+    is exact. Positive factors give the GShard bound ceil(k*T/E * f),
+    rounded up to a multiple of 8 (lane-friendly), capped at T."""
+    if factor <= 0:
+        return n_tokens
+    cap = math.ceil(top_k * n_tokens / n_experts * factor)
+    cap = ((cap + 7) // 8) * 8
+    return min(cap, n_tokens)
+
+
+def router_aux_loss(router_probs, expert_index, n_experts: int):
+    """Switch/Mixtral load-balancing auxiliary loss: E * sum_e f_e * P_e,
+    where f_e is the fraction of routed (token, slot) assignments landing
+    on expert e and P_e the mean router probability mass on e. Equals 1.0
+    at perfect balance. (HF MixtralForCausalLM's load_balancing_loss_func
+    semantics; sown by MoEMLP as intermediates/"router_aux_loss" — the
+    flagship finetune mode freezes the backbone, so no trainer consumes
+    it by default.)"""
+    probs = router_probs.reshape(-1, n_experts).astype(jnp.float32)
+    onehot = jax.nn.one_hot(expert_index.reshape(-1), n_experts,
+                            dtype=jnp.float32)
+    f = jnp.mean(onehot, axis=0)
+    p = jnp.mean(probs, axis=0)
+    return n_experts * jnp.sum(f * p)
+
+
+@jax.custom_vjp
+def _act_quant_bmm(hf, kq, scale):
+    """Batched (per-expert) w8a8 matmul with dynamic per-row activation
+    quantization: hf [E, C, K] f32, kq [E, K, N] int8, scale [E, N] f32
+    -> [E, C, N] f32. Same semantics as _act_quant_matmul with a leading
+    expert batch dim (s8 x s8 -> s32 on the MXU per expert); backward is
+    the same straight-through estimator through the dequantized weight."""
+    amax = jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(amax / 127.0, 1e-10)
+    xq = jnp.round(hf / x_scale).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, kq, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (x_scale * scale[:, None, :])
+
+
+def _act_quant_bmm_fwd(hf, kq, scale):
+    return _act_quant_bmm(hf, kq, scale), (kq, scale)
+
+
+def _act_quant_bmm_bwd(res, g):
+    import numpy as _np
+    kq, scale = res
+    gs = g * scale[:, None, :].astype(g.dtype)
+    dh = jax.lax.dot_general(gs, kq.astype(g.dtype),
+                             (((2,), (2,)), ((0,), (0,))))
+    return (dh, _np.zeros(kq.shape, jax.dtypes.float0),
+            jnp.zeros_like(scale))
+
+
+_act_quant_bmm.defvjp(_act_quant_bmm_fwd, _act_quant_bmm_bwd)
+
+
+class MoEMLP(nn.Module):
+    """Mixtral-style sparse-MoE SwiGLU FFN, TPU-first static-shape dispatch.
+
+    Closes the reference's AutoModel generality for MoE backbones
+    (/root/reference/models/medtsllm.py:175 accepts any HF model id,
+    including mixtral). HF semantics preserved exactly in the dropless
+    regime: router softmax in f32, top-k of the PROBABILITIES,
+    renormalized (MixtralSparseMoeBlock), parity-tested against
+    transformers MixtralModel (tests/test_moe.py).
+
+    Dispatch is scatter/gather into a static [E, C, d] buffer (no
+    data-dependent shapes under jit): each (token, slot) computes its
+    position within its expert via a cumsum over the one-hot assignment,
+    slots beyond capacity fall into a trash row and contribute zero.
+    Expert FFNs run as E-batched matmuls (einsum over the stacked
+    [E, d, f] weights — MXU-batched, sharded P("expert", ...) under
+    expert parallelism; within-expert Megatron column/row over "tensor").
+    quantize=8 runs the per-expert w8a8 MXU path (_act_quant_bmm)."""
+
+    cfg: DecoderConfig
+    dtype: object = None
+    param_dtype: object = jnp.float32
+    quantize: int = 0
+    act_quant: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        cfg = self.cfg
+        E, k = cfg.n_experts, cfg.n_experts_per_tok
+        if cfg.style != "llama":
+            raise NotImplementedError(
+                f"MoE FFN is llama/mixtral-style only; got {cfg.style!r}")
+        if self.quantize not in (0, 8):
+            raise NotImplementedError(
+                f"MoE experts support int8 quantization only; "
+                f"got quantize={self.quantize}")
+        B, L, D = x.shape
+        T = B * L
+        F = cfg.d_ff
+        cd = self.dtype or x.dtype
+        xt = x.reshape(T, D)
+
+        gate_w = self.param("gate", nn.initializers.normal(0.02),
+                            (D, E), self.param_dtype)
+        logits = xt.astype(jnp.float32) @ gate_w.astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_p, top_i = jax.lax.top_k(probs, k)  # [T, k]
+        weights = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+        self.sow("intermediates", "router_aux_loss",
+                 router_aux_loss(probs, top_i, E))
+
+        C = moe_capacity(T, E, k, cfg.expert_capacity)
+        onehot = (top_i.reshape(T * k)[:, None]
+                  == jnp.arange(E)[None, :]).astype(jnp.int32)  # [T*k, E]
+        pos_all = jnp.cumsum(onehot, axis=0) - onehot
+        pos = jnp.sum(pos_all * onehot, axis=-1)  # [T*k] rank within expert
+        eid = top_i.reshape(T * k)
+        keep = pos < C
+        dest = jnp.where(keep, eid * C + pos, E * C)  # drops -> trash row
+        src = jnp.repeat(jnp.arange(T), k)
+
+        buf = jnp.zeros((E * C + 1, D), cd).at[dest].set(
+            xt[src].astype(cd))
+        h = buf[:E * C].reshape(E, C, D)
+
+        def stacked(name, d_in, d_out):
+            if self.quantize == 8:
+                # per-expert per-output-channel int8 (QuantDense.quantize
+                # applied expert-wise by the loader); random init mirrors
+                # QuantDense's fixed 3.5-sigma scale
+                s_init = 3.5 * 0.02 / 127.0
+
+                def init_q(key, shape, _dtype=jnp.int8):
+                    w = 0.02 * jax.random.normal(key, shape, jnp.float32)
+                    return jnp.clip(jnp.round(w / s_init),
+                                    -127, 127).astype(jnp.int8)
+
+                kq = self.param(name + "_q", init_q, (E, d_in, d_out))
+                sc = self.param(
+                    name + "_scale",
+                    lambda _k, s: s_init * jnp.ones(s, jnp.float32),
+                    (E, d_out))
+                return kq, sc
+            w = self.param(
+                name,
+                nn.initializers.lecun_normal(in_axis=-2, out_axis=-1,
+                                             batch_axis=(0,)),
+                (E, d_in, d_out), self.param_dtype)
+            return w, None
+
+        def bmm(h_in, name, d_in, d_out):
+            w, sc = stacked(name, d_in, d_out)
+            if sc is not None:
+                if self.act_quant:
+                    return _act_quant_bmm(h_in.astype(jnp.float32), w,
+                                          sc).astype(cd)
+                # weight-only: int8 dequant fused into the matmul read,
+                # per-channel rescale applied on the (smaller) output
+                acc = jnp.einsum("ecd,edf->ecf", h_in.astype(cd),
+                                 w.astype(cd))
+                return acc * sc[:, None, :].astype(cd)
+            return jnp.einsum("ecd,edf->ecf", h_in, w.astype(cd))
+
+        g = bmm(h, "w_gate", D, F)
+        u = bmm(h, "w_up", D, F)
+        out = bmm(nn.silu(g) * u, "w_down", F, D)  # [E, C, D]
+
+        out_flat = jnp.concatenate(
+            [out.reshape(E * C, D), jnp.zeros((1, D), cd)], axis=0)
+        w_slot = (weights.reshape(T * k) * keep.astype(jnp.float32))
+        y = out_flat[dest] * w_slot[:, None].astype(cd)
+        return y.reshape(T, k, D).sum(axis=1).reshape(B, L, D)
+
+
 class Block(nn.Module):
     cfg: DecoderConfig
     lora: LoraSpec | None = None
@@ -498,10 +678,12 @@ class Block(nn.Module):
                               name="cross_attn")(
                 norm("ln_cross", "cross_attention_layernorm")(x), enc_out,
                 deterministic=deterministic)
-        x = x + MLP(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
-                    quantize=self.quantize, act_quant=self.act_quant,
-                    name="mlp")(norm("ln_2", "post_attention_layernorm")(x),
-                                deterministic=deterministic)
+        mlp_cls = MoEMLP if cfg.n_experts and cfg.n_experts > 1 else MLP
+        x = x + mlp_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+                        quantize=self.quantize, act_quant=self.act_quant,
+                        name="mlp")(
+            norm("ln_2", "post_attention_layernorm")(x),
+            deterministic=deterministic)
         return (x, new_kv) if return_kv else x
 
 

@@ -23,6 +23,15 @@ LLM_PARTITION_RULES = (
     (r".*(c_attn|q_proj|k_proj|v_proj)/base/(bias|scale)$", P("tensor")),
     # attention out / mlp down: shard input features (row-parallel)
     (r".*attn/(c_proj|o_proj)/base/kernel(_q)?$", P("tensor", None)),
+    # mixtral sparse-MoE experts (transformer.py MoEMLP): stacked
+    # [E, in, out] weights shard experts over "expert", within-expert
+    # Megatron column/row over "tensor"; the router gate ([d, E], tiny)
+    # stays replicated. GSPMD turns the dispatch scatter/gather into the
+    # token all-to-all between "data" and "expert" groups.
+    (r".*mlp/(w_gate|w_up)(_q)?$", P("expert", None, "tensor")),
+    (r".*mlp/(w_gate|w_up)_scale$", P("expert", "tensor")),
+    (r".*mlp/w_down(_q)?$", P("expert", "tensor", None)),
+    (r".*mlp/w_down_scale$", P("expert", None)),
     # mlp fan-out (wi/wi_0/wi_1 are the t5 FFN names)
     (r".*mlp/(c_fc|gate_proj|up_proj|wi|wi_0|wi_1)/kernel(_q)?$",
      P(None, "tensor")),

@@ -302,6 +302,7 @@ def sp_supported(cfg, lora, quantize: int, mesh) -> bool:
     n = mesh.shape.get("tensor", 1) if mesh is not None else 1
     return (mesh is not None and n > 1
             and getattr(cfg, "style", "") == "llama"
+            and not getattr(cfg, "n_experts", 0)  # dense FFN only (no MoE)
             and lora is None and quantize in (0, 8)
             and cfg.n_heads % n == 0 and cfg.kv_heads % n == 0)
 
