@@ -188,8 +188,10 @@ def bench_config(config_path: str, iters: int, warmup: int,
 
 def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
                warmup: int, model_size: str = "llama-tiny") -> dict:
-    """DP/TP/PP scaling on a virtual CPU mesh: '8', '8:2' or '8:2:2'
-    (devices[:tensor[:stage]]).
+    """DP/TP/PP/EP scaling on a virtual CPU mesh: '8', '8:2', '8:2:2' or
+    '8:1:1:2' (devices[:tensor[:stage[:expert]]]). expert > 1 switches
+    the backbone to the mixtral-style MoE preset (experts sharded over
+    the "expert" axis).
 
     Provisions N virtual CPU devices (this process must not have
     initialized a backend yet), then times the jit train step at the SAME
@@ -205,6 +207,9 @@ def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
     n = int(parts[0])
     tensor = int(parts[1]) if len(parts) > 1 else 1
     stage = int(parts[2]) if len(parts) > 2 else 1
+    expert = int(parts[3]) if len(parts) > 3 else 1
+    if expert > 1 and model_size == "llama-tiny":
+        model_size = "mixtral-tiny"  # EP needs a MoE backbone
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -252,19 +257,22 @@ def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
                 prefix_cache=cache,
                 setup_extra={"tensor_parallel": tensor,
                              "pipeline_parallel": stage,
-                             "data_parallel": n // (tensor * stage)})
+                             "expert_parallel": expert,
+                             "data_parallel": n // (tensor * stage * expert)})
         else:
             sharded = build_trainer(model_size, batch, history_len,
                                     bf16=False, prefix_cache=cache)
             sharded.config.setup["tensor_parallel"] = tensor
-            sharded.config.setup["data_parallel"] = n // tensor
+            sharded.config.setup["expert_parallel"] = expert
+            sharded.config.setup["data_parallel"] = n // (tensor * expert)
             sharded.apply_sharding()
         assert sharded.mesh is not None
         sharded.opt_state = sharded.optimizer.init(sharded.params)
         t_mesh = step_time(sharded)
 
     eff = t_single / t_mesh
-    name = f"mesh{n}x{tensor}" + (f"x{stage}pp" if stage > 1 else "")
+    name = (f"mesh{n}x{tensor}" + (f"x{stage}pp" if stage > 1 else "")
+            + (f"x{expert}ep" if expert > 1 else ""))
     return {
         "metric": f"{name}_dp_scaling_efficiency",
         "value": round(eff, 3),
@@ -272,8 +280,9 @@ def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
         "vs_baseline": None,
         "detail": {
             "devices": n, "tensor_parallel": tensor,
-            "pipeline_parallel": stage,
-            "data_parallel": n // (tensor * stage), "global_batch": batch,
+            "pipeline_parallel": stage, "expert_parallel": expert,
+            "data_parallel": n // (tensor * stage * expert),
+            "global_batch": batch,
             "t_single_ms": round(t_single * 1e3, 2),
             "t_mesh_ms": round(t_mesh * 1e3, 2),
             "projected_n_chip_speedup": round(n * min(eff, 1.0), 2),
@@ -367,10 +376,12 @@ def main():
     ap.add_argument("--overlap-ab", type=int, default=None, metavar="N",
                     help="A/B ring collective matmul vs psum TP MLP on an "
                          "N-device virtual CPU mesh")
-    ap.add_argument("--mesh", default=None, metavar="N[:T[:S]]",
-                    help="DP/TP/PP scaling bench on an N-device virtual CPU "
-                         "mesh (optionally T-way tensor parallel and S "
-                         "pipeline stages), e.g. --mesh 8, 8:2 or 8:2:2")
+    ap.add_argument("--mesh", default=None, metavar="N[:T[:S[:E]]]",
+                    help="DP/TP/PP/EP scaling bench on an N-device virtual "
+                         "CPU mesh (optionally T-way tensor parallel, S "
+                         "pipeline stages, E-way expert parallel — E > 1 "
+                         "switches to the MoE backbone), e.g. --mesh 8, "
+                         "8:2, 8:2:2 or 8:1:1:2")
     ap.add_argument("--no-int8-matmul", action="store_true",
                     help="with --quant: dequantize to bf16 instead of "
                          "running the s8xs8->s32 MXU matmul")
