@@ -483,6 +483,20 @@ def main():
         n_llm += sum(int(np.prod(np.shape(leaf))) for kp, leaf in flat
                      if "kernel_q" in "/".join(str(getattr(k, "key", k))
                                                for k in kp))
+    llm_cfg = getattr(trainer.model, "llm_cfg", None)
+    n_experts = getattr(llm_cfg, "n_experts", 0) or 0
+    if n_experts > 1:
+        # sparse MoE: only k of E routed experts run per token — the A100
+        # denominator uses ACTIVE params (dense-equivalent FLOPs), not
+        # stored params, so the ratio compares equal work
+        import jax as _jax
+        flat = _jax.tree_util.tree_flatten_with_path(trainer.params["llm"])[0]
+        expert_params = sum(
+            int(np.prod(np.shape(leaf))) for kp, leaf in flat
+            if any(s in "/".join(str(getattr(k, "key", k)) for k in kp)
+                   for s in ("w_gate", "w_up", "w_down")))
+        k_act = llm_cfg.n_experts_per_tok
+        n_llm = n_llm - expert_params + (expert_params * k_act) // n_experts
     # token accounting for the A100 denominator: the FULL prompt (prefix
     # included) — the reference-equivalent pipeline recomputes the
     # constant head per window; serving it from the KV cache instead is

@@ -47,6 +47,13 @@ PRESETS = {
         style="llama", vocab_size=512, d_model=64, n_layers=2,
         n_heads=4, d_ff=128, max_position=512, bos_token_id=1,
         eos_token_id=2, n_experts=4, n_experts_per_tok=2),
+    "moe-8x1b": DecoderConfig(  # 8-expert MoE on the TinyLlama-1.1B shape:
+        # ~6.4B stored / ~1.8B active params (top-2 routing), int8 fits one
+        # v5e chip; GShard capacity 1.25 bounds the dispatch buffers
+        style="llama", vocab_size=32000, d_model=2048, n_layers=22,
+        n_heads=32, n_kv_heads=4, d_ff=5632, max_position=2048,
+        norm_eps=1e-5, bos_token_id=1, eos_token_id=2,
+        n_experts=8, n_experts_per_tok=2, expert_capacity=1.25),
     "llama-tiny-bpe": DecoderConfig(  # tiny body, full BPE vocab: CI
         style="llama", vocab_size=16384, d_model=64, n_layers=2,
         n_heads=4, d_ff=128, max_position=512, bos_token_id=1,
