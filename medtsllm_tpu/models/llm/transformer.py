@@ -544,6 +544,18 @@ class MoEMLP(nn.Module):
     param_dtype: object = jnp.float32
     quantize: int = 0
     act_quant: bool = True
+    ep_mesh: object = None  # Mesh with an "expert" axis (EP constraints)
+
+    def _ep_constrain(self, t, spec_prefix=("expert",)):
+        """Pin the leading expert dim of a dispatch tensor to the mesh's
+        "expert" axis: expert compute stays device-local and GSPMD's only
+        EP collective is the combine psum (never a weight all-gather)."""
+        if self.ep_mesh is None or self.is_initializing():
+            return t
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(*spec_prefix, *([None] * (t.ndim - len(spec_prefix))))
+        return jax.lax.with_sharding_constraint(
+            t, NamedSharding(self.ep_mesh, spec))
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -583,7 +595,7 @@ class MoEMLP(nn.Module):
 
         buf = jnp.zeros((E * C + 1, D), cd).at[dest].set(
             xt[src].astype(cd))
-        h = buf[:E * C].reshape(E, C, D)
+        h = self._ep_constrain(buf[:E * C].reshape(E, C, D))
 
         def stacked(name, d_in, d_out):
             if self.quantize == 8:
@@ -626,6 +638,7 @@ class MoEMLP(nn.Module):
         g = bmm(h, "w_gate", D, F)
         u = bmm(h, "w_up", D, F)
         out = bmm(nn.silu(g) * u, "w_down", F, D)  # [E, C, D]
+        out = self._ep_constrain(out)
 
         out_flat = jnp.concatenate(
             [out.reshape(E * C, D), jnp.zeros((1, D), cd)], axis=0)
@@ -643,6 +656,7 @@ class Block(nn.Module):
     act_quant: bool = True
     causal: bool = True
     cross: bool = False  # add a cross-attention sublayer (enc-dec decoder)
+    ep_mesh: object = None  # Mesh with an "expert" axis (MoE FFN only)
 
     @nn.compact
     def __call__(self, x, enc_out=None, *, attn_bias=None, prefix_kv=None,
@@ -678,10 +692,12 @@ class Block(nn.Module):
                               name="cross_attn")(
                 norm("ln_cross", "cross_attention_layernorm")(x), enc_out,
                 deterministic=deterministic)
-        mlp_cls = MoEMLP if cfg.n_experts and cfg.n_experts > 1 else MLP
+        moe = cfg.n_experts and cfg.n_experts > 1
+        mlp_cls = MoEMLP if moe else MLP
+        extra = {"ep_mesh": self.ep_mesh} if moe else {}
         x = x + mlp_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                         quantize=self.quantize, act_quant=self.act_quant,
-                        name="mlp")(
+                        name="mlp", **extra)(
             norm("ln_2", "post_attention_layernorm")(x),
             deterministic=deterministic)
         return (x, new_kv) if return_kv else x
@@ -782,6 +798,7 @@ class TransformerDecoder(nn.Module):
     pipeline_mesh: object = None  # jax.sharding.Mesh with a "stage" axis
     sp: bool = False  # sequence-parallel ring-collective TP (parallel/sp.py)
     sp_mesh: object = None  # jax.sharding.Mesh with a "tensor" axis
+    ep_mesh: object = None  # jax.sharding.Mesh with an "expert" axis (MoE)
 
     def setup(self):
         cfg = self.cfg
@@ -815,7 +832,8 @@ class TransformerDecoder(nn.Module):
             self.blocks = [Block(cfg, self.lora, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  quantize=self.quantize,
-                                 act_quant=self.act_quant, name=f"h_{i}")
+                                 act_quant=self.act_quant,
+                                 ep_mesh=self.ep_mesh, name=f"h_{i}")
                            for i in range(cfg.n_layers)]
         if self.sp and self.sp_mesh is not None:
             from ...parallel.sp import sp_supported

@@ -109,6 +109,7 @@ class MedTsLLM(nn.Module):
     pipeline_mesh: object = None  # Mesh with a "stage" axis (static attr)
     sp: bool = False  # sequence-parallel ring-collective TP (parallel/sp.py)
     sp_mesh: object = None  # Mesh with a "tensor" axis (static attr)
+    ep_mesh: object = None  # Mesh with an "expert" axis (MoE backbones)
 
     supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
                        "semantic_segmentation", "segmentation", "pretraining")
@@ -194,6 +195,19 @@ class MedTsLLM(nn.Module):
                 sp_mesh.shape.get("tensor", 1) > 1, (
                     "setup.tp_overlap requires tensor_parallel > 1")
 
+        # [setup] expert_parallel: the MoE dispatch buffers get explicit
+        # P("expert", ...) sharding constraints so expert compute stays
+        # local (GSPMD combines with one psum over "expert" instead of
+        # gathering expert weights)
+        ep_mesh = None
+        if (int(config.setup.get("expert_parallel", 1) or 1) > 1
+                and mc.llm.enabled
+                and getattr(llm_cfg, "n_experts", 0) > 1
+                and pipeline <= 1):
+            from ..parallel import mesh_from_config
+            ep_mesh = mesh_from_config(config)
+            assert ep_mesh is not None and "expert" in ep_mesh.shape
+
         return cls(
             task=task,
             seq_len=config.history_len,
@@ -227,6 +241,7 @@ class MedTsLLM(nn.Module):
             pipeline_mesh=pipeline_mesh,
             sp=(sp and mc.llm.enabled),
             sp_mesh=sp_mesh,
+            ep_mesh=ep_mesh,
             # the reference loads the LLM at the configured dtype
             # (medtsllm.py:149-157); "mixed" here stores the frozen backbone
             # directly at bf16 — it never updates
@@ -286,7 +301,8 @@ class MedTsLLM(nn.Module):
             extra = dict(pipeline=self.pipeline,
                          pipeline_microbatches=self.pipeline_microbatches,
                          pipeline_mesh=self.pipeline_mesh,
-                         sp=self.sp, sp_mesh=self.sp_mesh)
+                         sp=self.sp, sp_mesh=self.sp_mesh,
+                         ep_mesh=self.ep_mesh)
         if self.pipeline > 1 and llm_cls is not TransformerDecoder:
             raise NotImplementedError(
                 f"pipeline parallelism supports decoder-only backbones; "

@@ -232,6 +232,25 @@ def test_expert_parallel_matches_single_device(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_expert_x_pipeline_parallel(tmp_path):
+    """(data 2, stage 2, expert 2): MoE composed with pipeline
+    parallelism — the stacked expert weights gain the leading layer axis
+    and shard stage x expert."""
+    from medtsllm_tpu.tasks import get_trainer
+    cfg = _trainer_cfg(tmp_path, expert=2, tensor=1)
+    cfg.setup["pipeline_parallel"] = 2  # mixtral-tiny has 2 layers
+    trainer = get_trainer("eppp", cfg)
+    assert dict(trainer.mesh.shape) == {
+        "data": 2, "stage": 2, "expert": 2, "tensor": 1}
+    w = trainer.params["llm"]["h_stack"]["block"]["mlp"]["w_gate"]
+    assert w.shape[:2] == (2, 4)  # [layers, experts, d, f]
+    shard = w.sharding.shard_shape(w.shape)
+    assert shard[0] == 1 and shard[1] == 2  # stage x expert split
+    trainer.train()
+    assert np.isfinite(trainer.val()["val/mse"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_expert_x_tensor_parallel(tmp_path):
     """(data 2, expert 2, tensor 2): EP composed with Megatron TP — the
     stacked expert weights shard BOTH axes."""
