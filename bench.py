@@ -18,12 +18,14 @@ import time
 import numpy as np
 
 
-def wait_for_backend(retries: int = 5, probe_timeout: int = 180,
-                     sleep_s: int = 60) -> None:
+def wait_for_backend(retries: int = 15, probe_timeout: int = 180,
+                     sleep_s: int = 90) -> None:
     """Wait out transient TPU-tunnel outages before initializing the
     in-process backend (a failed axon init can hang for many minutes or
     poison the process, so the probe runs in a subprocess). Gives up
-    silently after `retries` — the old failure behavior, just later."""
+    silently after `retries` — the old failure behavior, just later.
+    Horizon ~1h for a hanging tunnel (observed outages run 1-2h+; the
+    driver-recorded bench is worth waiting for)."""
     import subprocess
     for i in range(retries):
         try:
