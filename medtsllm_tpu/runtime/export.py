@@ -1,0 +1,127 @@
+"""AOT serving export: the compiled eval step as a deployable artifact.
+
+The reference has no deployment story — its models exist only inside the
+torch process that built them (train.py:8-30 / test.py:8-37 re-run the
+full Python stack). On TPU the natural serving artifact is the exported
+XLA program: `jax.export` serializes the jitted eval step (and, when the
+model serves the prompt-prefix KV cache, the prefill program) as
+version-stable StableHLO that executes WITHOUT the model code — load it
+with `load_serving` (or any StableHLO runtime) next to the checkpointed
+params and serve.
+
+Artifact layout (one directory):
+    eval_step.jaxexport   exported eval step: call(params, arrays) -> preds
+    prefill.jaxexport     (when prefix-cached) call(params, prefix_ids)
+                          -> per-layer KV to pass as arrays["prefix_kv"]
+    manifest.json         shapes, dtypes, platforms, calling convention
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _specs(tree):
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        tree)
+
+
+def _spec_manifest(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {
+        "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp):
+            [list(np.shape(leaf)), str(jnp.asarray(leaf).dtype)]
+        for kp, leaf in flat
+    }
+
+
+def export_serving(trainer, out_dir, batch=None) -> dict:
+    """Export `trainer`'s serving programs to `out_dir`. Returns the
+    manifest. Uses one real batch to fix the compiled shapes (the
+    pipeline emits fixed-shape batches, so one graph serves all batches
+    of the run's batch_size)."""
+    from jax import export as jexport
+
+    if getattr(trainer, "mesh", None) is not None:
+        raise NotImplementedError(
+            "export_serving targets single-chip serving artifacts; "
+            "rebuild the trainer without [setup] *_parallel to export "
+            "(multi-chip serving re-jits against the deployment mesh)")
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if batch is None:
+        batch = next(iter(trainer.val_pipeline))
+    arrays = trainer.eval_model_inputs(batch)
+
+    exp = jexport.export(trainer.eval_step)(_specs(trainer.params),
+                                            _specs(arrays))
+    (out / "eval_step.jaxexport").write_bytes(exp.serialize())
+
+    manifest = {
+        "model": trainer.config.model,
+        "task": trainer.config.task,
+        "platforms": list(exp.platforms),
+        "batch_size": int(trainer.config.training.batch_size),
+        "calling_convention": "eval_step.call(params, arrays) -> preds",
+        "arrays": _spec_manifest(arrays),
+        "prefix_cached": "prefix_kv" in arrays,
+    }
+
+    if "prefix_kv" in arrays:
+        # the artifact takes the per-layer KV as an input, so the
+        # deployment rebuilds it once per weight load via the exported
+        # prefill program (trainer._prefix_kv created the jit above)
+        ids = trainer.model_inputs(batch)["prefix_ids"]
+        pexp = jexport.export(trainer._prefill_jit)(
+            _specs(trainer.params),
+            jax.ShapeDtypeStruct(np.shape(ids), jnp.asarray(ids).dtype))
+        (out / "prefill.jaxexport").write_bytes(pexp.serialize())
+        manifest["prefill"] = {
+            "calling_convention":
+                "prefill.call(params, prefix_ids) -> arrays['prefix_kv']",
+            "prefix_ids_shape": list(np.shape(ids)),
+        }
+
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
+    return manifest
+
+
+def load_serving(out_dir) -> dict:
+    """Load an exported serving directory -> dict with `eval_step`
+    (callable), optional `prefill` (callable) and the `manifest`."""
+    from jax import export as jexport
+
+    out = Path(out_dir)
+    loaded = {
+        "manifest": json.loads((out / "manifest.json").read_text()),
+        "eval_step": jexport.deserialize(
+            (out / "eval_step.jaxexport").read_bytes()).call,
+    }
+    pf = out / "prefill.jaxexport"
+    if pf.exists():
+        loaded["prefill"] = jexport.deserialize(pf.read_bytes()).call
+    return loaded
+
+
+def verify_roundtrip(trainer, out_dir, batch=None) -> float:
+    """Serve one batch through the deserialized artifact and through the
+    live trainer; returns the max abs difference (must be 0 — same XLA
+    program)."""
+    if batch is None:
+        batch = next(iter(trainer.val_pipeline))
+    loaded = load_serving(out_dir)
+    arrays = trainer.eval_model_inputs(batch)
+    if "prefill" in loaded:
+        ids = trainer.model_inputs(batch)["prefix_ids"]
+        arrays = dict(arrays)
+        arrays["prefix_kv"] = loaded["prefill"](trainer.params,
+                                                jnp.asarray(ids))
+    got = loaded["eval_step"](trainer.params, arrays)
+    want = trainer.eval_step(trainer.params, arrays)
+    return float(jnp.max(jnp.abs(jnp.asarray(got) - jnp.asarray(want))))

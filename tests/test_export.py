@@ -1,0 +1,90 @@
+"""AOT serving export (runtime/export.py): the serialized StableHLO
+program must reproduce the live eval step exactly and be loadable without
+re-tracing the model."""
+
+import numpy as np
+import pytest
+
+from medtsllm_tpu.runtime.export import (export_serving, load_serving,
+                                         verify_roundtrip)
+from medtsllm_tpu.tasks import get_trainer
+
+from conftest import make_config
+
+
+def _flagship_cfg(tmp_path, llm="llama-tiny", prefix_cache=True):
+    cfg = make_config(task="reconstruction", model="medtsllm",
+                      hist=32, pred=32, step=16)
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.training.epochs = 1
+    cfg.training.batch_size = 4
+    cfg.datasets.synthetic.n_points = 128
+    cfg["models"] = {"medtsllm": {
+        "d_model": 16, "d_ff": 16, "n_heads": 4, "num_tokens": 32,
+        "covariate_mode": "concat", "embedding_downsample_mode": "linear",
+        "patching": {"patch_len": 8, "stride": 4},
+        "prompting": {"dataset": True, "task": True, "clip": False,
+                      "input_stats": False, "examples": False,
+                      "input_stats_dim": 0, "input_stats_select": "all"},
+        "llm": {"enabled": True, "llm": llm, "llm_layers": -1,
+                "prefix_cache": prefix_cache,
+                "load_in_4bit": False, "load_in_8bit": False},
+    }}
+    return cfg
+
+
+def test_export_flagship_with_prefix_cache(tmp_path):
+    trainer = get_trainer("exp1", _flagship_cfg(tmp_path))
+    out = tmp_path / "artifact"
+    batch = next(iter(trainer.val_pipeline))
+    manifest = export_serving(trainer, out, batch=batch)
+    assert (out / "eval_step.jaxexport").exists()
+    assert (out / "manifest.json").exists()
+    assert manifest["prefix_cached"] and (out / "prefill.jaxexport").exists()
+    assert verify_roundtrip(trainer, out, batch=batch) == 0.0
+
+
+def test_export_loads_without_model_code(tmp_path):
+    """The deserialized artifact runs from (params, arrays) alone."""
+    import jax.numpy as jnp
+    trainer = get_trainer("exp2", _flagship_cfg(tmp_path))
+    out = tmp_path / "artifact"
+    batch = next(iter(trainer.val_pipeline))
+    export_serving(trainer, out, batch=batch)
+    loaded = load_serving(out)
+    arrays = dict(trainer.model_inputs(batch))
+    ids = arrays.pop("prefix_ids")
+    arrays["prefix_kv"] = loaded["prefill"](trainer.params,
+                                            jnp.asarray(ids))
+    got = np.asarray(loaded["eval_step"](trainer.params, arrays))
+    want = np.asarray(trainer.eval_step(
+        trainer.params, trainer.eval_model_inputs(batch)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_export_baseline_model_uncached(tmp_path):
+    """A prompt-free baseline model exports a single eval_step program."""
+    cfg = make_config(task="forecasting", model="dlinear",
+                      hist=32, pred=16, step=16)
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.training.batch_size = 4
+    cfg["models"] = {"dlinear": {"moving_avg": 5, "individual": False}}
+    trainer = get_trainer("exp3", cfg)
+    out = tmp_path / "artifact"
+    batch = next(iter(trainer.val_pipeline))
+    manifest = export_serving(trainer, out, batch=batch)
+    assert not manifest["prefix_cached"]
+    assert not (out / "prefill.jaxexport").exists()
+    assert verify_roundtrip(trainer, out, batch=batch) == 0.0
+
+
+def test_export_rejects_sharded_trainer(tmp_path):
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = _flagship_cfg(tmp_path)
+    cfg.setup["tensor_parallel"] = 2
+    cfg.training.batch_size = 8
+    trainer = get_trainer("exp4", cfg)
+    with pytest.raises(NotImplementedError):
+        export_serving(trainer, tmp_path / "artifact")
