@@ -251,22 +251,24 @@ def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
     with contextlib.redirect_stdout(io.StringIO()):
         t_single = step_time(build_trainer(model_size, batch, history_len,
                                            bf16=False, prefix_cache=cache))
-        if stage > 1:
-            # the pipeline param layout (stacked h_stack) is a model-build
-            # attribute — configure before get_trainer, not post-hoc
+        if stage > 1 or expert > 1:
+            # the pipeline param layout (stacked h_stack) and the MoE
+            # dispatch constraints (ep_mesh) are model-BUILD attributes —
+            # configure before get_trainer, not post-hoc
             sharded = build_trainer(
                 model_size, batch, history_len, bf16=False,
                 prefix_cache=cache,
                 setup_extra={"tensor_parallel": tensor,
-                             "pipeline_parallel": stage,
-                             "expert_parallel": expert,
+                             **({"pipeline_parallel": stage}
+                                if stage > 1 else {}),
+                             **({"expert_parallel": expert}
+                                if expert > 1 else {}),
                              "data_parallel": n // (tensor * stage * expert)})
         else:
             sharded = build_trainer(model_size, batch, history_len,
                                     bf16=False, prefix_cache=cache)
             sharded.config.setup["tensor_parallel"] = tensor
-            sharded.config.setup["expert_parallel"] = expert
-            sharded.config.setup["data_parallel"] = n // (tensor * expert)
+            sharded.config.setup["data_parallel"] = n // tensor
             sharded.apply_sharding()
         assert sharded.mesh is not None
         sharded.opt_state = sharded.optimizer.init(sharded.params)

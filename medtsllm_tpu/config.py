@@ -277,6 +277,11 @@ def validate_config(config: Config) -> Config:
         dt = config.setup.get("dtype", "float32")
         require(dt in KNOWN_DTYPES or isinstance(dt, int),
                 f"invalid dtype {dt!r}")
+        if int(config.setup.get("expert_parallel", 1) or 1) > 1:
+            require(config.model in ("medtsllm", "timellm"),
+                    "setup.expert_parallel applies to MoE LLM backbones "
+                    f"(model medtsllm); {config.model!r} has no experts "
+                    "to shard")
 
     if config.task in ("reconstruction", "anomaly_detection",
                        "semantic_segmentation", "segmentation",

@@ -843,9 +843,10 @@ class TransformerDecoder(nn.Module):
                     "mutually exclusive (both re-schedule the layer stack)")
             if not sp_supported(cfg, self.lora, self.quantize, self.sp_mesh):
                 raise NotImplementedError(
-                    "sequence-parallel TP supports llama-style backbones "
-                    "without LoRA, quantize in (0, 8), heads divisible by "
-                    f"the tensor axis; got style={cfg.style!r} "
+                    "sequence-parallel TP supports llama-style DENSE-FFN "
+                    "backbones (no MoE) without LoRA, quantize in (0, 8), "
+                    "heads divisible by the tensor axis; got "
+                    f"style={cfg.style!r} n_experts={cfg.n_experts} "
                     f"lora={self.lora is not None} quantize={self.quantize} "
                     f"heads={cfg.n_heads}/{cfg.kv_heads} "
                     f"mesh={dict(self.sp_mesh.shape)}")

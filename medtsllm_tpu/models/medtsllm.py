@@ -149,6 +149,28 @@ class MedTsLLM(nn.Module):
         llm_cfg, _ = resolve_config(mc.llm.llm, cache_dir,
                                     mc.llm.get("llm_layers", -1))
 
+        # MoE dispatch capacity (models.<m>.llm.expert_capacity): GShard
+        # capacity factor for the static expert buffers; 0/unset =
+        # dropless (HF-exact numerics; buffers grow with the token
+        # count). Real mixtral snapshots default to dropless, so bound
+        # it here for production batch sizes.
+        cap = mc.llm.get("expert_capacity", None)
+        if cap is not None:
+            if not getattr(llm_cfg, "n_experts", 0):
+                raise ValueError(
+                    f"models.llm.expert_capacity set but backbone "
+                    f"{mc.llm.llm!r} is not a MoE (n_experts <= 1)")
+            import dataclasses
+            llm_cfg = dataclasses.replace(llm_cfg,
+                                          expert_capacity=float(cap))
+
+        if int(config.setup.get("expert_parallel", 1) or 1) > 1 and not (
+                mc.llm.enabled and getattr(llm_cfg, "n_experts", 0) > 1):
+            raise ValueError(
+                f"setup.expert_parallel > 1 requires a MoE backbone "
+                f"(n_experts > 1); {mc.llm.llm!r} is dense — the expert "
+                f"mesh axis would silently duplicate work")
+
         lora = None
         if "lora" in mc and mc.lora.enabled and mc.llm.enabled:
             assert mc.lora.get("layers", "auto") == "auto"

@@ -59,14 +59,25 @@ def export_serving(trainer, out_dir, batch=None) -> dict:
         batch = next(iter(trainer.val_pipeline))
     arrays = trainer.eval_model_inputs(batch)
 
-    exp = jexport.export(trainer.eval_step)(_specs(trainer.params),
-                                            _specs(arrays))
+    # Pallas kernels (flash attention from 512 aligned tokens, the mamba
+    # selective scan always) lower to `tpu_custom_call`, which is not on
+    # jax.export's cross-version-stable allowlist — allow it explicitly.
+    # The artifact then pins the exporting jax/libtpu version for those
+    # kernels (recorded in the manifest); programs without Pallas calls
+    # keep full version stability.
+    checks = [jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+    exp = jexport.export(trainer.eval_step, disabled_checks=checks)(
+        _specs(trainer.params), _specs(arrays))
     (out / "eval_step.jaxexport").write_bytes(exp.serialize())
 
     manifest = {
         "model": trainer.config.model,
         "task": trainer.config.task,
         "platforms": list(exp.platforms),
+        "jax_version": jax.__version__,
+        "version_note": "tpu_custom_call (Pallas kernels) allowed: if the "
+                        "program contains any, it pins the exporting "
+                        "jax/libtpu version",
         "batch_size": int(trainer.config.training.batch_size),
         "calling_convention": "eval_step.call(params, arrays) -> preds",
         "arrays": _spec_manifest(arrays),
@@ -78,7 +89,7 @@ def export_serving(trainer, out_dir, batch=None) -> dict:
         # deployment rebuilds it once per weight load via the exported
         # prefill program (trainer._prefix_kv created the jit above)
         ids = trainer.model_inputs(batch)["prefix_ids"]
-        pexp = jexport.export(trainer._prefill_jit)(
+        pexp = jexport.export(trainer._prefill_jit, disabled_checks=checks)(
             _specs(trainer.params),
             jax.ShapeDtypeStruct(np.shape(ids), jnp.asarray(ids).dtype))
         (out / "prefill.jaxexport").write_bytes(pexp.serialize())

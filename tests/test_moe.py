@@ -205,6 +205,32 @@ def _trainer_cfg(tmp_path, expert=2, tensor=1):
     return cfg
 
 
+def test_expert_parallel_requires_moe_backbone(tmp_path):
+    """expert_parallel with a dense backbone would silently duplicate
+    work over the expert axis — it must fail fast instead."""
+    from medtsllm_tpu.tasks import get_trainer
+    cfg = _trainer_cfg(tmp_path, expert=2)
+    cfg.models.medtsllm.llm["llm"] = "llama-tiny"  # dense FFN
+    with pytest.raises(ValueError, match="MoE backbone"):
+        get_trainer("epdense", cfg)
+
+
+def test_expert_capacity_config_override(tmp_path):
+    """models.<m>.llm.expert_capacity bounds the dispatch buffers for
+    backbones whose preset/HF config is dropless (real mixtral snapshots
+    have no capacity field)."""
+    from medtsllm_tpu.data import get_dataset
+    from medtsllm_tpu.models import build_model
+    cfg = _trainer_cfg(tmp_path, expert=1)
+    cfg.models.medtsllm.llm["expert_capacity"] = 1.5
+    model = build_model(cfg, get_dataset(cfg, "train"))
+    assert model.llm_cfg.expert_capacity == 1.5
+
+    cfg.models.medtsllm.llm["llm"] = "llama-tiny"  # dense: must reject
+    with pytest.raises(ValueError, match="not a MoE"):
+        build_model(cfg, get_dataset(cfg, "train"))
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_expert_parallel_training_step(tmp_path):
     """(data 4, expert 2) mesh: expert weights sharded over "expert"."""
