@@ -62,6 +62,17 @@ def test_export_loads_without_model_code(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_export_mamba_state_cache(tmp_path):
+    """Mamba serves an O(1) per-layer (conv tail, SSM state) prefix cache
+    instead of KV — the exported prefill artifact carries that pytree."""
+    trainer = get_trainer("exp5", _flagship_cfg(tmp_path, llm="mamba-tiny"))
+    out = tmp_path / "artifact"
+    batch = next(iter(trainer.val_pipeline))
+    manifest = export_serving(trainer, out, batch=batch)
+    assert manifest["prefix_cached"]
+    assert verify_roundtrip(trainer, out, batch=batch) == 0.0
+
+
 def test_export_baseline_model_uncached(tmp_path):
     """A prompt-free baseline model exports a single eval_step program."""
     cfg = make_config(task="forecasting", model="dlinear",
