@@ -117,7 +117,7 @@ def serving_inputs(trainer, bf16: bool = True, train: bool = False):
                              False) if train else True)
         if use_cache:
             arrays["prefix_kv"] = trainer._prefix_kv(
-                np.asarray(arrays.pop("prefix_ids")))
+                np.asarray(arrays.pop("prefix_ids")), train=train)
     if bf16:
         arrays = {k: (v.astype(np.float32) if hasattr(v, "dtype")
                       and np.issubdtype(v.dtype, np.floating) else v)

@@ -38,9 +38,10 @@ VOCAB_SUBSAMPLE_LIMIT = 100_000  # medtsllm.py:220-222
 
 class ReprogrammingLayer(nn.Module):
     """Cross-attention from patch embeddings (queries) into a compressed
-    text-token basis (keys/values) — medtsllm.py:555-591."""
+    text-token basis (keys/values) — medtsllm.py:555-591. (The
+    reference's d_model arg only seeds its d_keys default and is dead
+    when d_keys is given, as MedTsLLM always does — not carried here.)"""
 
-    d_model: int
     n_heads: int
     d_keys: int
     d_llm: int
@@ -156,7 +157,7 @@ class MedTsLLM(nn.Module):
         # it here for production batch sizes.
         cap = mc.llm.get("expert_capacity", None)
         if cap is not None:
-            if not getattr(llm_cfg, "n_experts", 0):
+            if getattr(llm_cfg, "n_experts", 0) <= 1:
                 raise ValueError(
                     f"models.llm.expert_capacity set but backbone "
                     f"{mc.llm.llm!r} is not a MoE (n_experts <= 1)")
@@ -285,12 +286,6 @@ class MedTsLLM(nn.Module):
         return n * self.n_features if self.covariate_mode == "interleave" else n
 
     @property
-    def d_reprog(self) -> int:
-        """Query dim of the reprogramming layer (d_model, xC for concat)."""
-        return (self.d_model * self.n_features
-                if self.covariate_mode == "concat" else self.d_model)
-
-    @property
     def d_llm(self) -> int:
         return self.llm_cfg.d_model
 
@@ -343,7 +338,7 @@ class MedTsLLM(nn.Module):
             pos_embed=False, name="patch_embedding")
         self.mapping_layer = nn.Dense(self.num_tokens, name="mapping_layer")
         self.reprogramming_layer = ReprogrammingLayer(
-            self.d_reprog, self.n_heads, self.d_ff, self.d_llm,
+            self.n_heads, self.d_ff, self.d_llm,
             attention_dropout=self.dropout, name="reprogramming_layer")
         self.output_projection = nn.Dense(self.n_outputs,
                                           name="output_projection")
@@ -561,8 +556,10 @@ class MedTsLLM(nn.Module):
         once per eval run and reused for every window (the reference
         re-runs the full prompt through the 7B backbone per batch).
         ``embed_dtype`` must match what `__call__` would feed the LLM
-        (ts_emb's dtype, i.e. the trainer's param precision) so cached
-        and uncached paths are bit-identical."""
+        (ts_emb's dtype — f32 everywhere except the mixed-precision
+        train step, whose caller must also cast the params; see
+        tasks/base.py prefill_program) so cached and uncached paths are
+        bit-identical."""
         emb = self.llm.embed(prefix_ids)[None].astype(embed_dtype)
         return self.llm.prefill(emb)
 
@@ -725,6 +722,7 @@ class PromptBuilder:
         # whole point is fewer computed tokens per window)
         self.split_prefix = getattr(model, "supports_prefix_cache", False)
         self.max_bucket_suffix = 16
+        self.max_bucket_post = 16
         self._cache: dict[str, list[int]] = {}
         if self.cfg["examples"] and getattr(dataset, "examples", None):
             # fixed example length from the DATASET's pool median — NOT
@@ -884,8 +882,9 @@ class PromptBuilder:
                            and not has_examples)))
 
     def __call__(self, batch: dict) -> dict:
+        from ..utils import ARRAY_BATCH_KEYS
         arrays = {k: v for k, v in batch.items()
-                  if k in ("x_enc", "y", "labels", "index", "valid")}
+                  if k in ARRAY_BATCH_KEYS}
         if not self.enabled:
             return arrays
         pre_prompts, post_prompts = self.build_prompts(batch)
@@ -927,20 +926,27 @@ class PromptBuilder:
         return arrays
 
     def _bucket_post(self, maxlen: int) -> int:
-        if not hasattr(self, "max_bucket_post"):
-            self.max_bucket_post = 16
-        while self.max_bucket_post < maxlen:
-            self.max_bucket_post *= 2
+        # 16-granular like _bucket_suffix (the post region — clip/stats/
+        # task under the reference order — is backbone-computed per
+        # window too, and typically the longer split part; a pow2 bucket
+        # would compute up to ~2x the needed suffix tokens)
+        self.max_bucket_post = max(self.max_bucket_post,
+                                   ((maxlen + 15) // 16) * 16)
         return self.max_bucket_post
 
     def _example_tensor(self, batch: dict) -> np.ndarray:
         """In-context example segments (reference ecg.py:139-166), crop/tile
-        to one static example length chosen at first use."""
+        to one static example length fixed at __init__ from the dataset's
+        pool median (reproducible under shuffling/batch-size changes)."""
         tensors = [np.asarray(e[1])[0] for e in batch["examples"]]
-        if not hasattr(self, "example_len"):  # dataset had no pool at
-            med = int(np.median([t.shape[0] for t in tensors]))  # init
+        if not hasattr(self, "example_len"):
+            # dataset exposed no .examples pool at init yet batches carry
+            # examples: derive the length from model constants only —
+            # NOT from whichever batch arrives first (that would change
+            # with the shuffle seed, the non-determinism __init__ fixes)
             self.example_len = min(self.model.seq_len,
-                                   max(self.model.patch_len, med))
+                                   max(self.model.patch_len,
+                                       self.model.seq_len // 4))
         fixed = self.example_len
         out = np.zeros((len(tensors), fixed, tensors[0].shape[-1]), np.float32)
         for i, t in enumerate(tensors):

@@ -89,7 +89,8 @@ def export_serving(trainer, out_dir, batch=None) -> dict:
         # deployment rebuilds it once per weight load via the exported
         # prefill program (trainer._prefix_kv created the jit above)
         ids = trainer.model_inputs(batch)["prefix_ids"]
-        pexp = jexport.export(trainer._prefill_jit, disabled_checks=checks)(
+        pexp = jexport.export(trainer.prefill_program(train=False),
+                              disabled_checks=checks)(
             _specs(trainer.params),
             jax.ShapeDtypeStruct(np.shape(ids), jnp.asarray(ids).dtype))
         (out / "prefill.jaxexport").write_bytes(pexp.serialize())

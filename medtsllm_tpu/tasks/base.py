@@ -34,10 +34,9 @@ from ..loggers import get_logger
 from ..models import build_model
 from ..runtime.checkpoint import load_checkpoint, restore_partial, save_checkpoint  # noqa: F401
 from ..runtime.optim import Optimizer
-from ..utils import Precision, count_params, set_seed
+from ..utils import (ARRAY_BATCH_KEYS,  # noqa: F401 (re-export)
+                     Precision, count_params, set_seed)
 from . import losses as L
-
-ARRAY_BATCH_KEYS = ("x_enc", "y", "labels", "index", "valid")
 
 
 class BaseTask:
@@ -79,7 +78,7 @@ class BaseTask:
         self._step_in_flight = False
         self._preempt_requested = False
         self._prefix_kv_cache = {}
-        self._prefill_jit = None
+        self._prefill_jits = {}
 
         metric_dir = config.training.eval_metric_direction
         self.best_score = float("inf") if metric_dir == "min" else float("-inf")
@@ -241,7 +240,7 @@ class BaseTask:
         if ("prefix_ids" in arrays
                 and getattr(self.model, "train_prefix_cache_safe", False)):
             arrays["prefix_kv"] = self._prefix_kv(
-                np.asarray(arrays.pop("prefix_ids")))
+                np.asarray(arrays.pop("prefix_ids")), train=True)
         return arrays
 
     def eval_model_inputs(self, batch: dict) -> dict:
@@ -257,16 +256,42 @@ class BaseTask:
             arrays["prefix_kv"] = self._prefix_kv(np.asarray(ids))
         return arrays
 
-    def _prefix_kv(self, ids: np.ndarray):
-        key = ids.tobytes()
+    def prefill_program(self, train: bool = False):
+        """The jitted prefill matching the consuming step's numerics
+        EXACTLY (MedTsLLM.prefill contract: embed_dtype == ts_emb.dtype):
+        batches are f32 and the fusion layers run flax promotion against
+        the params, so ts_emb is f32 in every eval step and every
+        non-mixed train step — regardless of a bf16 param_dtype. The one
+        exception is the mixed-precision TRAIN step, which casts arrays
+        AND params to the compute dtype before apply; its prefill embeds
+        at the compute dtype over the same cast params (cast inside the
+        jit — XLA fuses it into the reads)."""
+        mixed_train = train and self.precision.mixed
+        key = ("train" if mixed_train else "eval")
+        jit = self._prefill_jits.get(key)
+        if jit is None:
+            model = self.model
+            if mixed_train:
+                cd = self.precision.compute_dtype
+                cast = self._cast_for_compute
+
+                def fn(p, i):
+                    return model.apply({"params": cast(p)}, i, cd,
+                                       method=type(model).prefill)
+            else:
+                def fn(p, i):
+                    return model.apply({"params": p}, i, jnp.float32,
+                                       method=type(model).prefill)
+            jit = jax.jit(fn)
+            self._prefill_jits[key] = jit
+        return jit
+
+    def _prefix_kv(self, ids: np.ndarray, train: bool = False):
+        mixed_train = train and self.precision.mixed
+        key = (ids.tobytes(), mixed_train)
         kv = self._prefix_kv_cache.get(key)
         if kv is None:
-            if self._prefill_jit is None:
-                model = self.model
-                pd = self.precision.param_dtype
-                self._prefill_jit = jax.jit(lambda p, i: model.apply(
-                    {"params": p}, i, pd, method=type(model).prefill))
-            kv = self._prefill_jit(self.params, jnp.asarray(ids))
+            kv = self.prefill_program(train)(self.params, jnp.asarray(ids))
             self._prefix_kv_cache[key] = kv
         return kv
 
@@ -349,7 +374,8 @@ class BaseTask:
             for batch in prefetch(iter(self.train_pipeline)):
                 arrays = self._device_batch(self.train_model_inputs(batch))
                 valid = jnp.asarray(batch["valid"])
-                # profile steps 2-4 (after compile) when configured
+                # profile step 2 (the first post-compile step) when
+                # configured — one representative steady-state step
                 with profiler.trace(self.profile_dir if step_in_run == 2 else None):
                     # donation window: SIGUSR1 arriving while the inputs
                     # are donated must defer the checkpoint to the safe

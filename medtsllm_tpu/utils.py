@@ -16,6 +16,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# batch keys that enter the jit graph as arrays (everything else —
+# descriptions, examples — is host-side prompt material). One canonical
+# tuple: tasks/base.model_inputs and the PromptBuilder filter both key
+# on it; task trainers may append task-specific arrays (imputation's
+# "mask") AFTER the filter.
+ARRAY_BATCH_KEYS = ("x_enc", "y", "labels", "index", "valid")
+
+
 def get_run_id(config=None) -> str:
     """Timestamp run ids; DEBUG- prefix when config.DEBUG (utils.py:7-10)."""
     run_id = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")

@@ -216,6 +216,61 @@ def test_train_step_cached_gradients(tmp_path, llm):
                                        rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("dtype", ["bfloat16", "mixed"])
+def test_cached_equals_uncached_nonf32(tmp_path, dtype):
+    """Non-f32 precision modes: the prefill embed dtype must match what
+    the in-graph path feeds the LLM (f32 via flax promotion in BOTH these
+    eval paths — tasks/base.py prefill_program), so cached and uncached
+    agree to rounding."""
+    cfg = _cfg(tmp_path)
+    cfg.setup["dtype"] = dtype
+    trainer = get_trainer(f"pc-{dtype}", cfg)
+    batch = next(iter(trainer.test_pipeline))
+    arrays = trainer.model_inputs(batch)
+    cached = trainer.eval_model_inputs(batch)
+    out_u = np.asarray(trainer.eval_step(trainer.params, arrays),
+                       dtype=np.float32)
+    out_c = np.asarray(trainer.eval_step(trainer.params, cached),
+                       dtype=np.float32)
+    tol = dict(rtol=2e-2, atol=2e-2) if dtype == "bfloat16" else \
+        dict(rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out_u, out_c, **tol)
+
+
+def test_train_cache_mixed_precision_gradients(tmp_path):
+    """Mixed-precision train step (arrays AND params cast to bf16): the
+    train-flavored prefill embeds at the compute dtype over the same
+    cast params, keeping the cached loss/gradients aligned with the
+    embedded-prefix graph."""
+    cfg = _cfg(tmp_path)
+    cfg.setup["dtype"] = "mixed"
+    trainer = get_trainer("pc-mixed-train", cfg)
+    assert trainer.model.train_prefix_cache_safe
+    batch = next(iter(trainer.train_pipeline))
+    arrays_emb = trainer.model_inputs(batch)
+    arrays_kv = trainer.train_model_inputs(batch)
+    assert "prefix_kv" in arrays_kv
+    valid = jnp.asarray(batch["valid"])
+    key = jax.random.PRNGKey(7)
+
+    def loss_of(arr):
+        def f(p):
+            pc = trainer._cast_for_compute(p)
+            ac = trainer._cast_for_compute(arr)
+            pred = trainer.model.apply({"params": pc}, ac, training=True,
+                                       rngs={"dropout": key})
+            return trainer.loss_fn(pred.astype(jnp.float32), arr, valid)
+        return jax.value_and_grad(f, allow_int=True)(trainer.params)
+
+    l1, g1 = loss_of(arrays_emb)
+    l2, g2 = loss_of(arrays_kv)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-2)
+    for sub in ("output_projection", "mapping_layer"):
+        for a, b in zip(jax.tree.leaves(g1[sub]), jax.tree.leaves(g2[sub])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-2, atol=5e-2)
+
+
 def test_lora_disables_train_cache(tmp_path):
     """LoRA adapts q/v, so the prefix KV is NOT constant during training
     — the train path must embed the head (eval still caches, rebuilt per
