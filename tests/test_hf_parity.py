@@ -73,6 +73,34 @@ def test_llama_parity(tmp_path):
     np.testing.assert_allclose(got, expected, atol=2e-4)
 
 
+def test_mistral_parity(tmp_path):
+    """Mistral maps onto the llama-style decoder (loader
+    config_from_hf_json handles model_type 'mistral'); workload sequences
+    (<1k tokens) sit far inside the 4096 sliding window, so full causal
+    attention is exact."""
+    from transformers import MistralConfig, MistralModel
+    hf_cfg = MistralConfig(vocab_size=96, hidden_size=32,
+                           intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           max_position_embeddings=64, rms_norm_eps=1e-5,
+                           sliding_window=4096, attention_dropout=0.0)
+    torch.manual_seed(0)
+    hf = MistralModel(hf_cfg).eval()
+    snap = _save_snapshot(tmp_path, hf, hf_cfg)
+
+    from medtsllm_tpu.models.llm.loader import load_backbone
+    module, params, cfg = load_backbone(str(snap))
+    assert cfg.style == "llama" and cfg.kv_heads == 2
+
+    ids = np.array([[1, 5, 9, 20, 33, 2, 7, 11]], dtype=np.int32)
+    with torch.no_grad():
+        expected = hf(input_ids=torch.tensor(ids, dtype=torch.long)
+                      ).last_hidden_state.numpy()
+    got = np.asarray(module.apply({"params": params},
+                                  input_ids=jnp.asarray(ids)))
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
 def test_llama_parity_pipeline_layout(tmp_path):
     """The pipeline-parallel param layout (stacked h_stack, HF layer
     weights stacked by stack_decoder_tree) must reproduce the HF output
