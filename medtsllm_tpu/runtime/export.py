@@ -27,9 +27,17 @@ import numpy as np
 
 
 def _specs(tree):
-    return jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
-        tree)
+    def spec(x):
+        sharding = getattr(x, "sharding", None)
+        # uncommitted host arrays (numpy) carry no sharding; committed
+        # device arrays (sharded params, prefix KV) keep theirs so the
+        # exported program records the mesh layout
+        if sharding is not None and not isinstance(
+                sharding, jax.sharding.Sharding):
+            sharding = None
+        return jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype,
+                                    sharding=sharding)
+    return jax.tree.map(spec, tree)
 
 
 def _spec_manifest(tree):
@@ -48,16 +56,15 @@ def export_serving(trainer, out_dir, batch=None) -> dict:
     of the run's batch_size)."""
     from jax import export as jexport
 
-    if getattr(trainer, "mesh", None) is not None:
-        raise NotImplementedError(
-            "export_serving targets single-chip serving artifacts; "
-            "rebuild the trainer without [setup] *_parallel to export "
-            "(multi-chip serving re-jits against the deployment mesh)")
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     if batch is None:
         batch = next(iter(trainer.val_pipeline))
-    arrays = trainer.eval_model_inputs(batch)
+    # sharded trainers: place the batch the way the live eval step sees
+    # it, so the exported program records the mesh layout (params carry
+    # their NamedShardings already); the artifact then requires the same
+    # number of devices at load (manifest "nr_devices")
+    arrays = trainer._device_batch(trainer.eval_model_inputs(batch))
 
     # Pallas kernels (flash attention from 512 aligned tokens, the mamba
     # selective scan always) lower to `tpu_custom_call`, which is not on
@@ -70,10 +77,13 @@ def export_serving(trainer, out_dir, batch=None) -> dict:
         _specs(trainer.params), _specs(arrays))
     (out / "eval_step.jaxexport").write_bytes(exp.serialize())
 
+    mesh = getattr(trainer, "mesh", None)
     manifest = {
         "model": trainer.config.model,
         "task": trainer.config.task,
         "platforms": list(exp.platforms),
+        "nr_devices": int(exp.nr_devices),
+        "mesh": dict(mesh.shape) if mesh is not None else None,
         "jax_version": jax.__version__,
         "version_note": "tpu_custom_call (Pallas kernels) allowed: if the "
                         "program contains any, it pins the exporting "
@@ -128,7 +138,7 @@ def verify_roundtrip(trainer, out_dir, batch=None) -> float:
     if batch is None:
         batch = next(iter(trainer.val_pipeline))
     loaded = load_serving(out_dir)
-    arrays = trainer.eval_model_inputs(batch)
+    arrays = trainer._device_batch(trainer.eval_model_inputs(batch))
     if "prefill" in loaded:
         ids = trainer.model_inputs(batch)["prefix_ids"]
         arrays = dict(arrays)

@@ -89,7 +89,9 @@ def test_export_baseline_model_uncached(tmp_path):
     assert verify_roundtrip(trainer, out, batch=batch) == 0.0
 
 
-def test_export_rejects_sharded_trainer(tmp_path):
+def test_export_sharded_trainer(tmp_path):
+    """Multi-chip serving exports too: the artifact records the mesh
+    layout (HLO shardings) and requires the same device count at load."""
     import jax
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -97,5 +99,10 @@ def test_export_rejects_sharded_trainer(tmp_path):
     cfg.setup["tensor_parallel"] = 2
     cfg.training.batch_size = 8
     trainer = get_trainer("exp4", cfg)
-    with pytest.raises(NotImplementedError):
-        export_serving(trainer, tmp_path / "artifact")
+    assert trainer.mesh is not None
+    out = tmp_path / "artifact"
+    batch = next(iter(trainer.val_pipeline))
+    manifest = export_serving(trainer, out, batch=batch)
+    assert manifest["nr_devices"] == 8
+    assert manifest["mesh"] == {"data": 4, "tensor": 2}
+    assert verify_roundtrip(trainer, out, batch=batch) == 0.0
