@@ -25,11 +25,9 @@ the matmuls. On the CPU virtual mesh these are numerics-verified
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _ring_perm(n: int):

@@ -49,20 +49,25 @@ def _ring_perm(n: int):
     return [(j, (j + 1) % n) for j in range(n)]
 
 
-def _allgather_matmul(x, mm, axis: str, n: int, out_features: int):
+def _allgather_matmul(x, mm, axis: str, n: int, out_features: int,
+                      out_dtype=None):
     """x [B, l, D] (token shard) -> y [B, n*l, F_local] = mm(gather(x)).
 
     Ring schedule: at step i every device matmuls the token chunk that
     originated at device (idx - i) % n while forwarding it around the
     ring — compute and ICI transfer of successive steps overlap (no data
     dependency between them). ``mm`` maps [B, l, D] -> [B, l, F_local].
+    ``out_dtype`` is the projection's compute dtype (the plain path's
+    nn.Dense/QuantDense output dtype), NOT the residual dtype — under
+    mixed precision they differ.
     """
     idx = jax.lax.axis_index(axis)
     B, l = x.shape[0], x.shape[1]
     # the zeros carry must be marked device-varying for the scan's type
     # check (x and the updates are; see shard_map's scan-vma docs)
-    out = jax.lax.pcast(jnp.zeros((B, n * l, out_features), x.dtype),
-                        axis_name=(axis,), to="varying")
+    out = jax.lax.pcast(
+        jnp.zeros((B, n * l, out_features), out_dtype or x.dtype),
+        axis_name=(axis,), to="varying")
 
     def body(i, carry):
         out, cur = carry
@@ -139,13 +144,24 @@ _qmm_scaled.defvjp(_qmm_scaled_fwd, _qmm_scaled_bwd)
 def _proj_mm(leaf: dict, quantize: int, act_quant: bool, dtype):
     """mm(x [.., l, K_local or K]) for a column-parallel projection leaf
     ({kernel} or {kernel_q, scale}); per-token quantization over the full
-    feature axis — bit-identical to the single-device QuantDense."""
+    feature axis — bit-identical to the single-device QuantDense. Every
+    branch computes at the COMPUTE dtype exactly like the plain path
+    (nn.Dense(dtype=cd) casts x and kernel; QuantDense's weight-only path
+    is (x.astype(cd) @ w.astype(cd)) * scale.astype(cd)) — under mixed
+    precision x arrives f32 but the matmul must run bf16."""
     if not quantize:
         kernel = leaf["kernel"]
-        return lambda x: x @ kernel.astype(x.dtype)
+
+        def mm(x, _k=kernel):
+            cd = dtype or x.dtype
+            return x.astype(cd) @ _k.astype(cd)
+        return mm
     kq, scale = leaf["kernel_q"], leaf["scale"]
     if not act_quant:
-        return lambda x: (x @ kq.astype(x.dtype)) * scale.astype(x.dtype)
+        def mm(x, _kq=kq, _s=scale):
+            cd = dtype or x.dtype
+            return (x.astype(cd) @ _kq.astype(cd)) * _s.astype(cd)
+        return mm
     from ..models.llm.transformer import _act_quant_matmul
 
     def mm(x):
@@ -177,23 +193,21 @@ def _sp_attention(layer, x, cfg, axis: str, n: int, quantize: int,
     att = layer["attn"]
     qkv_leaves = [att["q_proj"]["base"], att["k_proj"]["base"],
                   att["v_proj"]["base"]]
-    # one ring gather for q|k|v: concatenate the column shards so the
-    # token gather happens once (the single-chip fused-qkv dead end in
-    # BASELINE.md was an XLA epilogue-fusion effect; here the fusion is
-    # what makes one ring instead of three)
-    if quantize:
-        kq = jnp.concatenate([lf["kernel_q"] for lf in qkv_leaves], axis=1)
-        sc = jnp.concatenate([lf["scale"] for lf in qkv_leaves], axis=0)
-        mm = _proj_mm({"kernel_q": kq, "scale": sc}, quantize, act_quant,
-                      dtype)
-    else:
-        kernel = jnp.concatenate([lf["kernel"] for lf in qkv_leaves], axis=1)
-        mm = _proj_mm({"kernel": kernel}, 0, act_quant, dtype)
-    out_f = (Hl + 2 * KVl) * D
-    qkv = _allgather_matmul(h, mm, axis, n, out_f)  # [B, L, out_f]
-    q, k, v = jnp.split(qkv, [Hl * D, (Hl + KVl) * D], axis=-1)
+    # ONE ring gather for q|k|v: each ring step runs the three matmuls on
+    # the resident token chunk and concatenates the (small) activation
+    # outputs — the token gather happens once, and no concatenated copy
+    # of the weight shards is ever materialized (weights are jit inputs,
+    # so a weight-side concat would rewrite all qkv bytes to HBM every
+    # step)
+    mms = [_proj_mm(lf, quantize, act_quant, dtype) for lf in qkv_leaves]
+
+    def mm(cur):
+        return jnp.concatenate([m(cur) for m in mms], axis=-1)
 
     cd = dtype or x.dtype
+    out_f = (Hl + 2 * KVl) * D
+    qkv = _allgather_matmul(h, mm, axis, n, out_f, cd)  # [B, L, out_f]
+    q, k, v = jnp.split(qkv, [Hl * D, (Hl + KVl) * D], axis=-1)
     q = q.reshape(B, L, Hl, D).astype(cd)
     k = k.reshape(B, L, KVl, D).astype(cd)
     v = v.reshape(B, L, KVl, D).astype(cd)
@@ -219,11 +233,17 @@ def _make_row_mm(leaf, quantize: int, act_quant: bool, dtype, x_full,
     slices activation and scale rows with the same chunk index."""
     if not quantize:
         kernel = leaf["kernel"]
-        return lambda rows: rows @ kernel.astype(rows.dtype)
+
+        def mm(rows, _k=kernel):
+            cd = dtype or rows.dtype
+            return rows.astype(cd) @ _k.astype(cd)
+        return mm
     kq, w_scale = leaf["kernel_q"], leaf["scale"]
     if not act_quant:
-        return lambda rows: ((rows @ kq.astype(rows.dtype))
-                             * w_scale.astype(rows.dtype))
+        def mm(rows, _kq=kq, _s=w_scale):
+            cd = dtype or rows.dtype
+            return (rows.astype(cd) @ _kq.astype(cd)) * _s.astype(cd)
+        return mm
     # the scale is straight-through in backward (stop_gradient keeps the
     # non-differentiable pmax out of the AD graph)
     amax = jnp.max(jnp.abs(jax.lax.stop_gradient(x_full)
@@ -256,8 +276,12 @@ def _matmul_reduce_scatter2(x_or_rq, mm_or_rq, axis: str, n: int, dtype):
     def partial_chunk(c):
         rows = jax.lax.dynamic_slice_in_dim(xf, c * m, m, axis=1)
         sc = jax.lax.dynamic_slice_in_dim(x_scale, c * m, m, axis=1)
-        y = _qmm_scaled(rows, sc[..., None], rq.kq, rq.w_scale)
-        return y.astype(dtype or jnp.float32)
+        # stays f32 through the ring: the plain QuantDense computes the
+        # FULL contraction exactly (s32 x scales) and casts to the
+        # compute dtype ONCE — accumulating the ring partials in bf16
+        # would add a rounding per hop (the docstring's "only the f32
+        # ring-sum order differs" contract)
+        return _qmm_scaled(rows, sc[..., None], rq.kq, rq.w_scale)
 
     acc = partial_chunk(jax.lax.rem(idx - 1 + n, n))
 
@@ -265,7 +289,8 @@ def _matmul_reduce_scatter2(x_or_rq, mm_or_rq, axis: str, n: int, dtype):
         acc = jax.lax.ppermute(acc, axis, _ring_perm(n))
         return acc + partial_chunk(jax.lax.rem(idx - 1 - i + 2 * n, n))
 
-    return jax.lax.fori_loop(1, n, body, acc, unroll=True)
+    acc = jax.lax.fori_loop(1, n, body, acc, unroll=True)
+    return acc.astype(dtype or acc.dtype)
 
 
 def _sp_block(layer, x, cfg, axis: str, n: int, quantize: int,
@@ -278,19 +303,20 @@ def _sp_block(layer, x, cfg, axis: str, n: int, quantize: int,
                  cfg.norm_eps)
     mlp = layer["mlp"]
     gu = [mlp["gate_proj"], mlp["up_proj"]]
-    if quantize:
-        kq = jnp.concatenate([lf["kernel_q"] for lf in gu], axis=1)
-        sc = jnp.concatenate([lf["scale"] for lf in gu], axis=0)
-        mm = _proj_mm({"kernel_q": kq, "scale": sc}, quantize, act_quant,
-                      dtype)
-    else:
-        kernel = jnp.concatenate([lf["kernel"] for lf in gu], axis=1)
-        mm = _proj_mm({"kernel": kernel}, 0, act_quant, dtype)
+    # one ring for gate|up, activation-side concat (see _sp_attention)
+    mms = [_proj_mm(lf, quantize, act_quant, dtype) for lf in gu]
+
+    def mm(cur):
+        return jnp.concatenate([m(cur) for m in mms], axis=-1)
+
+    cd = dtype or x.dtype
     Fl = (mlp["gate_proj"]["kernel_q"] if quantize
           else mlp["gate_proj"]["kernel"]).shape[-1]
-    h2 = _allgather_matmul(h, mm, axis, n, 2 * Fl)  # [B, L, 2*F_local]
+    h2 = _allgather_matmul(h, mm, axis, n, 2 * Fl, cd)  # [B, L, 2*F_local]
     gate, up = jnp.split(h2, 2, axis=-1)
-    act = (jax.nn.silu(gate) * up).astype(dtype or x.dtype)
+    # silu and the gating product run at the compute dtype like the plain
+    # MLP (its dense outputs are cd already)
+    act = jax.nn.silu(gate) * up
 
     down = _make_row_mm(mlp["down_proj"], quantize, act_quant, dtype, act,
                         axis)
@@ -304,7 +330,10 @@ def sp_supported(cfg, lora, quantize: int, mesh) -> bool:
             and getattr(cfg, "style", "") == "llama"
             and not getattr(cfg, "n_experts", 0)  # dense FFN only (no MoE)
             and lora is None and quantize in (0, 8)
-            and cfg.n_heads % n == 0 and cfg.kv_heads % n == 0)
+            and cfg.n_heads % n == 0 and cfg.kv_heads % n == 0
+            # gate/up columns and down rows shard over the axis; an
+            # indivisible d_ff would otherwise fail deep inside shard_map
+            and cfg.d_ff % n == 0)
 
 
 def sp_decoder_stack(layers: list, x, cfg, mesh: Mesh, *,

@@ -56,6 +56,42 @@ def test_sp_stack_matches_plain_fwd_and_grad(quant, act_q):
                                atol=1e-3)
 
 
+@pytest.mark.parametrize("quant", [0, 8])
+def test_sp_stack_matches_plain_bf16_compute(quant):
+    """bf16 compute dtype with an f32 residual stream (the
+    mixed-precision regime): every sp matmul must run at the SAME dtype
+    as the plain path's nn.Dense(dtype=bf16)/QuantDense — an f32 sp
+    matmul would silently diverge (and cost 2x MXU). Forward parity at
+    bf16 rounding; the int8 fan-in ring accumulates its exact s32xscale
+    partials in f32 and casts once."""
+    module, params, cfg = load_backbone("llama-tiny", quantize=quant,
+                                        dtype=jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    x = (rng.normal(size=(2, 16, cfg.d_model)) * 0.1).astype(np.float32)
+
+    plain = module.apply({"params": params}, inputs_embeds=jnp.asarray(x))
+
+    mesh = create_mesh(data=4, tensor=2)
+    assert sp_supported(cfg, None, quant, mesh)
+    sharded = shard_params(params, mesh)
+    layers = [sharded[f"h_{i}"] for i in range(cfg.n_layers)]
+
+    @jax.jit
+    def sp(x):
+        h = sp_decoder_stack(layers, x, cfg, mesh, quantize=quant,
+                             dtype=jnp.bfloat16)
+        return _rmsnorm(h, sharded["norm"]["weight"], cfg.norm_eps)
+
+    got = np.asarray(sp(jnp.asarray(x)), dtype=np.float32)
+    want = np.asarray(plain, dtype=np.float32)
+    # both paths round to bf16 at the same points; the residue is the
+    # ring-sum order of the fan-in partials — the bf16 ring sums partials
+    # in bf16 (like a GSPMD psum of bf16 partials would), while the int8
+    # ring accumulates exact s32xscale partials in f32 and lands tighter
+    tol = 2e-2 if quant == 8 else 5e-2
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
 def _cfg(tmp_path, overlap: bool):
     cfg = make_config(task="reconstruction", model="medtsllm",
                       hist=32, pred=32, step=16)
