@@ -52,25 +52,34 @@ def reprogramming_attention(q, k, v, scale: float | None = None):
         scale = 1.0 / math.sqrt(E)
 
     tile_ok = (E % 128 == 0) and (L % 8 == 0) and (S % 8 == 0)
-    if not (_use_pallas() and tile_ok and S >= 128):
+    # per-program VMEM: the f32 [L, S] scores + q/o [L, E] + the shared
+    # k/v [S, E] pair; shapes beyond the budget fall back to the einsum
+    # (Mosaic would otherwise fail allocation at compile time)
+    vmem = (4 * L * S + 2 * q.dtype.itemsize * L * E
+            + 2 * k.dtype.itemsize * S * E)
+    if not (_use_pallas() and tile_ok and S >= 128
+            and vmem < 13 * 2 ** 20):
         return _reference(q, k, v, scale)
 
     from jax.experimental import pallas as pl
 
-    # fold (B, H) into the grid; k/v indexed by head only
-    qh = jnp.transpose(q, (0, 2, 1, 3)).reshape(B * H, L, E)
+    # fold (H, B) into the grid HEAD-MAJOR: program i handles head
+    # i // B, so the shared k/v block index is constant for B consecutive
+    # programs and Pallas's revisit elision keeps the basis resident in
+    # VMEM — one DMA per head, not one per (batch, head)
+    qh = jnp.transpose(q, (2, 0, 1, 3)).reshape(H * B, L, E)
     kh = jnp.transpose(k, (1, 0, 2))  # [H, S, E]
     vh = jnp.transpose(v, (1, 0, 2))
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale),
-        grid=(B * H,),
+        grid=(H * B,),
         in_specs=[
             pl.BlockSpec((1, L, E), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, S, E), lambda i, H=H: (i % H, 0, 0)),
-            pl.BlockSpec((1, S, E), lambda i, H=H: (i % H, 0, 0)),
+            pl.BlockSpec((1, S, E), lambda i, B=B: (i // B, 0, 0)),
+            pl.BlockSpec((1, S, E), lambda i, B=B: (i // B, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, L, E), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, L, E), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((H * B, L, E), q.dtype),
     )(qh, kh, vh)
-    return jnp.transpose(out.reshape(B, H, L, E), (0, 2, 1, 3))
+    return jnp.transpose(out.reshape(H, B, L, E), (1, 2, 0, 3))

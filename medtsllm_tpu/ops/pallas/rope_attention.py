@@ -39,13 +39,7 @@ _HEAD_BLOCK = 16
 _NEG_INF = -1e30
 
 
-def _use_pallas() -> bool:
-    if os.environ.get("MEDTSLLM_DISABLE_PALLAS"):
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+from .flash_attention import _use_pallas  # noqa: E402 (one shared gate)
 
 
 def rope_tables(positions, head_dim: int, theta: float):
@@ -208,6 +202,10 @@ def _fra_bwd(sm_scale, res, g):
         return _reference(xq_, xk_, xv_, cos, sin, pk, pv, sm_scale)
     _, vjp = jax.vjp(f, xq, xk, xv)
     dxq, dxk, dxv = vjp(g)
+    # cos/sin derive from integer positions today, so a zero cotangent is
+    # exact; if rope tables ever become trainable (learned rope scaling),
+    # this fused path would silently zero that gradient — keep it gated
+    # off for such variants
     zc = jnp.zeros_like(cos)
     zpk = None if pk is None else jnp.zeros_like(pk)
     zpv = None if pv is None else jnp.zeros_like(pv)

@@ -27,7 +27,6 @@ Off-TPU the XLA reference graph is used for both directions.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -36,13 +35,7 @@ _CHUNK = 16   # c16/e128 measured best (28.9ms vs XLA 106.8ms per
 _BLOCK_E = 128  # 130M-shape layer); c16/e256 exceeds the 16MB VMEM scope
 
 
-def _use_pallas() -> bool:
-    if os.environ.get("MEDTSLLM_DISABLE_PALLAS"):
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+from .flash_attention import _use_pallas  # noqa: E402 (one shared gate)
 
 
 def selective_scan(dA: jnp.ndarray, dBx: jnp.ndarray,
@@ -420,8 +413,10 @@ def _ssm_pallas_with_bounds(dt, A_T, Bs, Cs, xs, D, chunk: int,
 
 def _ssm_pallas_bwd(dt, A_T, Bs, Cs, xs, g, hb, chunk: int, block_e: int,
                     interpret: bool = False):
-    """Adjoint via _ssm_bwd_kernel. Returns (ddt, dBs, dCs, dx_ssm,
-    dA_T) — the D-skip terms (dD, D*g into dx) are added by the caller.
+    """Adjoint via _ssm_bwd_kernel. Returns (ddt, dx_ssm, dBs, dCs,
+    dA_T) — in THAT order (dx before dB/dC; when N == E the [B, L, E]
+    and [B, L, N] gradients shape-match, so a swapped unpack would be
+    silent) — the D-skip terms (dD, D*g into dx) are added by the caller.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
