@@ -1,3 +1,7 @@
+"""Dataset reader families — one module per reference dataset
+(reference datasets/__init__.py:14-38 registry; real-file formats with
+deterministic synthetic fallbacks when the files are absent)."""
+
 from .ett import ETTFamily  # noqa: F401
 from .psm import PSMFamily  # noqa: F401
 from .msl import MSLFamily  # noqa: F401

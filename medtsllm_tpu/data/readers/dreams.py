@@ -87,6 +87,15 @@ class DreamsFamily(TimeSeriesDataset):
 
         if self.task in ("semantic_segmentation", "classification"):
             ldf = pd.read_csv(base / "test_label.csv")
+            # test.csv and test_label.csv are separate files: assert row
+            # alignment before pairing (like ecg.py's time/patient checks)
+            # — silent misalignment would train on wrong supervision
+            assert len(ldf) == len(df), (
+                f"dreams test_label.csv rows ({len(ldf)}) != test.csv "
+                f"rows ({len(df)})")
+            if "ts" in ldf.columns:
+                assert (ldf["ts"].values == timestamps).all(), \
+                    "dreams test_label.csv timestamps misaligned"
             labels = ldf[label_col].values.astype(int)
             sl = _labeled_split(xs.shape[0], self.task, split)
             xs, labels = xs[sl], labels[sl]

@@ -30,24 +30,39 @@ class ECGMITFamily(TimeSeriesDataset):
 
         # in-context example segments (ecg.py:92-96)
         self.examples_enabled = False
-        if self.task == "segmentation":
-            mdl = config.get("models", {}).get("timellm",
-                  config.get("models", {}).get("medtsllm", {}))
-            prompting = mdl.get("prompting", {}) if mdl else {}
-            self.examples_enabled = (
-                config.model in ("timellm", "medtsllm")
-                and bool(prompting.get("examples", False)))
+        if self.task == "segmentation" and config.model in ("timellm",
+                                                            "medtsllm"):
+            # the model's own section resolver (medtsllm before the
+            # historical timellm alias) so dataset and model read the
+            # SAME prompting config — opposite precedence here would let
+            # one side attach examples the other never consumes
+            from ...models.medtsllm import MedTsLLM
+            prompting = MedTsLLM.model_config(config).get("prompting", {})
+            self.examples_enabled = bool(prompting.get("examples", False))
             if self.examples_enabled:
                 max_examples = prompting.get("example_pool", 1024)
                 self.examples = self.get_examples(max_examples)
                 self.n_examples = len(self.examples)
+                if self.n_examples == 0:
+                    raise ValueError(
+                        "prompting.examples = true but the ECG labels "
+                        "contain fewer than two boundary points — no "
+                        "example segments can be sliced")
 
     def get_examples(self, n=None):
         """Slices of data between consecutive boundary labels (ecg.py:98-109).
-        Called after convert_labels; in boundary-prediction mode labels are
-        the raw 0/1 indicators."""
-        inds = np.flatnonzero(self.labels)
-        periods = np.stack([inds[:-1], inds[1:]], axis=1)
+        Called after convert_labels: boundary-prediction keeps the raw 0/1
+        indicators (boundaries = nonzero); steps-to-boundary replaces them
+        with distances-to-next-boundary, where boundaries are exactly the
+        zeros."""
+        mode = self.config.get("tasks", {}).get("segmentation", {}).get(
+            "mode", "boundary-prediction")
+        if mode == "steps-to-boundary":
+            inds = np.flatnonzero(np.asarray(self.labels) == 0)
+        else:
+            inds = np.flatnonzero(self.labels)
+        periods = np.stack([inds[:-1], inds[1:]], axis=1) if len(inds) > 1 \
+            else np.zeros((0, 2), dtype=int)
         if n is not None:
             periods = periods[:n]
         return [self.data[a:b, :] for a, b in periods]

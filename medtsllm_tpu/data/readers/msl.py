@@ -42,8 +42,12 @@ class MSLFamily(TimeSeriesDataset):
         n = 12000 if key == "train" else 6000
         data = syn.sine_mixture(rng, n, self.N_FEATURES, noise=0.25)
         labels = None
-        if key != "train":
-            data, labels = syn.inject_anomalies(rng, data, rate=0.05, max_len=80)
-        if self.task != "anomaly_detection" or self.split == "train":
+        # inject only for anomaly detection (like dreams/synthetic):
+        # forecasting/reconstruction/imputation eval must not run on an
+        # anomaly-corrupted series drawn from a different distribution
+        if key != "train" and self.task == "anomaly_detection":
+            data, labels = syn.inject_anomalies(rng, data, rate=0.05,
+                                                max_len=80)
+        if self.split == "train":
             labels = None
         return {"data": data, "labels": labels}

@@ -36,11 +36,7 @@ class PSMFamily(TimeSeriesDataset):
                 ldf = pd.read_csv(base / "test_label.csv")
                 labels = ldf.drop(columns=["timestamp_(min)"]).values[:, 0].astype(int)
             return {"data": data, "labels": labels}
-        return self._synthetic(split)
-
-    def _synthetic(self, split) -> dict:
-        got = self.synthetic_fallback(split)
-        return got
+        return self.synthetic_fallback(split)
 
     def generate_synthetic(self, split) -> dict:
         key = "train" if split == "train" else "test"
@@ -48,8 +44,9 @@ class PSMFamily(TimeSeriesDataset):
         n = 16000 if key == "train" else 8000
         data = syn.sine_mixture(rng, n, self.N_FEATURES, noise=0.3)
         labels = None
-        if key != "train":
+        # inject only for anomaly detection (see msl.py)
+        if key != "train" and self.task == "anomaly_detection":
             data, labels = syn.inject_anomalies(rng, data, rate=0.03)
-        if self.task != "anomaly_detection" or self.split == "train":
+        if self.split == "train":
             labels = None
         return {"data": data, "labels": labels}

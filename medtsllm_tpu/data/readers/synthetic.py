@@ -38,7 +38,10 @@ class SyntheticFamily(TimeSeriesDataset):
         return 0
 
     def generate_synthetic(self, split) -> dict:
-        key = "train" if split == "train" else split
+        # val and test are DISTINCT series by design (like the ETT-style
+        # continuous datasets, where val/test are different ranges —
+        # unlike MSL/PSM/ECG whose val and test both read test.csv)
+        key = split
         n = int(self.dataset_config.get("n_points", 2048))
         C = int(self.dataset_config.get("n_features", 3))
         rng = syn.rng_for(f"synthetic:{self.name}", key)

@@ -100,23 +100,25 @@ class VentilatorFamily(TimeSeriesDataset):
             clip_list = TRAIN_CLIPS_SEG if split == "train" else TEST_CLIPS_SEG
         if split == "inference":
             base = self.data_root() / "ventilator" / "v1"
-            clip_list = [f.stem for f in base.glob("*.csv")]
-        if not base.exists() or not (base / f"{clip_list[0]}.csv").exists():
+            clip_list = sorted(f.stem for f in base.glob("*.csv"))
+        if (not clip_list or not base.exists()
+                or not (base / f"{clip_list[0]}.csv").exists()):
             return self.synthetic_fallback(split)
 
         import pandas as pd
         dfs = []
         for clip in clip_list:
             df = pd.read_csv(base / f"{clip}.csv")
-            if self.task == "anomaly_detection":
+            if split == "inference":
+                # v1 clips carry no labels; the reference stamps -1 and
+                # never reads df.label (ventilator.py:122-125)
+                df["label"] = -1
+            elif self.task == "anomaly_detection":
                 if split == "train":
                     df = df[df.label >= 0]
                 df["label"] = df["label"] < 0
             else:
-                if split != "inference":
-                    df = df[df.label >= 0]
-                else:
-                    df["label"] = -1
+                df = df[df.label >= 0]
             df["clip_id"] = parse_clip_id(clip)
             dfs.append(df)
         data = pd.concat(dfs, ignore_index=True)
