@@ -8,6 +8,6 @@ collectives inserted by XLA), batch over "data".
 
 from .mesh import create_mesh, mesh_from_config  # noqa: F401
 from .sharding import (  # noqa: F401
-    LLM_PARTITION_RULES, batch_spec, partition_spec_for, shard_batch,
-    shard_params,
+    FSDP_MIN_SIZE, LLM_PARTITION_RULES, batch_spec, fsdp_spec,
+    partition_spec_for, shard_batch, shard_params,
 )

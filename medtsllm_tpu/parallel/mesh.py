@@ -40,7 +40,8 @@ def mesh_from_config(config) -> Mesh | None:
     setup = config.get("setup", {})
     if ("tensor_parallel" not in setup and "data_parallel" not in setup
             and "pipeline_parallel" not in setup
-            and "expert_parallel" not in setup):
+            and "expert_parallel" not in setup
+            and not setup.get("fsdp", False)):
         return None  # sharding is opt-in
     tensor = int(setup.get("tensor_parallel", 1) or 1)
     stage = int(setup.get("pipeline_parallel", 1) or 1)

@@ -57,6 +57,40 @@ LLM_PARTITION_RULES = (
 )
 
 
+# Leaves smaller than this stay replicated under FSDP: gathering a
+# layernorm scale costs more in collective latency than its bytes save.
+FSDP_MIN_SIZE = 2 ** 16
+
+
+def fsdp_spec(spec: P, shape, mesh: Mesh, min_size: int = FSDP_MIN_SIZE) -> P:
+    """ZeRO-3-style upgrade of a TP/EP/stage spec: shard one remaining
+    unsharded dim of a large leaf over the "data" axis, so parameters —
+    and, because optimizer state mirrors param shardings, the Adam
+    moments — are fully partitioned across the mesh. XLA/GSPMD inserts
+    the per-layer all-gather on use and the reduce-scatter on the
+    gradient (the ZeRO-3 / FSDP communication schedule) from this layout
+    alone; no hand-written collectives. The largest eligible dim is
+    chosen so the all-gathers move contiguous slabs."""
+    if "data" not in mesh.shape or mesh.shape["data"] == 1:
+        return spec
+    # Vectors (norm scales, biases) stay replicated regardless of size:
+    # their all-gathers are latency-bound and XLA can't overlap a gather
+    # this small with anything useful.
+    if len(shape) < 2 or int(np.prod(shape)) < min_size:
+        return spec
+    axes = list(spec) + [None] * (len(shape) - len(spec))
+    dp = mesh.shape["data"]
+    best = None
+    for dim, axis in enumerate(axes):
+        if axis is None and shape[dim] % dp == 0:
+            if best is None or shape[dim] > shape[best]:
+                best = dim
+    if best is None:
+        return spec
+    axes[best] = "data"
+    return P(*axes)
+
+
 def partition_spec_for(path: str, shape, rules=LLM_PARTITION_RULES) -> P:
     # pipeline-stacked blocks (nn.scan over layers, transformer.py
     # h_stack): every leaf gains a leading [n_layers] axis sharded over
@@ -80,12 +114,15 @@ def _iter_paths(params):
 
 
 def shard_params(params, mesh: Mesh, rules=LLM_PARTITION_RULES,
-                 divisibility_fallback: bool = True):
+                 divisibility_fallback: bool = True,
+                 fsdp: bool = False, fsdp_min_size: int = FSDP_MIN_SIZE):
     """device_put each param with its NamedSharding. A sharded dim that is
     not divisible by its mesh axis (or whose axis the mesh doesn't have)
     falls back to replication along that dim only — the other dims keep
     their sharding (a stacked pipeline leaf stays stage-sharded even when
-    its tensor dim can't split)."""
+    its tensor dim can't split). With ``fsdp=True`` every large leaf
+    additionally shards one free dim over "data" (ZeRO-3 layout, see
+    fsdp_spec)."""
     def place(path, leaf):
         spec = partition_spec_for(path, np.shape(leaf), rules)
         if divisibility_fallback and spec != P():
@@ -94,6 +131,8 @@ def shard_params(params, mesh: Mesh, rules=LLM_PARTITION_RULES,
                 axis if (axis is not None and axis in mesh.shape
                          and shape[dim] % mesh.shape[axis] == 0) else None
                 for dim, axis in enumerate(spec)])
+        if fsdp:
+            spec = fsdp_spec(spec, np.shape(leaf), mesh, fsdp_min_size)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     flat = jax.tree_util.tree_flatten_with_path(params)

@@ -198,8 +198,13 @@ class BaseTask:
     def apply_sharding(self):
         """Multi-chip layout (SURVEY.md §5.8): params sharded per the
         Megatron-style rules over ("data","tensor"); batches shard over
-        "data" in `_device_batch`. Single-device runs skip this."""
+        "data" in `_device_batch`. `[setup] fsdp = true` additionally
+        shards every large param (and, via the optimizer-state mirror,
+        the Adam moments) over "data" — the ZeRO-3 layout for full
+        pretraining, where replicated optimizer state would dominate HBM.
+        Single-device runs skip this."""
         from ..parallel import mesh_from_config, shard_params
+        from ..parallel.sharding import FSDP_MIN_SIZE
         self.mesh = mesh_from_config(self.config)
         if self.mesh is None:
             return
@@ -207,7 +212,11 @@ class BaseTask:
         assert self.config.training.batch_size % data_size == 0, (
             f"batch_size {self.config.training.batch_size} must divide over "
             f"data axis {data_size}")
-        self.params = shard_params(self.params, self.mesh)
+        setup = self.config.get("setup", {})
+        self.params = shard_params(
+            self.params, self.mesh,
+            fsdp=bool(setup.get("fsdp", False)),
+            fsdp_min_size=int(setup.get("fsdp_min_size", FSDP_MIN_SIZE)))
 
     def _device_batch(self, arrays: dict) -> dict:
         if getattr(self, "mesh", None) is None:
@@ -314,6 +323,14 @@ class BaseTask:
         loss_fn = self.loss_fn
         mixed = self.precision.mixed
         labels = self.param_label_tree
+        # Pin updated params to the layout apply_sharding chose. Without
+        # the constraint GSPMD is free to re-layout step outputs; with it
+        # the FSDP case lowers to the canonical ZeRO-3 schedule (per-layer
+        # all-gather on use, reduce-scatter on the gradient) and TP/EP
+        # layouts survive the step verbatim.
+        param_shardings = (
+            None if getattr(self, "mesh", None) is None
+            else jax.tree.map(lambda x: x.sharding, self.params))
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, arrays, valid, rng):
@@ -341,6 +358,9 @@ class BaseTask:
                 lambda p, u: (p if not jnp.issubdtype(p.dtype, jnp.floating)
                               else optax.apply_updates(p, u)),
                 params, updates)
+            if param_shardings is not None:
+                params = jax.lax.with_sharding_constraint(
+                    params, param_shardings)
             return params, opt_state, loss
 
         @jax.jit

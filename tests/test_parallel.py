@@ -216,6 +216,63 @@ def test_pipeline_parallel_quantized(tmp_path):
     assert np.isfinite(trainer.val()["val/mse"])
 
 
+def test_fsdp_shards_params_and_opt_state(tmp_path):
+    """[setup] fsdp = true: ZeRO-3 layout. Large params shard one free dim
+    over "data" (on top of the Megatron "tensor" sharding), the Adam
+    moments mirror it, and the layout survives a train step (the
+    with_sharding_constraint in train_step pins it)."""
+    cfg = _cfg(tmp_path, tensor=2)
+    cfg.setup["fsdp"] = True
+    cfg.setup["fsdp_min_size"] = 64  # tiny test model: lower the cutoff
+    trainer = get_trainer("fsdp", cfg)
+    assert dict(trainer.mesh.shape) == {"data": 4, "tensor": 2}
+
+    def data_sharded(leaf):
+        spec = leaf.sharding.spec
+        return any(ax == "data" or (isinstance(ax, tuple) and "data" in ax)
+                   for ax in spec)
+
+    k = trainer.params["llm"]["h_0"]["attn"]["q_proj"]["base"]["kernel"]
+    assert data_sharded(k), k.sharding
+    # tiny leaves below the cutoff stay replicated
+    block = trainer.params["llm"]["h_0"]
+    ln_tree = block.get("ln_1", block.get("input_layernorm"))
+    (ln,) = jax.tree.leaves(ln_tree)
+    assert not data_sharded(ln)
+    # optimizer state mirrors the param layout (the ZeRO memory win)
+    mu = None
+    for leaf in jax.tree.leaves(trainer.opt_state):
+        if getattr(leaf, "shape", None) == k.shape:
+            mu = leaf
+            break
+    assert mu is not None and data_sharded(mu), "adam moment not fsdp-sharded"
+
+    trainer.train()
+    k2 = trainer.params["llm"]["h_0"]["attn"]["q_proj"]["base"]["kernel"]
+    assert data_sharded(k2), "fsdp layout lost across the train step"
+    assert np.isfinite(trainer.val()["val/mse"])
+
+
+def test_fsdp_matches_single_device(tmp_path):
+    """FSDP gather/reduce-scatter schedule must be numerically equivalent
+    to the unsharded run."""
+    cfg1 = _cfg(tmp_path / "a", tensor=1)
+    cfg1.setup["tensor_parallel"] = 1
+    cfg1.setup["data_parallel"] = 1
+    t1 = get_trainer("fsdpsingle", cfg1)
+
+    cfg2 = _cfg(tmp_path / "b", tensor=2)
+    cfg2.setup["fsdp"] = True
+    cfg2.setup["fsdp_min_size"] = 64
+    t2 = get_trainer("fsdpmulti", cfg2)
+
+    t1.train()
+    t2.train()
+    p1 = jax.device_get(t1.params["mapping_layer"]["kernel"])
+    p2 = jax.device_get(t2.params["mapping_layer"]["kernel"])
+    np.testing.assert_allclose(p1, p2, atol=2e-4)
+
+
 def test_mamba_sharded_matches_single_device(tmp_path):
     """Mamba channel-parallel TP (the selective scan is elementwise over
     d_inner, so E shards across the tensor axis) must match the unsharded
