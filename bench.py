@@ -190,10 +190,12 @@ def bench_config(config_path: str, iters: int, warmup: int,
 
 def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
                warmup: int, model_size: str = "llama-tiny") -> dict:
-    """DP/TP/PP/EP scaling on a virtual CPU mesh: '8', '8:2', '8:2:2' or
-    '8:1:1:2' (devices[:tensor[:stage[:expert]]]). expert > 1 switches
-    the backbone to the mixtral-style MoE preset (experts sharded over
-    the "expert" axis).
+    """DP/TP/PP/EP/FSDP scaling on a virtual CPU mesh: '8', '8:2',
+    '8:2:2', '8:1:1:2' or '8:2:1:1:f'
+    (devices[:tensor[:stage[:expert[:f]]]]). expert > 1 switches the
+    backbone to the mixtral-style MoE preset (experts sharded over the
+    "expert" axis); a trailing 'f' turns on the ZeRO-3 fsdp layout
+    (params + Adam moments sharded over "data").
 
     Provisions N virtual CPU devices (this process must not have
     initialized a backend yet), then times the jit train step at the SAME
@@ -210,6 +212,7 @@ def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
     tensor = int(parts[1]) if len(parts) > 1 else 1
     stage = int(parts[2]) if len(parts) > 2 else 1
     expert = int(parts[3]) if len(parts) > 3 else 1
+    fsdp = len(parts) > 4 and parts[4].lower() in ("f", "fsdp", "1")
     if expert > 1 and model_size == "llama-tiny":
         model_size = "mixtral-tiny"  # EP needs a MoE backbone
     flags = os.environ.get("XLA_FLAGS", "")
@@ -269,14 +272,22 @@ def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
                                     bf16=False, prefix_cache=cache)
             sharded.config.setup["tensor_parallel"] = tensor
             sharded.config.setup["data_parallel"] = n // tensor
+            if fsdp:
+                sharded.config.setup["fsdp"] = True
+                # tiny presets: every matrix participates
+                sharded.config.setup["fsdp_min_size"] = 64
             sharded.apply_sharding()
+            # steps were compiled mesh-less; rebuild so train_step pins
+            # the (fsdp) param layout via with_sharding_constraint
+            sharded._compile_steps()
         assert sharded.mesh is not None
         sharded.opt_state = sharded.optimizer.init(sharded.params)
         t_mesh = step_time(sharded)
 
     eff = t_single / t_mesh
     name = (f"mesh{n}x{tensor}" + (f"x{stage}pp" if stage > 1 else "")
-            + (f"x{expert}ep" if expert > 1 else ""))
+            + (f"x{expert}ep" if expert > 1 else "")
+            + ("xfsdp" if fsdp else ""))
     return {
         "metric": f"{name}_dp_scaling_efficiency",
         "value": round(eff, 3),
@@ -285,6 +296,7 @@ def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
         "detail": {
             "devices": n, "tensor_parallel": tensor,
             "pipeline_parallel": stage, "expert_parallel": expert,
+            "fsdp": fsdp,
             "data_parallel": n // (tensor * stage * expert),
             "global_batch": batch,
             "t_single_ms": round(t_single * 1e3, 2),
