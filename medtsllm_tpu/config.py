@@ -247,6 +247,7 @@ KNOWN_TASKS = (
 )
 KNOWN_MODELS = ("medtsllm", "timellm", "gpt4ts", "dlinear", "patchtst", "timesnet", "fedformer")
 KNOWN_OPTIMIZERS = ("adam", "adamw", "sgd", "ranger", "ranger21")
+KNOWN_SCHEDULERS = ("none", "constant", "cosine", "linear")
 KNOWN_DTYPES = ("bfloat16", "bf16", "float16", "half", "fp16", "16",
                 "float32", "float", "fp32", "32", "mixed")
 
@@ -273,6 +274,12 @@ def validate_config(config: Config) -> Config:
     t = config.training
     require(t.get("optimizer", "adam") in KNOWN_OPTIMIZERS,
             f"invalid optimizer {t.get('optimizer')!r}")
+    require(t.get("lr_scheduler") in (None,) + KNOWN_SCHEDULERS,
+            f"invalid lr_scheduler {t.get('lr_scheduler')!r}")
+    require(int(t.get("grad_accum_steps", 1) or 1) >= 1,
+            "training.grad_accum_steps must be >= 1")
+    require(float(t.get("grad_clip_norm", 0) or 0) >= 0,
+            "training.grad_clip_norm must be >= 0")
     if "setup" in config:
         dt = config.setup.get("dtype", "float32")
         require(dt in KNOWN_DTYPES or isinstance(dt, int),

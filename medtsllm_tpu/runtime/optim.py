@@ -5,6 +5,22 @@ sgd(momentum=0.9, nesterov) / ranger; constant scheduler; finetuning either
 freezes loaded params for `frozen_epochs` or warms them up over
 `warmup_epochs` with a linspace(warmup_factor, 1) factor.
 
+Beyond the reference (which hardcodes gamma=1 StepLR, i.e. constant LR,
+tasks/base.py:110-116), three production training levers, all opt-in:
+
+  - `training.lr_scheduler = "cosine" | "linear"` with optional
+    `lr_warmup_epochs` / `lr_min_factor` — per-epoch factors injected as
+    hyperparameters (`set_epoch`), so schedule changes never recompile
+    the jitted train step;
+  - `training.grad_clip_norm = C` — global-norm clipping
+    (optax.clip_by_global_norm) applied to the full gradient tree before
+    the per-group transforms;
+  - `training.grad_accum_steps = K` — a masked accumulator around the
+    whole chain (`grad_accumulation`): K micro-batch gradients average
+    before one optimizer step — the K-x-larger effective batch at
+    constant activation HBM. Frozen leaves get no accumulator (unlike
+    optax.MultiSteps, which would pin a frozen-7B-sized zeros tree).
+
 Param labels partition the tree into groups:
   "new"    — regular trainable params
   "loaded" — pretrained-transfer params (separate LR factor,
@@ -74,6 +90,57 @@ def lookahead(inner: optax.GradientTransformation,
     return optax.GradientTransformation(init, update)
 
 
+class _AccumState(NamedTuple):
+    mini_step: jnp.ndarray
+    inner: object
+    acc: object  # grad accumulator; size-0 placeholder for frozen leaves
+
+
+def grad_accumulation(inner: optax.GradientTransformation, every: int,
+                      param_labels=None) -> optax.GradientTransformation:
+    """Gradient accumulation that, unlike ``optax.MultiSteps``, does NOT
+    allocate an accumulator for frozen leaves (a frozen 7B backbone would
+    pin an extra ~28 GB of f32 zeros in the optimizer state). Frozen
+    leaves hold a size-0 placeholder; trainable leaves average over
+    ``every`` micro-batches, then one inner step fires. The inner update
+    is computed every call with the running mean and selected by the
+    boundary flag — one jit trace, no lax.cond recompilation, and the
+    wasted work is an elementwise pass over trainable params only."""
+
+    def _placeholder(p, label):
+        return (jnp.zeros((0,), p.dtype) if label == "frozen"
+                else jnp.zeros_like(p))
+
+    def init(params):
+        if param_labels is None:
+            acc = jax.tree.map(jnp.zeros_like, params)
+        else:
+            acc = jax.tree.map(_placeholder, params, param_labels)
+        return _AccumState(jnp.zeros([], jnp.int32), inner.init(params), acc)
+
+    def update(grads, state, params=None):
+        step = state.mini_step + 1
+        boundary = step >= every
+        acc = jax.tree.map(lambda a, g: a if a.size == 0 else a + g,
+                           state.acc, grads)
+        mean = jax.tree.map(
+            lambda a, g: jnp.zeros_like(g) if a.size == 0 else a / every,
+            acc, grads)
+        cand_updates, cand_inner = inner.update(mean, state.inner, params)
+        updates = jax.tree.map(
+            lambda u: jnp.where(boundary, u, jnp.zeros_like(u)),
+            cand_updates)
+        new_inner = jax.tree.map(
+            lambda n, o: jnp.where(boundary, n, o) if hasattr(n, "dtype")
+            else n, cand_inner, state.inner)
+        new_acc = jax.tree.map(
+            lambda a: jnp.where(boundary, jnp.zeros_like(a), a), acc)
+        return updates, _AccumState(jnp.where(boundary, 0, step),
+                                    new_inner, new_acc)
+
+    return optax.GradientTransformation(init, update)
+
+
 def _base_optimizer(name: str, lr):
     match name:
         case "adam":
@@ -97,8 +164,17 @@ class Optimizer:
         self.base_lr = float(t.learning_rate)
 
         scheduler_type = t.get("lr_scheduler")
-        if scheduler_type not in (None, "none", "constant"):
+        if scheduler_type not in (None, "none", "constant",
+                                  "cosine", "linear"):
             raise ValueError(f"Invalid scheduler selection: {scheduler_type}")
+        self.schedule = (scheduler_type
+                         if scheduler_type in ("cosine", "linear")
+                         else "constant")
+        self.total_epochs = int(t.get("epochs", 1) or 1)
+        self.lr_min_factor = float(t.get("lr_min_factor", 0.0) or 0.0)
+        self.lr_warmup_epochs = int(t.get("lr_warmup_epochs", 0) or 0)
+        self.clip_norm = float(t.get("grad_clip_norm", 0.0) or 0.0)
+        self.accum_steps = int(t.get("grad_accum_steps", 1) or 1)
 
         groups = set(jax.tree.leaves(param_labels)) if param_labels is not None else {"new"}
         self.has_loaded = "loaded" in groups
@@ -116,6 +192,7 @@ class Optimizer:
                 lambda learning_rate: _base_optimizer(self.name, learning_rate))(
                 learning_rate=self.base_lr)
 
+        self._grouped = param_labels is not None
         if param_labels is None:
             self._tx = make()
         else:
@@ -125,6 +202,16 @@ class Optimizer:
             if "frozen" in groups:
                 transforms["frozen"] = optax.set_to_zero()
             self._tx = optax.multi_transform(transforms, param_labels)
+        if self.clip_norm > 0:
+            # outside multi_transform: ONE global norm over the whole
+            # gradient tree (frozen groups contribute exact zeros via
+            # stop_gradient, so trainable-only and full-tree norms agree)
+            self._tx = optax.chain(
+                optax.clip_by_global_norm(self.clip_norm), self._tx)
+        if self.accum_steps > 1:
+            # outermost, so clipping sees the AVERAGED accumulated grad
+            self._tx = grad_accumulation(self._tx, self.accum_steps,
+                                         param_labels)
         self.last_lrs = ([self.base_lr, self.base_lr] if self.has_loaded
                          else [self.base_lr])
 
@@ -144,17 +231,52 @@ class Optimizer:
                     if epoch < self.warmup_epochs else 1.0)
         return 1.0
 
+    def schedule_factor(self, epoch: int) -> float:
+        """Per-epoch LR factor for ALL trainable groups (0-based epoch).
+        Linear warmup over `lr_warmup_epochs`, then cosine/linear decay
+        to `lr_min_factor` at the final epoch."""
+        w = self.lr_warmup_epochs
+        if w > 0 and epoch < w:
+            return (epoch + 1) / w
+        if self.schedule == "constant":
+            return 1.0
+        span = max(self.total_epochs - 1 - w, 1)
+        t = min(max(epoch - w, 0), span) / span
+        mf = self.lr_min_factor
+        if self.schedule == "cosine":
+            return mf + (1.0 - mf) * 0.5 * (1.0 + np.cos(np.pi * t))
+        return 1.0 - (1.0 - mf) * t  # linear
+
+    def _hyperparam_states(self, opt_state) -> dict:
+        """Navigate the wrapper onion (MultiSteps -> chain(clip) ->
+        multi_transform) down to the inject_hyperparams states, one per
+        trainable group."""
+        s = opt_state
+        if self.accum_steps > 1:
+            s = s.inner
+        if self.clip_norm > 0:
+            s = s[1]  # chain state: (clip_state, inner_state)
+        if not self._grouped:
+            return {"new": s}
+        return {g: st.inner_state for g, st in s.inner_states.items()
+                if g != "frozen"}
+
     def set_epoch(self, opt_state, epoch: int):
-        if not self.has_loaded:
+        sched = self.schedule_factor(epoch)
+        if not self.has_loaded and self.schedule == "constant" \
+                and self.lr_warmup_epochs == 0:
             return opt_state
-        factor = self.loaded_factor(epoch)
-        self.last_lrs = [self.base_lr, self.base_lr * factor]
+        states = self._hyperparam_states(opt_state)
+        lf = self.loaded_factor(epoch) if self.has_loaded else 1.0
+        self.last_lrs = [self.base_lr * sched]
+        if self.has_loaded:
+            self.last_lrs.append(self.base_lr * sched * lf)
         # hyperparams dict entries are mutable in place on the state pytree
-        inner = opt_state.inner_states
-        inner["new"].inner_state.hyperparams["learning_rate"] = \
-            jnp.asarray(self.base_lr)
-        inner["loaded"].inner_state.hyperparams["learning_rate"] = \
-            jnp.asarray(self.base_lr * factor)
+        states["new"].hyperparams["learning_rate"] = \
+            jnp.asarray(self.base_lr * sched)
+        if "loaded" in states:
+            states["loaded"].hyperparams["learning_rate"] = \
+                jnp.asarray(self.base_lr * sched * lf)
         return opt_state
 
     def get_last_lr(self) -> list[float]:

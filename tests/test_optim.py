@@ -63,3 +63,99 @@ def test_ranger_trains_e2e():
     trainer = get_trainer("ranger-e2e", cfg)
     trainer.train()
     assert np.isfinite(trainer.val()["val/mse"])
+
+def test_grad_accumulation_matches_mean_grad_step():
+    """K micro-batch updates under grad_accum_steps=K must equal ONE
+    update with the mean gradient; params must not move mid-window."""
+    cfg = _cfg("adam")
+    cfg.training.grad_accum_steps = 2
+    labels = {"w": "new", "f": "frozen"}
+    params = {"w": jnp.ones((4,)), "f": jnp.ones((3,))}
+    opt = Optimizer(cfg, labels)
+    state = opt.init(params)
+    g1 = {"w": jnp.full((4,), 0.5), "f": jnp.zeros((3,))}
+    g2 = {"w": jnp.full((4,), 1.5), "f": jnp.zeros((3,))}
+
+    upd1, state = opt.update(g1, state, params)
+    np.testing.assert_array_equal(upd1["w"], 0.0)  # mid-window: no step
+    p_mid = optax.apply_updates(params, upd1)
+    upd2, state = opt.update(g2, state, p_mid)
+    accum = optax.apply_updates(p_mid, upd2)
+
+    cfg2 = _cfg("adam")
+    opt_ref = Optimizer(cfg2, labels)
+    state_ref = opt_ref.init(params)
+    gm = {"w": jnp.full((4,), 1.0), "f": jnp.zeros((3,))}
+    upd_ref, _ = opt_ref.update(gm, state_ref, params)
+    ref = optax.apply_updates(params, upd_ref)
+    np.testing.assert_allclose(accum["w"], ref["w"], rtol=1e-6)
+    np.testing.assert_array_equal(accum["f"], params["f"])  # frozen
+
+
+def test_grad_accumulation_frozen_leaves_hold_no_accumulator():
+    """The accumulator must NOT allocate for frozen leaves (a frozen 7B
+    backbone would pin an extra params-sized zeros tree)."""
+    cfg = _cfg("adam")
+    cfg.training.grad_accum_steps = 4
+    labels = {"w": "new", "backbone": "frozen"}
+    params = {"w": jnp.ones((4,)), "backbone": jnp.ones((1024,))}
+    opt = Optimizer(cfg, labels)
+    state = opt.init(params)
+    assert state.acc["backbone"].size == 0
+    assert state.acc["w"].shape == (4,)
+
+
+def test_grad_clip_global_norm():
+    cfg = _cfg("sgd")
+    cfg.training.grad_clip_norm = 1.0
+    cfg.training.learning_rate = 1.0
+    opt = Optimizer(cfg, {"w": "new"})
+    params = {"w": jnp.zeros((4,))}
+    state = opt.init(params)
+    g = {"w": jnp.full((4,), 10.0)}  # global norm 20
+    upd, _ = opt.update(g, state, params)
+    # nesterov sgd first step: update = lr * (1 + momentum) * clipped_grad,
+    # so the clipped-to-norm-1 gradient surfaces as norm 1.9
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(upd["w"])), 1.9, rtol=1e-4)
+
+
+def test_cosine_schedule_set_epoch():
+    """Cosine decay with warmup; set_epoch must reach the injected
+    hyperparams through the accumulation + clip wrappers."""
+    cfg = _cfg("adam")
+    cfg.training.lr_scheduler = "cosine"
+    cfg.training.epochs = 11
+    cfg.training.lr_warmup_epochs = 2
+    cfg.training.lr_min_factor = 0.1
+    cfg.training.grad_accum_steps = 2
+    cfg.training.grad_clip_norm = 5.0
+    base = float(cfg.training.learning_rate)
+    opt = Optimizer(cfg, {"w": "new"})
+    params = {"w": jnp.ones((4,))}
+    state = opt.init(params)
+
+    assert np.isclose(opt.schedule_factor(0), 0.5)      # warmup 1/2
+    assert np.isclose(opt.schedule_factor(1), 1.0)      # warmup 2/2
+    assert np.isclose(opt.schedule_factor(10), 0.1)     # floor at the end
+    mid = opt.schedule_factor(6)                        # halfway: (1+mf)/2
+    assert np.isclose(mid, 0.55)
+
+    state = opt.set_epoch(state, 6)
+    hp = opt._hyperparam_states(state)["new"].hyperparams
+    assert np.isclose(float(hp["learning_rate"]), base * 0.55)
+    assert np.isclose(opt.get_last_lr()[0], base * 0.55)
+
+
+def test_schedules_train_e2e():
+    from medtsllm_tpu.tasks import get_trainer
+    cfg = _cfg("adam")
+    cfg["models"] = {"dlinear": {"individual": False, "moving_avg": 13}}
+    cfg.training.epochs = 2
+    cfg.training.lr_scheduler = "cosine"
+    cfg.training.grad_clip_norm = 1.0
+    cfg.training.grad_accum_steps = 2
+    cfg.datasets.synthetic.n_points = 256
+    trainer = get_trainer("sched-e2e", cfg)
+    trainer.train()
+    assert np.isfinite(trainer.val()["val/mse"])
