@@ -294,3 +294,58 @@ def test_mamba_sharded_matches_single_device(tmp_path):
     p1 = jax.device_get(t1.params["mapping_layer"]["kernel"])
     p2 = jax.device_get(t2.params["mapping_layer"]["kernel"])
     np.testing.assert_allclose(p1, p2, atol=2e-4)
+
+def test_fsdp_checkpoint_resume(tmp_path):
+    """FSDP runs must checkpoint and resume: from_run_id re-applies the
+    mesh placement (tasks/base.py), so the restored params regain the
+    ZeRO-3 layout and training continues."""
+    cfg = _cfg(tmp_path, tensor=2)
+    cfg.setup["fsdp"] = True
+    cfg.setup["fsdp_min_size"] = 64
+    trainer = get_trainer("fsdpckpt", cfg)
+    trainer.train()
+    val = trainer.val()["val/mse"]
+    trainer.log_end()
+
+    from medtsllm_tpu.tasks import task_lookup
+    restored = task_lookup["reconstruction"].from_run_id(
+        "fsdpckpt", basepath=str(tmp_path / "logs"))
+
+    def data_sharded(leaf):
+        return any(ax == "data" or (isinstance(ax, tuple) and "data" in ax)
+                   for ax in leaf.sharding.spec)
+
+    k = restored.params["llm"]["h_0"]["attn"]["q_proj"]["base"]["kernel"]
+    assert data_sharded(k), "restore lost the fsdp layout"
+    assert restored.val()["val/mse"] == pytest.approx(val, rel=1e-5)
+
+
+def test_fsdp_composes_with_pipeline(tmp_path):
+    """fsdp + pp: stacked pipeline leaves keep P('stage', ...) and gain a
+    'data'-sharded free dim — ZeRO-3 within each stage group."""
+    cfg = _cfg(tmp_path, tensor=1)
+    cfg.setup["pipeline_parallel"] = 2
+    cfg.setup["fsdp"] = True
+    cfg.setup["fsdp_min_size"] = 64
+    trainer = get_trainer("fsdppp", cfg)
+    assert dict(trainer.mesh.shape) == {"data": 4, "stage": 2, "tensor": 1}
+
+    def axes_of(leaf):
+        out = set()
+        for ax in leaf.sharding.spec:
+            if isinstance(ax, tuple):
+                out.update(ax)
+            elif ax is not None:
+                out.add(ax)
+        return out
+
+    stacked = [leaf for path, leaf in
+               jax.tree_util.tree_flatten_with_path(trainer.params)[0]
+               if "h_stack" in jax.tree_util.keystr(path)]
+    assert stacked, "expected stacked pipeline params"
+    both = [leaf for leaf in stacked
+            if {"stage", "data"} <= axes_of(leaf)]
+    assert both, "no stacked leaf is both stage- and fsdp-sharded"
+
+    trainer.train()
+    assert np.isfinite(trainer.val()["val/mse"])
