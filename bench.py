@@ -266,6 +266,8 @@ def bench_mesh(spec: str, batch: int, history_len: int, iters: int,
                                 if stage > 1 else {}),
                              **({"expert_parallel": expert}
                                 if expert > 1 else {}),
+                             **({"fsdp": True, "fsdp_min_size": 64}
+                                if fsdp else {}),
                              "data_parallel": n // (tensor * stage * expert)})
         else:
             sharded = build_trainer(model_size, batch, history_len,

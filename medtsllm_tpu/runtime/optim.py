@@ -90,6 +90,35 @@ def lookahead(inner: optax.GradientTransformation,
     return optax.GradientTransformation(init, update)
 
 
+def clip_global_norm_float(max_norm: float) -> optax.GradientTransformation:
+    """Global-norm clipping over the FLOAT leaves of the gradient tree.
+    Int-dtype params under ``jax.grad(..., allow_int=True)`` yield float0
+    gradients (zero-byte, arithmetic-free); optax.clip_by_global_norm
+    would crash squaring them. float0/int leaves pass through unscaled
+    (they carry no gradient signal) and contribute nothing to the norm."""
+
+    def _is_float(g):
+        return (hasattr(g, "dtype") and g.dtype != jax.dtypes.float0
+                and jnp.issubdtype(g.dtype, jnp.floating))
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(grads, state, params=None):
+        del params
+        sq = sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads)
+                 if _is_float(g))
+        norm = jnp.sqrt(sq)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-16))
+        clipped = jax.tree.map(
+            lambda g: g * scale.astype(g.dtype) if _is_float(g) else g,
+            grads)
+        return clipped, state
+
+    return optax.GradientTransformation(init, update)
+
+
 class _AccumState(NamedTuple):
     mini_step: jnp.ndarray
     inner: object
@@ -105,15 +134,28 @@ def grad_accumulation(inner: optax.GradientTransformation, every: int,
     ``every`` micro-batches, then one inner step fires. The inner update
     is computed every call with the running mean and selected by the
     boundary flag — one jit trace, no lax.cond recompilation, and the
-    wasted work is an elementwise pass over trainable params only."""
+    wasted work is an elementwise pass over trainable params only.
+
+    Windows span epoch boundaries (the accumulator lives in the
+    optimizer state); only the final partial window of the run is
+    dropped. The trainer fails fast when the whole run is shorter than
+    one window and warns when a tail will be dropped (tasks/base.py).
+    float0 gradients (int-quantized kernels under allow_int=True) pass
+    through untouched — they admit no arithmetic and carry no signal."""
+
+    def _f0(x):
+        return hasattr(x, "dtype") and x.dtype == jax.dtypes.float0
 
     def _placeholder(p, label):
-        return (jnp.zeros((0,), p.dtype) if label == "frozen"
-                else jnp.zeros_like(p))
+        # frozen leaves AND int-dtype leaves (whose grads are float0 and
+        # admit no arithmetic) carry no accumulator
+        if label == "frozen" or not jnp.issubdtype(p.dtype, jnp.floating):
+            return jnp.zeros((0,), jnp.float32)
+        return jnp.zeros_like(p)
 
     def init(params):
         if param_labels is None:
-            acc = jax.tree.map(jnp.zeros_like, params)
+            acc = jax.tree.map(lambda p: _placeholder(p, "new"), params)
         else:
             acc = jax.tree.map(_placeholder, params, param_labels)
         return _AccumState(jnp.zeros([], jnp.int32), inner.init(params), acc)
@@ -124,15 +166,16 @@ def grad_accumulation(inner: optax.GradientTransformation, every: int,
         acc = jax.tree.map(lambda a, g: a if a.size == 0 else a + g,
                            state.acc, grads)
         mean = jax.tree.map(
-            lambda a, g: jnp.zeros_like(g) if a.size == 0 else a / every,
+            lambda a, g: g if (a.size == 0 or _f0(g)) else a / every,
             acc, grads)
         cand_updates, cand_inner = inner.update(mean, state.inner, params)
         updates = jax.tree.map(
-            lambda u: jnp.where(boundary, u, jnp.zeros_like(u)),
-            cand_updates)
+            lambda u: u if _f0(u)
+            else jnp.where(boundary, u, jnp.zeros_like(u)), cand_updates)
         new_inner = jax.tree.map(
-            lambda n, o: jnp.where(boundary, n, o) if hasattr(n, "dtype")
-            else n, cand_inner, state.inner)
+            lambda n, o: (jnp.where(boundary, n, o)
+                          if hasattr(n, "dtype") and not _f0(n) else n),
+            cand_inner, state.inner)
         new_acc = jax.tree.map(
             lambda a: jnp.where(boundary, jnp.zeros_like(a), a), acc)
         return updates, _AccumState(jnp.where(boundary, 0, step),
@@ -204,10 +247,15 @@ class Optimizer:
             self._tx = optax.multi_transform(transforms, param_labels)
         if self.clip_norm > 0:
             # outside multi_transform: ONE global norm over the whole
-            # gradient tree (frozen groups contribute exact zeros via
-            # stop_gradient, so trainable-only and full-tree norms agree)
+            # gradient tree (float frozen groups contribute exact zeros
+            # via stop_gradient, so trainable-only and full-tree norms
+            # agree). NOT optax.clip_by_global_norm: quantized backbones
+            # produce float0 gradients for int8/int4 kernels
+            # (tasks/base.py allow_int=True, transformer.py float0
+            # tangents), and float0 leaves reject all arithmetic —
+            # clip_global_norm_float skips them.
             self._tx = optax.chain(
-                optax.clip_by_global_norm(self.clip_norm), self._tx)
+                clip_global_norm_float(self.clip_norm), self._tx)
         if self.accum_steps > 1:
             # outermost, so clipping sees the AVERAGED accumulated grad
             self._tx = grad_accumulation(self._tx, self.accum_steps,

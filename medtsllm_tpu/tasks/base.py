@@ -19,6 +19,7 @@ from __future__ import annotations
 import signal
 import sys
 import tomllib
+import warnings
 from functools import partial
 from pathlib import Path
 
@@ -72,6 +73,24 @@ class BaseTask:
         self.optimizer = self.build_optimizer()
         self.opt_state = self.optimizer.init(self.params)
         self.loss_fn = self.build_loss()
+
+        accum = self.optimizer.accum_steps
+        if accum > 1:
+            # accumulation windows span epoch boundaries; only the final
+            # partial window of the RUN is dropped. A run shorter than
+            # one window would silently train nothing — fail fast.
+            total = len(self.train_pipeline) * int(config.training.epochs)
+            if total < accum:
+                raise ValueError(
+                    f"grad_accum_steps={accum} exceeds the total micro-batch "
+                    f"count {total} ({len(self.train_pipeline)} steps/epoch x "
+                    f"{config.training.epochs} epochs): no optimizer step "
+                    "would ever fire")
+            if total % accum:
+                warnings.warn(
+                    f"grad_accum_steps={accum}: the final {total % accum} "
+                    f"micro-batches of the run accumulate but never apply "
+                    "(partial windows are dropped at end of training)")
 
         self.epoch = 1
         self.step = 0

@@ -159,3 +159,65 @@ def test_schedules_train_e2e():
     trainer = get_trainer("sched-e2e", cfg)
     trainer.train()
     assert np.isfinite(trainer.val()["val/mse"])
+
+def test_clip_and_accum_survive_float0_grads():
+    """Quantized backbones produce float0 gradients for int kernels
+    (allow_int=True); clipping and accumulation must pass them through
+    instead of crashing on float0 arithmetic."""
+    cfg = _cfg("adam")
+    cfg.training.grad_clip_norm = 1.0
+    cfg.training.grad_accum_steps = 2
+    labels = {"w": "new", "kq": "frozen"}
+    params = {"w": jnp.ones((4,)), "kq": jnp.ones((3,), jnp.int8)}
+    opt = Optimizer(cfg, labels)
+    state = opt.init(params)
+
+    def loss(p):
+        return jnp.sum(p["w"] ** 2) + jnp.sum(p["kq"]).astype(jnp.float32) * 0
+
+    grads = jax.grad(loss, allow_int=True)(params)
+    assert grads["kq"].dtype == jax.dtypes.float0
+    for _ in range(2):
+        upd, state = opt.update(grads, state, params)
+    assert jnp.any(upd["w"] != 0)  # boundary step fired
+    assert upd["kq"].dtype == jax.dtypes.float0  # passed through
+
+
+def test_quantized_clip_accum_e2e(tmp_path):
+    """int8 backbone + grad_clip_norm + grad_accum_steps through the real
+    train step (the combination that crashed optax.clip_by_global_norm)."""
+    from medtsllm_tpu.tasks import get_trainer
+    cfg = make_config(task="reconstruction", model="medtsllm",
+                      hist=32, pred=32, step=16)
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.training.epochs = 1
+    cfg.training.batch_size = 8
+    cfg.training.grad_clip_norm = 1.0
+    cfg.training.grad_accum_steps = 2
+    cfg.datasets.synthetic.n_points = 256
+    cfg["models"] = {"medtsllm": {
+        "d_model": 16, "d_ff": 16, "n_heads": 4, "num_tokens": 32,
+        "covariate_mode": "concat", "embedding_downsample_mode": "linear",
+        "patching": {"patch_len": 8, "stride": 4},
+        "prompting": {"dataset": True, "task": True, "clip": False,
+                      "input_stats": False, "examples": False,
+                      "input_stats_dim": 0, "input_stats_select": "all"},
+        "llm": {"enabled": True, "llm": "llama-tiny", "llm_layers": -1,
+                "load_in_4bit": False, "load_in_8bit": True},
+    }}
+    trainer = get_trainer("q8clip", cfg)
+    trainer.train()
+    assert np.isfinite(trainer.val()["val/mse"])
+
+
+def test_grad_accum_run_shorter_than_window_fails_fast(tmp_path):
+    from medtsllm_tpu.tasks import get_trainer
+    import pytest
+    cfg = _cfg("adam")
+    cfg["models"] = {"dlinear": {"individual": False, "moving_avg": 13}}
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.training.epochs = 1
+    cfg.training.grad_accum_steps = 10_000
+    cfg.datasets.synthetic.n_points = 256
+    with pytest.raises(ValueError, match="no optimizer step"):
+        get_trainer("accum-short", cfg)
