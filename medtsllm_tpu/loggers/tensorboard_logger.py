@@ -29,4 +29,8 @@ class TensorboardLogger(BaseLogger):
     def update_config(self, cfg):
         super().update_config(cfg)
         from ..config import flatten_dict
-        self.writer.add_hparams(flatten_dict(cfg), {}, run_name=".")
+        # same list->string sanitization as __init__ (torch's hparams()
+        # rejects list values, e.g. data.cols = ["HR", "SpO2"])
+        flat = {k: (", ".join(map(str, v)) if isinstance(v, list) else v)
+                for k, v in flatten_dict(cfg).items()}
+        self.writer.add_hparams(flat, {}, run_name=".")

@@ -73,8 +73,12 @@ def save_checkpoint(path, params, meta: dict, async_: bool = False):
     params_host = jax.device_get(params)
     if not async_:
         # a pending async save of the same path must not clobber this
-        # sync write afterwards (e.g. the SIGUSR1 preemption save)
-        wait_for_saves()
+        # sync write afterwards (e.g. the SIGUSR1 preemption save) —
+        # drain for ORDERING only. A stale async error must not abort
+        # the one save that has to succeed (the preemption handoff);
+        # it will still surface at the next wait_for_saves().
+        if _worker is not None and _worker.is_alive():
+            _save_queue.join()
         _write(path, params_host, meta)
         return
     _ensure_worker()
@@ -83,13 +87,17 @@ def save_checkpoint(path, params, meta: dict, async_: bool = False):
 
 def wait_for_saves():
     """Block until all async checkpoint writes are durable (called before
-    process exit / preemption handoff). Raises the first write error —
-    a run must not report a clean finish with no checkpoint on disk."""
+    process exit / preemption handoff). Raises on any write error — a run
+    must not report a clean finish with no checkpoint on disk. The error
+    list is cleared: errors belong to the run that waited, not to the
+    next trainer constructed in the same process."""
     if _worker is not None and _worker.is_alive():
         _save_queue.join()
     if _save_errors:
-        raise RuntimeError("async checkpoint write failed") from \
-            _save_errors.pop(0)
+        errors, _save_errors[:] = list(_save_errors), []
+        raise RuntimeError(
+            f"{len(errors)} async checkpoint write(s) failed: "
+            + "; ".join(repr(e) for e in errors)) from errors[0]
 
 
 def load_checkpoint(path, params_template=None):
@@ -112,14 +120,20 @@ def restore_partial(template: dict, saved: dict, skip_prefixes=()):
     """Non-strict restore (reference load_state_dict(strict=False) +
     unexpected-key assert, tasks/base.py:300-301): every saved leaf must
     exist in the template (no unexpected keys); missing template leaves keep
-    their current values. Returns (merged, loaded_paths)."""
+    their current values. `skip_prefixes` match whole path segments
+    ("llm" skips "llm/..." but not "llm_adapter/...").
+    Returns (merged, loaded_paths)."""
     loaded = []
+
+    def _skipped(path):
+        return any(path == p or path.startswith(p + "/")
+                   for p in skip_prefixes)
 
     def walk(tmpl, sv, prefix):
         out = dict(tmpl)
         for k, v in sv.items():
             path = f"{prefix}/{k}" if prefix else str(k)
-            if any(path.startswith(p) for p in skip_prefixes):
+            if _skipped(path):
                 continue
             if k not in tmpl:
                 raise KeyError(f"Unexpected key in checkpoint: {path}")

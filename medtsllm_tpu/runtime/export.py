@@ -35,16 +35,28 @@ def _specs(tree):
         if sharding is not None and not isinstance(
                 sharding, jax.sharding.Sharding):
             sharding = None
-        return jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype,
+        return jax.ShapeDtypeStruct(jnp.shape(x), _canonical_dtype(x),
                                     sharding=sharding)
     return jax.tree.map(spec, tree)
+
+
+def _canonical_dtype(x):
+    # the dtype jnp.asarray(x) WOULD produce (f64 host arrays
+    # canonicalize to f32) without moving any data: no device_put of
+    # host batches over the tunnel, no device->host readback of params
+    if isinstance(x, jax.Array):
+        return x.dtype  # already canonical
+    dt = getattr(x, "dtype", None)
+    if dt is None:
+        dt = np.asarray(x).dtype  # python scalars/lists only
+    return jax.dtypes.canonicalize_dtype(dt)
 
 
 def _spec_manifest(tree):
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     return {
         "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp):
-            [list(np.shape(leaf)), str(jnp.asarray(leaf).dtype)]
+            [list(np.shape(leaf)), str(_canonical_dtype(leaf))]
         for kp, leaf in flat
     }
 

@@ -226,6 +226,15 @@ class Optimizer:
         enabled = bool(ft.get("enabled", False)) and self.has_loaded
         self.frozen_epochs = int(ft.get("frozen_epochs", 0) or 0) if enabled else 0
         self.warmup_epochs = int(ft.get("warmup_epochs", 0) or 0) if enabled else 0
+        if self.frozen_epochs and self.warmup_epochs:
+            # mutually exclusive — the reference's build_scheduler assert
+            # (tasks/base.py:119) INTENDS this but its operator precedence
+            # `not (a) and (b)` actually asserts warmup>0 whenever
+            # finetuning; here the intended check: frozen would silently
+            # swallow the configured warmup ramp otherwise
+            raise ValueError(
+                "finetuning.frozen_epochs and finetuning.warmup_epochs are "
+                "mutually exclusive")
         if self.warmup_epochs:
             self.warmup_factors = np.linspace(
                 float(ft.warmup_factor), 1.0, self.warmup_epochs)

@@ -49,7 +49,10 @@ class StepTimer:
 
     def stop(self, sync_on=None):
         if sync_on is not None:
-            jax.block_until_ready(sync_on)
+            # host readback, not block_until_ready: on the tunneled axon
+            # backend block_until_ready can return before execution right
+            # after compile (bench.py syncs the same way)
+            np.asarray(jax.tree.leaves(sync_on)[0]).ravel()[:1]
         self.times.append(time.perf_counter() - self._t0)
 
     def summary(self) -> dict:
@@ -57,7 +60,7 @@ class StepTimer:
             return {}
         t = np.asarray(self.times[1:] or self.times)  # drop compile step
         return {
-            "steps": len(self.times),
+            "steps": len(t),  # the stat basis (compile step excluded)
             "p50_step_s": float(np.percentile(t, 50)),
             "windows_per_sec": float(self.batch_size / np.percentile(t, 50)),
         }

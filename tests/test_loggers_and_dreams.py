@@ -126,3 +126,46 @@ def test_dreams_real(tmp_path):
         < te.timestamps.min()
     assert te.n_classes == 2
     assert te[0]["labels"] in (0, 1)
+
+def test_sync_save_survives_stale_async_error(tmp_path):
+    """The preemption-handoff sync save must not be aborted by a stale
+    async write error; the error surfaces (once) at the next
+    wait_for_saves and is then cleared for the next run."""
+    import pytest
+    from medtsllm_tpu.runtime import checkpoint as ckpt
+
+    bad = tmp_path / "nodir" / "x.ckpt"  # parent missing -> write fails
+    ckpt.save_checkpoint(bad, {"w": np.zeros(2)}, {"epoch": 1}, async_=True)
+    if ckpt._worker is not None:
+        ckpt._save_queue.join()
+    assert ckpt._save_errors
+
+    good = tmp_path / "latest.ckpt"
+    ckpt.save_checkpoint(good, {"w": np.ones(2)}, {"epoch": 2}, async_=False)
+    assert good.exists(), "sync save aborted by the stale async error"
+
+    with pytest.raises(RuntimeError, match="checkpoint write"):
+        ckpt.wait_for_saves()
+    ckpt.wait_for_saves()  # cleared: no cross-run leak
+
+
+def test_restore_partial_skip_prefix_segment_match():
+    from medtsllm_tpu.runtime.checkpoint import restore_partial
+    tmpl = {"llm": {"k": np.zeros(2)}, "llm_adapter": {"k": np.zeros(2)}}
+    saved = {"llm": {"k": np.ones(2)}, "llm_adapter": {"k": np.ones(2)}}
+    merged, loaded = restore_partial(tmpl, saved, skip_prefixes=("llm",))
+    np.testing.assert_array_equal(merged["llm"]["k"], 0)  # skipped
+    np.testing.assert_array_equal(merged["llm_adapter"]["k"], 1)  # loaded
+    assert loaded == ["llm_adapter/k"]
+
+
+def test_tensorboard_update_config_list_values(tmp_path):
+    cfg = make_config()
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.setup["logger"] = "tensorboard"
+    cfg["models"] = {"dlinear": {"individual": False, "moving_avg": 13}}
+    cfg.datasets.synthetic.n_points = 256
+    trainer = get_trainer("tb-list", cfg)
+    # lists crashed torch add_hparams before sanitization
+    trainer.logger.update_config({"data": {"cols": ["HR", "SpO2"]}})
+    trainer.log_end()

@@ -221,3 +221,12 @@ def test_grad_accum_run_shorter_than_window_fails_fast(tmp_path):
     cfg.datasets.synthetic.n_points = 256
     with pytest.raises(ValueError, match="no optimizer step"):
         get_trainer("accum-short", cfg)
+
+
+def test_frozen_and_warmup_mutually_exclusive():
+    import pytest
+    cfg = _cfg("adam")
+    cfg["finetuning"] = {"enabled": True, "frozen_epochs": 2,
+                         "warmup_epochs": 5, "warmup_factor": 0.1}
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Optimizer(cfg, {"w": "new", "l": "loaded"})
