@@ -154,6 +154,17 @@ def config_from_hf_json(path: Path) -> DecoderConfig:
             # with sliding_window=null and sequences here are <1k tokens
             moe = dict(n_experts=hf.get("num_local_experts", 8),
                        n_experts_per_tok=hf.get("num_experts_per_tok", 2))
+            if hf["intermediate_size"] >= 1024:
+                # production-size snapshot: dropless dispatch (capacity =
+                # n_tokens) would allocate [E, T, d_ff] buffers per layer
+                # and run E/k x the needed FFN FLOPs — default to the
+                # GShard 1.25 bound like the moe-8x1b preset. Override
+                # with models.<m>.llm.expert_capacity (0 = exact dropless).
+                moe["expert_capacity"] = 1.25
+                warnings.warn(
+                    "mixtral snapshot: defaulting expert_capacity to 1.25 "
+                    "(GShard bound; set models.<m>.llm.expert_capacity = 0 "
+                    "for exact dropless dispatch at much higher HBM)")
         return DecoderConfig(
             style="llama", vocab_size=hf["vocab_size"],
             d_model=hf["hidden_size"], n_layers=hf["num_hidden_layers"],
@@ -442,9 +453,9 @@ def load_backbone(llm_id: str, cache_dir: str | None = None,
         warnings.warn(
             f"LLM {llm_id!r}: no local weights found — using random init "
             f"(shapes/throughput faithful; task quality not meaningful)")
-        # cast float params only: int8 kernel_q / packed int4 stay integer
-        params = jax.tree.map(
-            lambda x: (x.astype(dtype)
-                       if jnp.issubdtype(x.dtype, jnp.floating) else x),
-            params)
+        # no cast: flax init already placed every leaf at its per-leaf
+        # dtype (weights at param_dtype, QuantDense scales / LoRA
+        # adapters / mamba A_log deliberately f32) — a blanket
+        # astype(dtype) here would clobber the f32 leaves and make
+        # numerics depend on whether a snapshot directory exists
     return module, params, cfg

@@ -20,6 +20,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from ...ops.pallas.flash_attention import flash_attention
@@ -266,7 +267,13 @@ class QuantDense(nn.Module):
 
 
 class LoRADense(nn.Module):
-    """Dense with optional low-rank adapter: y = xW + b + scale * (x A) B."""
+    """Dense with optional low-rank adapter: y = xW + b + scale * (x A) B.
+
+    ``lora_out_mask`` (static 0/1 vector over the output features)
+    restricts the adapter to a slice of a FUSED projection — gpt2's
+    c_attn packs q|k|v in one matmul, and a LoraSpec targeting only some
+    of them must not adapt the rest (masked lora_b columns stay zero:
+    zero delta and zero gradient)."""
 
     features: int
     use_bias: bool = True
@@ -275,6 +282,7 @@ class LoRADense(nn.Module):
     param_dtype: object = jnp.float32
     quantize: int = 0  # 0 = off, 8 or 4 bits
     act_quant: bool = True  # int8 activations (s8xs8->s32 MXU matmul)
+    lora_out_mask: object = None  # static np vector [features] or None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -292,7 +300,10 @@ class LoRADense(nn.Module):
             b = self.param("lora_b", nn.initializers.zeros,
                            (self.lora.rank, self.features))
             xd = nn.Dropout(self.lora.dropout)(x, deterministic=deterministic)
-            y = y + (xd @ a.astype(x.dtype)) @ b.astype(x.dtype) * self.lora.scaling
+            delta = (xd @ a.astype(x.dtype)) @ b.astype(x.dtype) * self.lora.scaling
+            if self.lora_out_mask is not None:
+                delta = delta * jnp.asarray(self.lora_out_mask, delta.dtype)
+            y = y + delta
         return y
 
 
@@ -327,17 +338,33 @@ class Attention(nn.Module):
         kv_src = x if kv is None else kv
         S = kv_src.shape[1]
 
-        def proj(name, features, key, src):
+        def proj(name, features, key, src, lora_out_mask=None):
             spec = self.lora if (self.lora and key in self.lora.targets) else None
             return LoRADense(features, use_bias=(cfg.style == "gpt2"),
                              lora=spec, name=name, dtype=self.dtype,
                              param_dtype=self.param_dtype,
                              quantize=self.quantize,
-                             act_quant=self.act_quant)(
+                             act_quant=self.act_quant,
+                             lora_out_mask=lora_out_mask)(
                 src, deterministic=deterministic)
 
         if cfg.style == "gpt2" and kv is None:
-            qkv = proj("c_attn", 3 * cfg.d_model, "q", x)  # fused qkv
+            # fused qkv: LoRA attaches when ANY of q/k/v is targeted,
+            # with the adapter delta masked to the targeted thirds (a
+            # targets=['v'] spec must adapt the v slice, not silently
+            # train nothing)
+            targeted = (tuple(t for t in ("q", "k", "v")
+                              if t in self.lora.targets)
+                        if self.lora else ())
+            mask = None
+            if targeted and targeted != ("q", "k", "v"):
+                mask = np.repeat(
+                    np.array([float(t in targeted)
+                              for t in ("q", "k", "v")], np.float32),
+                    cfg.d_model)
+            qkv = proj("c_attn", 3 * cfg.d_model,
+                       targeted[0] if targeted else "q", x,
+                       lora_out_mask=mask)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q = proj("q_proj", H * D, "q", x)
@@ -474,16 +501,18 @@ def moe_capacity(n_tokens: int, n_experts: int, top_k: int,
 
 def router_aux_loss(router_probs, expert_index, n_experts: int):
     """Switch/Mixtral load-balancing auxiliary loss: E * sum_e f_e * P_e,
-    where f_e is the fraction of routed (token, slot) assignments landing
-    on expert e and P_e the mean router probability mass on e. Equals 1.0
-    at perfect balance. (HF MixtralForCausalLM's load_balancing_loss_func
-    semantics; sown by MoEMLP as intermediates/"router_aux_loss" — the
-    flagship finetune mode freezes the backbone, so no trainer consumes
-    it by default.)"""
+    where f_e is the per-TOKEN count of assignments landing on expert e
+    (the [T, k, E] one-hot averaged over T, summed over k — sums to k
+    like HF MixtralForCausalLM's load_balancing_loss_func, verified
+    against the installed transformers) and P_e the mean router
+    probability mass on e. Equals top_k at perfect balance. Sown by
+    MoEMLP as intermediates/"router_aux_loss" — the flagship finetune
+    mode freezes the backbone, so no trainer consumes it by default."""
     probs = router_probs.reshape(-1, n_experts).astype(jnp.float32)
     onehot = jax.nn.one_hot(expert_index.reshape(-1), n_experts,
                             dtype=jnp.float32)
-    f = jnp.mean(onehot, axis=0)
+    top_k = expert_index.size // probs.shape[0]
+    f = jnp.mean(onehot, axis=0) * top_k  # mean over T, sum over k
     p = jnp.mean(probs, axis=0)
     return n_experts * jnp.sum(f * p)
 
@@ -703,31 +732,42 @@ class Block(nn.Module):
         return (x, new_kv) if return_kv else x
 
 
-def remat_class(cls: type, remat) -> type:
+def _dots_policy(moe: bool):
+    """"dots" saving policy. Dense blocks: save only non-batched matmuls
+    (projections) — attention score matmuls recompute. MoE blocks: every
+    expert matmul is a BATCHED dot (leading E axis), so the no-batch-dims
+    policy would save nothing in the FFN and silently degenerate to full
+    recompute of the dominant FLOPs; use dots_saveable there (also keeps
+    attention scores, trading some residency for not recomputing the
+    expert matmuls)."""
+    if moe:
+        return jax.checkpoint_policies.dots_saveable
+    return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+
+
+def remat_class(cls: type, remat, moe: bool = False) -> type:
     """`cls` wrapped per the remat policy.
 
     False: save everything. True/"full": save nothing, recompute the whole
     block in backward (max memory saving, +1 forward of FLOPs — what
     torch.utils.checkpoint does in the reference's ecosystem). "dots":
-    save non-batched matmul outputs (the qkv/o/gate/up/down projections —
-    the MXU work) and recompute only elementwise ops + attention scores;
-    for a frozen backbone this makes backward cost ~= one forward instead
-    of two, at [B, L, ~4.5 d_model] extra residency per layer.
+    save matmul outputs (the MXU work) and recompute the rest — see
+    _dots_policy for the dense/MoE split; for a frozen backbone this
+    makes backward cost ~= one forward instead of two, at
+    [B, L, ~4.5 d_model] extra residency per layer.
     """
     if not remat:
         return cls
     if remat == "dots":
-        return nn.remat(
-            cls,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        return nn.remat(cls, policy=_dots_policy(moe))
     return nn.remat(cls)
 
 
-def _remat_block(remat) -> type:
-    return remat_class(Block, remat)
+def _remat_block(remat, moe: bool = False) -> type:
+    return remat_class(Block, remat, moe)
 
 
-def _remat_block_call(remat, deterministic: bool):
+def _remat_block_call(remat, deterministic: bool, moe: bool = False):
     """Call-site remat for the decoder stack: only (block, x) cross the
     jax.checkpoint boundary — `deterministic` is CLOSED OVER (a traced
     bool would crash flax Dropout's `if deterministic` for dropout>0
@@ -741,9 +781,7 @@ def _remat_block_call(remat, deterministic: bool):
     if not remat:
         return call
     if remat == "dots":
-        return nn.remat(
-            call,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        return nn.remat(call, policy=_dots_policy(moe))
     return nn.remat(call)
 
 
@@ -762,12 +800,14 @@ class _PipeBlock(nn.Module):
     param_dtype: object = jnp.float32
     quantize: int = 0
     act_quant: bool = True
+    ep_mesh: object = None  # threaded so pp x ep keeps EP constraints
 
     @nn.compact
     def __call__(self, x, _):
         return Block(self.cfg, self.lora, dtype=self.dtype,
                      param_dtype=self.param_dtype, quantize=self.quantize,
-                     act_quant=self.act_quant, name="block")(
+                     act_quant=self.act_quant, ep_mesh=self.ep_mesh,
+                     name="block")(
             x, deterministic=True), None
 
 
@@ -818,9 +858,11 @@ class TransformerDecoder(nn.Module):
         if self.pipeline and self.pipeline > 1:
             kwargs = dict(lora=self.lora, dtype=self.dtype,
                           param_dtype=self.param_dtype,
-                          quantize=self.quantize, act_quant=self.act_quant)
+                          quantize=self.quantize, act_quant=self.act_quant,
+                          ep_mesh=self.ep_mesh)
             self.h_stack = nn.scan(
-                remat_class(_PipeBlock, self.remat),
+                remat_class(_PipeBlock, self.remat,
+                            moe=bool(cfg.n_experts and cfg.n_experts > 1)),
                 variable_axes={"params": 0}, split_rngs={"params": True},
                 length=cfg.n_layers)(cfg, name="h_stack", **kwargs)
             # unbound per-layer template for the pipeline's functional
@@ -933,7 +975,9 @@ class TransformerDecoder(nn.Module):
                                  act_quant=self.act_quant,
                                  dtype=self.dtype, remat=self.remat)
         elif prefix_kv is None:
-            call = _remat_block_call(self.remat, deterministic)
+            call = _remat_block_call(self.remat, deterministic,
+                                     moe=bool(self.cfg.n_experts
+                                              and self.cfg.n_experts > 1))
             for block in self.blocks:
                 x = call(block, x)
         else:

@@ -351,6 +351,14 @@ class BaseTask:
             None if getattr(self, "mesh", None) is None
             else jax.tree.map(lambda x: x.sharding, self.params))
 
+        # MoE pretraining: add the sown Switch/Mixtral load-balancing
+        # loss (models/llm/transformer.py::router_aux_loss, HF
+        # load_balancing_loss_func semantics) — without it experts
+        # collapse when the router TRAINS. Off by default; pointless for
+        # the frozen-backbone finetune mode (router grads are pruned).
+        aux_coef = float(
+            self.config.training.get("router_aux_coef", 0) or 0)
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, arrays, valid, rng):
             def compute_loss(p):
@@ -364,10 +372,25 @@ class BaseTask:
                     arr = self._cast_for_compute(arrays)
                 else:
                     arr = arrays
-                pred = model.apply({"params": p}, arr, training=True,
-                                   rngs={"dropout": rng})
+                if aux_coef:
+                    pred, state = model.apply(
+                        {"params": p}, arr, training=True,
+                        rngs={"dropout": rng}, mutable=["intermediates"])
+                else:
+                    pred = model.apply({"params": p}, arr, training=True,
+                                       rngs={"dropout": rng})
                 pred = pred.astype(jnp.float32)
-                return loss_fn(pred, arrays, valid)
+                loss = loss_fn(pred, arrays, valid)
+                if aux_coef:
+                    aux = [jnp.mean(leaf) for path, leaf
+                           in jax.tree_util.tree_flatten_with_path(state)[0]
+                           if "router_aux_loss" in jax.tree_util.keystr(path)]
+                    if not aux:
+                        raise ValueError(
+                            "training.router_aux_coef set but the model "
+                            "sowed no router_aux_loss — not a MoE backbone")
+                    loss = loss + aux_coef * jnp.mean(jnp.stack(aux))
+                return loss
 
             # allow_int: int8-quantized backbone params are frozen and get
             # float0 grads, which apply_updates leaves untouched

@@ -287,3 +287,86 @@ def test_expert_x_tensor_parallel(tmp_path):
     assert len(w.sharding.device_set) == 8
     trainer.train()
     assert np.isfinite(trainer.val()["val/mse"])
+
+
+def test_router_aux_loss_hf_factor():
+    """HF load_balancing_loss_func parity: at perfect balance the loss
+    equals top_k (the [T,k,E] one-hot averages over T and SUMS over k),
+    not 1.0."""
+    from medtsllm_tpu.models.llm.transformer import router_aux_loss
+    E, T, k = 4, 8, 2
+    # perfectly balanced: uniform router probs, assignments round-robin
+    probs = jnp.full((T, E), 1.0 / E)
+    idx = jnp.asarray([[(t + j) % E for j in range(k)] for t in range(T)])
+    loss = float(router_aux_loss(probs, idx, E))
+    assert np.isclose(loss, k), loss
+
+
+def test_pipeline_threads_ep_mesh():
+    """pp x ep: the scanned _PipeBlock must carry ep_mesh so MoEMLP's
+    P('expert') dispatch constraints stay active inside each stage."""
+    from jax.sharding import Mesh
+    from medtsllm_tpu.models.llm.transformer import TransformerDecoder
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("expert", "stage"))
+    cfg = _moe_cfg()
+    dec = TransformerDecoder(cfg, pipeline=2, ep_mesh=mesh)
+    params = dec.init(jax.random.PRNGKey(0),
+                      jnp.zeros((2, 8, cfg.d_model)))
+    bound = dec.bind(params)
+    assert bound.h_stack.ep_mesh is mesh, \
+        "_PipeBlock dropped ep_mesh: EP constraints silently off under pp"
+
+
+def test_router_aux_coef_trains_and_changes_loss(tmp_path):
+    """training.router_aux_coef adds the sown load-balancing loss to the
+    objective (MoE pretraining — routers collapse without it). The
+    backbone must be trainable for the aux grads to matter; llm_layers=-1
+    random-init with finetuning off keeps it trainable here."""
+    from medtsllm_tpu.tasks import get_trainer
+    cfg = _trainer_cfg(tmp_path, expert=1, tensor=1)
+    trainer = get_trainer("auxmoe", cfg)
+    b = next(iter(trainer.train_pipeline))
+    arrays = trainer._device_batch(trainer.train_model_inputs(b))
+    valid = jnp.asarray(b["valid"])
+    _, _, loss0 = trainer.train_step(
+        trainer.params, trainer.opt_state, arrays, valid,
+        jax.random.PRNGKey(0))
+
+    cfg2 = _trainer_cfg(tmp_path / "b", expert=1, tensor=1)
+    cfg2.training["router_aux_coef"] = 10.0
+    t2 = get_trainer("auxmoe2", cfg2)
+    b2 = next(iter(t2.train_pipeline))
+    arrays2 = t2._device_batch(t2.train_model_inputs(b2))
+    _, _, loss1 = t2.train_step(t2.params, t2.opt_state, arrays2,
+                                jnp.asarray(b2["valid"]),
+                                jax.random.PRNGKey(0))
+    # aux loss >= top_k > 0, so the objective strictly increases
+    assert float(loss1) > float(loss0), (float(loss0), float(loss1))
+
+
+def test_router_aux_coef_rejects_dense_backbone(tmp_path):
+    from medtsllm_tpu.tasks import get_trainer
+    cfg = make_config(task="reconstruction", model="medtsllm",
+                      hist=32, pred=32, step=16)
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.training["router_aux_coef"] = 0.02
+    cfg.datasets.synthetic.n_points = 256
+    cfg["models"] = {"medtsllm": {
+        "d_model": 16, "d_ff": 16, "n_heads": 4, "num_tokens": 32,
+        "covariate_mode": "concat", "embedding_downsample_mode": "linear",
+        "patching": {"patch_len": 8, "stride": 4},
+        "prompting": {"dataset": True, "task": True, "clip": False,
+                      "input_stats": False, "examples": False,
+                      "input_stats_dim": 0, "input_stats_select": "all"},
+        "llm": {"enabled": True, "llm": "llama-tiny", "llm_layers": -1,
+                "load_in_4bit": False, "load_in_8bit": False},
+    }}
+    trainer = get_trainer("auxdense", cfg)
+    b = next(iter(trainer.train_pipeline))
+    arrays = trainer._device_batch(trainer.train_model_inputs(b))
+    with pytest.raises(ValueError, match="sowed no router_aux_loss"):
+        trainer.train_step(trainer.params, trainer.opt_state, arrays,
+                           jnp.asarray(b["valid"]), jax.random.PRNGKey(0))

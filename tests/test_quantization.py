@@ -165,3 +165,52 @@ def test_int8_matmul_accumulates_in_int32():
     expect = (np.full((512,), 127.0) @ w) * (3.0 / 127.0) * scale
     got = np.asarray(m.apply(params, x))[0, 0]
     np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+def test_gpt2_fused_lora_partial_targets():
+    """gpt2 packs q|k|v into one c_attn matmul. A LoraSpec targeting a
+    subset (e.g. only 'v') must create the adapter AND touch only the
+    targeted third — not silently disable LoRA (the old 'q'-keyed gate)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from medtsllm_tpu.models.llm.transformer import Attention, LoraSpec
+    from medtsllm_tpu.models.llm.loader import resolve_config
+
+    cfg, _ = resolve_config("gpt2-tiny")
+    spec = LoraSpec(rank=2, targets=("v",))
+    attn = Attention(cfg, lora=spec, causal=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 8, cfg.d_model)), jnp.float32)
+    params = attn.init(jax.random.PRNGKey(0), x)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    paths = ["/".join(str(getattr(k, "key", k)) for k in kp)
+             for kp, _ in flat]
+    assert any("lora_a" in p for p in paths), \
+        "targets=('v',) created no adapter on the fused c_attn"
+
+    base = attn.apply(params, x)
+    # bump lora_b: only the v third of the fused output may change ->
+    # attention OUTPUT changes (v flows through); q/k thirds are masked.
+    import flax
+    p2 = flax.core.unfreeze(params)
+    ca = p2["params"]["c_attn"]
+    ca["lora_b"] = jnp.ones_like(ca["lora_b"])
+    bumped = attn.apply(flax.core.freeze(p2), x)
+    assert not np.allclose(base, bumped), "masked adapter has no effect"
+
+    # and the mask really zeroes the untargeted thirds: check the delta
+    # on the fused projection directly
+    from medtsllm_tpu.models.llm.transformer import LoRADense
+    d = cfg.d_model
+    mask = np.repeat(np.array([0.0, 0.0, 1.0], np.float32), d)
+    ld = LoRADense(3 * d, lora=spec, lora_out_mask=mask)
+    lp = ld.init(jax.random.PRNGKey(1), x)
+    lp2 = flax.core.unfreeze(lp)
+    lp2["params"]["lora_b"] = jnp.ones_like(lp2["params"]["lora_b"])
+    y0 = ld.apply(lp, x)
+    y1 = ld.apply(flax.core.freeze(lp2), x)
+    diff = np.asarray(y1 - y0)
+    np.testing.assert_array_equal(diff[..., :2 * d], 0)  # q,k untouched
+    assert np.abs(diff[..., 2 * d:]).max() > 0  # v adapted
