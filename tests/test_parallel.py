@@ -349,3 +349,22 @@ def test_fsdp_composes_with_pipeline(tmp_path):
 
     trainer.train()
     assert np.isfinite(trainer.val()["val/mse"])
+
+def test_fsdp_composes_with_sp(tmp_path):
+    """fsdp + tp_overlap: the sequence-parallel ring schedule runs manual
+    over "tensor" only, so the ZeRO-3 "data" sharding on weights stays a
+    GSPMD-auto axis — the two compose."""
+    cfg = _cfg(tmp_path, tensor=2)
+    cfg.setup["tp_overlap"] = True
+    cfg.setup["fsdp"] = True
+    cfg.setup["fsdp_min_size"] = 64
+    trainer = get_trainer("fsdpsp", cfg)
+
+    def data_sharded(leaf):
+        return any(ax == "data" or (isinstance(ax, tuple) and "data" in ax)
+                   for ax in leaf.sharding.spec)
+
+    k = trainer.params["llm"]["h_0"]["attn"]["q_proj"]["base"]["kernel"]
+    assert data_sharded(k)
+    trainer.train()
+    assert np.isfinite(trainer.val()["val/mse"])
