@@ -14,6 +14,7 @@ Layer truncation (`llm_layers` > 0) mirrors medtsllm.py:145-146.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import warnings
 from pathlib import Path
@@ -329,10 +330,25 @@ def _hf_to_tree(cfg: DecoderConfig, tensors: dict,
             put(f"h_{i}/input_layernorm/weight", tensors[p + "input_layernorm.weight"])
             put(f"h_{i}/post_attention_layernorm/weight",
                 tensors[p + "post_attention_layernorm.weight"])
-            for hf_n, fx_n in (("q_proj", "q_proj"), ("k_proj", "k_proj"),
-                               ("v_proj", "v_proj"), ("o_proj", "o_proj")):
-                put_kernel(f"h_{i}/attn/{fx_n}/base/kernel",
-                           tensors[p + f"self_attn.{hf_n}.weight"].T)
+            if getattr(cfg, "fused_projections", False):
+                # small-batch serving layout: q|k|v column-concat into one
+                # kernel (per-output-channel quantization scales
+                # concatenate, so numerics match the separate path
+                # exactly — DecoderConfig.fused_projections)
+                put_kernel(f"h_{i}/attn/qkv_proj/base/kernel",
+                           np.concatenate(
+                               [tensors[p + f"self_attn.{n}.weight"].T
+                                for n in ("q_proj", "k_proj", "v_proj")],
+                               axis=1))
+                put_kernel(f"h_{i}/attn/o_proj/base/kernel",
+                           tensors[p + "self_attn.o_proj.weight"].T)
+            else:
+                for hf_n, fx_n in (("q_proj", "q_proj"),
+                                   ("k_proj", "k_proj"),
+                                   ("v_proj", "v_proj"),
+                                   ("o_proj", "o_proj")):
+                    put_kernel(f"h_{i}/attn/{fx_n}/base/kernel",
+                               tensors[p + f"self_attn.{hf_n}.weight"].T)
             if getattr(cfg, "n_experts", 0) > 1:
                 # mixtral sparse MoE: router + per-expert SwiGLU weights
                 # stacked on a leading E axis (transformer.py MoEMLP)
@@ -358,6 +374,14 @@ def _hf_to_tree(cfg: DecoderConfig, tensors: dict,
                             "MoE experts support int8 quantization only")
                     else:
                         put(f"h_{i}/mlp/{fx_n}", w)
+            elif getattr(cfg, "fused_projections", False):
+                put_kernel(f"h_{i}/mlp/gateup_proj/kernel",
+                           np.concatenate(
+                               [tensors[p + "mlp.gate_proj.weight"].T,
+                                tensors[p + "mlp.up_proj.weight"].T],
+                               axis=1))
+                put_kernel(f"h_{i}/mlp/down_proj/kernel",
+                           tensors[p + "mlp.down_proj.weight"].T)
             else:
                 for hf_n in ("gate_proj", "up_proj", "down_proj"):
                     put_kernel(f"h_{i}/mlp/{hf_n}/kernel",
@@ -395,7 +419,7 @@ def load_backbone(llm_id: str, cache_dir: str | None = None,
                   dtype=np.float32, rng=None, remat: bool = False,
                   quantize: int = 0, act_quant: bool = True,
                   pipeline: int = 0, pipeline_microbatches: int = 0,
-                  pipeline_mesh=None):
+                  pipeline_mesh=None, fuse_projections: bool = False):
     """Returns (module, params, cfg). Params are loaded from a local
     snapshot when available, otherwise random-init with a warning.
     quantize: 0 (off), 8, or 4 bits; True is accepted as 8.
@@ -404,6 +428,12 @@ def load_backbone(llm_id: str, cache_dir: str | None = None,
     quantize = 8 if quantize is True else int(quantize or 0)
     assert quantize in (0, 4, 8), quantize
     cfg, snap = resolve_config(llm_id, cache_dir, llm_layers)
+    if fuse_projections:
+        if cfg.style != "llama":
+            raise ValueError(
+                f"fuse_projections supports llama-style decoders; "
+                f"{llm_id!r} is {cfg.style!r}")
+        cfg = dataclasses.replace(cfg, fused_projections=True)
     import jax.numpy as _jnp
     _dt = _jnp.dtype(dtype)
     extra = {}

@@ -73,6 +73,16 @@ class DecoderConfig:
     n_experts: int = 0
     n_experts_per_tok: int = 2
     expert_capacity: float = 0.0
+    # small-batch serving: fuse q|k|v and gate|up into single wide
+    # matmuls (llama style). At small M the per-projection weight
+    # streams dominate and the fused matmul wins 1.68-1.82x
+    # (tools/ab_smallbatch.py, BASELINE.md); at large M the s32
+    # intermediate's HBM round-trip loses — keep False for training /
+    # large-batch. Numerics are EXACTLY the separate path's: the fused
+    # kernel is the column-concat of the separate kernels and per-output-
+    # channel quantization scales concatenate. Single-chip only
+    # (Megatron TP rules key on the separate projection names).
+    fused_projections: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -366,6 +376,28 @@ class Attention(nn.Module):
                        targeted[0] if targeted else "q", x,
                        lora_out_mask=mask)
             q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif (cfg.style == "llama" and kv is None
+              and getattr(cfg, "fused_projections", False)):
+            # small-batch serving: one wide qkv matmul (see
+            # DecoderConfig.fused_projections). GQA makes the slices
+            # unequal: [H*D | KV*D | KV*D]. LoRA attaches like the gpt2
+            # fused path, with the adapter delta masked to the targeted
+            # slices.
+            sizes = (H * D, KV * D, KV * D)
+            targeted = (tuple(t for t in ("q", "k", "v")
+                              if t in self.lora.targets)
+                        if self.lora else ())
+            mask = None
+            if targeted and targeted != ("q", "k", "v"):
+                mask = np.concatenate([
+                    np.full(s, float(t in targeted), np.float32)
+                    for t, s in zip(("q", "k", "v"), sizes)])
+            qkv = proj("qkv_proj", sum(sizes),
+                       targeted[0] if targeted else "q", x,
+                       lora_out_mask=mask)
+            q = qkv[..., :sizes[0]]
+            k = qkv[..., sizes[0]:sizes[0] + sizes[1]]
+            v = qkv[..., sizes[0] + sizes[1]:]
         else:
             q = proj("q_proj", H * D, "q", x)
             k = proj("k_proj", KV * D, "k", kv_src)
@@ -481,8 +513,12 @@ class MLP(nn.Module):
                 h = nn.relu(dense(cfg.d_ff, False, "wi")(x))
             h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
             return dense(cfg.d_model, False, "wo")(h)
-        gate = dense(cfg.d_ff, False, "gate_proj")(x)
-        up = dense(cfg.d_ff, False, "up_proj")(x)
+        if getattr(cfg, "fused_projections", False):
+            gu = dense(2 * cfg.d_ff, False, "gateup_proj")(x)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = dense(cfg.d_ff, False, "gate_proj")(x)
+            up = dense(cfg.d_ff, False, "up_proj")(x)
         return dense(cfg.d_model, False, "down_proj")(nn.silu(gate) * up)
 
 

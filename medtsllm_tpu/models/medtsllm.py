@@ -165,6 +165,27 @@ class MedTsLLM(nn.Module):
             llm_cfg = dataclasses.replace(llm_cfg,
                                           expert_capacity=float(cap))
 
+        # models.<m>.llm.fuse_projections: small-batch serving — fuse
+        # q|k|v and gate|up into single wide matmuls (measured 1.68-1.82x
+        # on the per-layer matmuls at batch<=8, tools/ab_smallbatch.py).
+        # Single-chip only: the Megatron TP rules and the sp ring path
+        # key on the separate projection names.
+        if mc.llm.get("fuse_projections", False) and mc.llm.enabled:
+            if getattr(llm_cfg, "style", "") != "llama":
+                raise ValueError(
+                    f"models.llm.fuse_projections supports llama-style "
+                    f"decoders; {mc.llm.llm!r} is "
+                    f"{getattr(llm_cfg, 'style', '?')!r}")
+            if (int(config.setup.get("tensor_parallel", 1) or 1) > 1
+                    or config.setup.get("tp_overlap", False)):
+                raise ValueError(
+                    "models.llm.fuse_projections is a single-chip serving "
+                    "layout — incompatible with tensor_parallel > 1 / "
+                    "tp_overlap (TP sharding rules key on the separate "
+                    "q/k/v and gate/up projection names)")
+            import dataclasses
+            llm_cfg = dataclasses.replace(llm_cfg, fused_projections=True)
+
         if int(config.setup.get("expert_parallel", 1) or 1) > 1 and not (
                 mc.llm.enabled and getattr(llm_cfg, "n_experts", 0) > 1):
             raise ValueError(
@@ -617,7 +638,9 @@ class MedTsLLM(nn.Module):
                 self.llm_id, self.cache_dir, self.llm_cfg.n_layers,
                 lora=self.lora, dtype=jnp.dtype(self.llm_dtype),
                 quantize=self.quantize, act_quant=self.act_quant,
-                pipeline=self.pipeline)
+                pipeline=self.pipeline,
+                fuse_projections=getattr(self.llm_cfg,
+                                         "fused_projections", False))
             params = dict(params)
             params["llm"] = loaded
             return params

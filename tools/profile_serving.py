@@ -48,15 +48,84 @@ def capture(args) -> str:
     return logdir
 
 
+def report_trace_json(logdir: str, top: int) -> None:
+    """Rank device ops by self time from the Chrome trace
+    (plugins/profile/*/[*.]trace.json.gz) — no tensorboard_plugin_profile
+    needed (its native xplane converter is binary-incompatible with the
+    installed TF in this env). Self time = complete-event duration minus
+    time covered by nested events on the same thread."""
+    import gzip
+    import json
+    from collections import defaultdict
+
+    paths = sorted(glob.glob(os.path.join(
+        logdir, "plugins/profile/*/*trace.json.gz")))
+    if not paths:
+        raise SystemExit(f"no trace.json.gz under {logdir}")
+    with gzip.open(paths[-1], "rt") as f:
+        events = json.load(f)["traceEvents"]
+
+    # device pids: process_name metadata containing "TPU"/"device"
+    dev_pids = {e["pid"] for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "args" in e
+                and any(s in str(e["args"].get("name", ""))
+                        for s in ("TPU", "device", "Device"))}
+    lanes = defaultdict(list)  # (pid, tid) -> [(ts, dur, name)]
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids \
+                and e.get("dur", 0) > 0:
+            lanes[(e["pid"], e.get("tid", 0))].append(
+                (e["ts"], e["dur"], e.get("name", "?")))
+
+    self_us = defaultdict(float)
+    occ = defaultdict(int)
+    for lane in lanes.values():
+        lane.sort()
+        # stack-based self-time: each entry is [start, end, name,
+        # child_time]; a nested event's duration subtracts from its
+        # parent's self time
+        stack = []
+        for ts, dur, name in lane:
+            while stack and stack[-1][1] <= ts:
+                s0, e0, n0, c0 = stack.pop()
+                self_us[n0] += (e0 - s0) - c0
+                if stack:
+                    stack[-1][3] += e0 - s0
+            stack.append([ts, ts + dur, name, 0.0])
+            occ[name] += 1
+        while stack:
+            s0, e0, n0, c0 = stack.pop()
+            self_us[n0] += (e0 - s0) - c0
+            if stack:
+                stack[-1][3] += e0 - s0
+
+    scored = sorted(self_us.items(), key=lambda kv: -kv[1])
+    total = sum(self_us.values())
+    print(f"{'self_us':>12} {'%':>6}  {'occ':>5}  op")
+    for name, t in scored[:top]:
+        print(f"{t:12.0f} {100 * t / max(total, 1e-9):6.2f}  "
+              f"{occ[name]:>5}  {name[:100]}")
+    print(f"total device self time: {total / 1e3:.1f} ms over capture")
+
+
 def report(logdir: str, top: int) -> None:
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    except Exception:
+        return report_trace_json(logdir, top)
 
     paths = sorted(glob.glob(os.path.join(
         logdir, "plugins/profile/*/*.xplane.pb")))
     if not paths:
         raise SystemExit(f"no xplane.pb under {logdir}")
-    csv, _ = rtd.xspace_to_tool_data([paths[-1]], "framework_op_stats", {
-        "tqx": "out:csv;"})
+    try:
+        csv, _ = rtd.xspace_to_tool_data([paths[-1]], "framework_op_stats", {
+            "tqx": "out:csv;"})
+    except Exception as e:
+        print(f"xplane converter unavailable ({type(e).__name__}); "
+              f"falling back to the Chrome trace", file=sys.stderr)
+        return report_trace_json(logdir, top)
     import csv as csvmod
     import io
     rows = list(csvmod.DictReader(io.StringIO(csv)))
