@@ -114,6 +114,21 @@ def a100_estimate_windows_per_sec(n_params: int, tokens_per_window: int,
 
 
 
+def _auto_fuse_ok(model_id: str) -> bool:
+    """--fuse-projections=auto gate: fused q|k|v / gate|up layouts are
+    implemented (and measured as wins at batch <= 8) for dense
+    llama-style backbones only. Resolve the config rather than
+    substring-matching the id (mistral/mixtral ids are llama-style too;
+    MoE backbones route per-expert and must not fuse)."""
+    try:
+        from medtsllm_tpu.models.llm.loader import resolve_config
+        cfg, _ = resolve_config(model_id)
+    except Exception:
+        return False
+    return (getattr(cfg, "style", None) == "llama"
+            and getattr(cfg, "n_experts", 1) <= 1)
+
+
 def serving_inputs(trainer, bf16: bool = True, train: bool = False):
     """Shared serving-path setup (bench main + tools/profile_serving):
     one preprocessed batch with the prompt head swapped for its KV cache
@@ -476,7 +491,7 @@ def main():
                                     or (args.fuse_projections == "auto"
                                         and not args.train
                                         and args.batch <= 8
-                                        and "llama" in args.model.lower())))
+                                        and _auto_fuse_ok(args.model))))
         # inference uses the serving path (constant prompt head served
         # from the KV cache); training embeds the head in-graph when the
         # cache is not gradient-safe (serving_inputs gates on

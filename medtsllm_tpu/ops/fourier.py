@@ -67,10 +67,12 @@ class FourierBlock(nn.Module):
                                      xre[..., idx], xim[..., idx], w_re, w_im)
 
         F = self.seq_len // 2 + 1
-        Eo = self.out_channels // self.n_heads
-        out_re = jnp.zeros((B, H, Eo, F), jnp.float32).at[..., idx].set(ore)
-        out_im = jnp.zeros((B, H, Eo, F), jnp.float32).at[..., idx].set(oim)
-        out = irfft_ri(out_re, out_im, n=self.seq_len)
+        # the reference writes mode i's output at enumeration position wi
+        # (FourierCorrelation.py:96-104) — selected modes PACK into the
+        # lowest bins (upstream FEDformer behavior; identical to scatter-at-i
+        # only for 'low' selection). Static pad, no scatter needed.
+        pad = [(0, 0)] * 3 + [(0, F - len(index))]
+        out = irfft_ri(jnp.pad(ore, pad), jnp.pad(oim, pad), n=self.seq_len)
         return out.astype(q.dtype), None
 
 

@@ -39,9 +39,12 @@ def test_fedformer_reconstruction(tmp_path):
     assert np.isfinite(scores["val/mse"])
 
 
-def test_fourier_block_energy_in_selected_modes():
-    """FourierBlock output spectrum must be supported only on the selected
-    modes (the zero-fill scatter, FourierCorrelation.py:95-105)."""
+def test_fourier_block_energy_packs_into_low_bins():
+    """FourierBlock writes mode i's product at enumeration position wi
+    (out_ft[..., wi] = f(x_ft[..., i]), FourierCorrelation.py:96-104):
+    selected modes PACK into the lowest output bins regardless of which
+    input modes were selected — identical to scatter-at-i only under
+    'low' mode selection."""
     from medtsllm_tpu.ops.fourier import FourierBlock
     B, L, H, E = 2, 32, 4, 4
     index = (1, 3, 5)
@@ -52,9 +55,10 @@ def test_fourier_block_energy_in_selected_modes():
     params = blk.init(jax.random.PRNGKey(0), q, q, q)
     out, _ = blk.apply(params, q, q, q)
     spec = np.fft.rfft(np.asarray(out), axis=-1)
-    others = [i for i in range(L // 2 + 1) if i not in index]
+    packed = list(range(len(index)))
+    others = [i for i in range(L // 2 + 1) if i not in packed]
     assert np.abs(spec[..., others]).max() < 1e-3
-    assert np.abs(spec[..., list(index)]).max() > 0
+    assert np.abs(spec[..., packed]).max() > 0
 
 
 def test_autocorrelation_shapes_and_variants():

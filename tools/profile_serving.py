@@ -81,7 +81,9 @@ def report_trace_json(logdir: str, top: int) -> None:
     self_us = defaultdict(float)
     occ = defaultdict(int)
     for lane in lanes.values():
-        lane.sort()
+        # longer (enclosing) events must sort before same-ts children,
+        # or the stack nesting inverts and self time is misattributed
+        lane.sort(key=lambda e: (e[0], -e[1]))
         # stack-based self-time: each entry is [start, end, name,
         # child_time]; a nested event's duration subtracts from its
         # parent's self time
