@@ -86,8 +86,11 @@ class DLinear(nn.Module):
         if self.task in ("anomaly_detection", "reconstruction", "imputation"):
             return enc
         if self.task == "classification":
-            out = nn.gelu(enc, approximate=False).reshape(enc.shape[0], -1)
-            out = nn.Dropout(self.dropout)(out, deterministic=not training)
+            # the reference constructs self.act/self.dropout but its
+            # classification() never applies them (dlinear.py:52-54,88-93)
+            # — flatten straight into the projection, verified by the
+            # executed oracle (tests/test_reference_oracle.py)
+            out = enc.reshape(enc.shape[0], -1)
             return nn.Dense(self.n_classes, name="projection")(out)
         if self.task == "semantic_segmentation":
             out = nn.gelu(enc, approximate=False).reshape(enc.shape[0], -1)

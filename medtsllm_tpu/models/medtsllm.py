@@ -375,8 +375,10 @@ class MedTsLLM(nn.Module):
             self.feature_weighting = nn.Dense(1, name="feature_weighting")
         if not self.llm_enabled:
             self.llm_replacement = nn.Sequential([
-                nn.Dense(self.d_llm), nn.gelu, nn.Dense(self.d_ff),
-                nn.LayerNorm()])
+                nn.Dense(self.d_llm),
+                # torch nn.GELU() default is exact erf (medtsllm.py:106)
+                lambda v: nn.gelu(v, approximate=False),
+                nn.Dense(self.d_ff), nn.LayerNorm()])
 
     def _downsample(self, dec_out):
         """d_llm -> d_ff backbone-output reduction (medtsllm.py:352-367);

@@ -32,7 +32,8 @@ class AutoformerEncoderLayer(nn.Module):
     def __call__(self, x, attn_mask=None, *, deterministic: bool = True):
         d_ff = self.d_ff or 4 * self.d_model
         drop = lambda v: nn.Dropout(self.dropout)(v, deterministic=deterministic)
-        act = nn.relu if self.activation == "relu" else nn.gelu
+        act = nn.relu if self.activation == "relu" else (
+            lambda v: nn.gelu(v, approximate=False))  # torch F.gelu default is exact erf
 
         new_x, attn = self.attention(x, x, x, attn_mask,
                                      deterministic=deterministic)
@@ -78,7 +79,8 @@ class AutoformerDecoderLayer(nn.Module):
                  deterministic: bool = True):
         d_ff = self.d_ff or 4 * self.d_model
         drop = lambda v: nn.Dropout(self.dropout)(v, deterministic=deterministic)
-        act = nn.relu if self.activation == "relu" else nn.gelu
+        act = nn.relu if self.activation == "relu" else (
+            lambda v: nn.gelu(v, approximate=False))  # torch F.gelu default is exact erf
 
         x = x + drop(self.self_attention(x, x, x, x_mask,
                                          deterministic=deterministic)[0])

@@ -27,7 +27,8 @@ class EncoderLayer(nn.Module):
                  deterministic: bool = True):
         d_ff = self.d_ff or 4 * self.d_model
         drop = lambda v: nn.Dropout(self.dropout)(v, deterministic=deterministic)
-        act = nn.relu if self.activation == "relu" else nn.gelu
+        act = nn.relu if self.activation == "relu" else (
+            lambda v: nn.gelu(v, approximate=False))  # torch F.gelu default is exact erf
 
         new_x, attn = self.attention(x, x, x, attn_mask, tau, delta,
                                      deterministic=deterministic)
@@ -87,7 +88,8 @@ class DecoderLayer(nn.Module):
                  delta=None, *, deterministic: bool = True):
         d_ff = self.d_ff or 4 * self.d_model
         drop = lambda v: nn.Dropout(self.dropout)(v, deterministic=deterministic)
-        act = nn.relu if self.activation == "relu" else nn.gelu
+        act = nn.relu if self.activation == "relu" else (
+            lambda v: nn.gelu(v, approximate=False))  # torch F.gelu default is exact erf
 
         x = x + drop(self.self_attention(x, x, x, x_mask, tau, None,
                                          deterministic=deterministic)[0])
