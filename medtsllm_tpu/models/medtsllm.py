@@ -28,7 +28,7 @@ import flax.linen as nn
 import numpy as np
 
 from ..ops.embed import PatchEmbedding
-from ..ops.revin import revin_denorm, revin_norm
+from ..ops.revin import masked_window_norm, revin_denorm, revin_norm
 from .llm.loader import resolve_config
 from .llm.tokenizer import get_tokenizer
 from .llm.transformer import LoraSpec, TransformerDecoder
@@ -113,7 +113,8 @@ class MedTsLLM(nn.Module):
     ep_mesh: object = None  # Mesh with an "expert" axis (MoE backbones)
 
     supported_tasks = ("forecasting", "reconstruction", "anomaly_detection",
-                       "semantic_segmentation", "segmentation", "pretraining")
+                       "semantic_segmentation", "segmentation", "pretraining",
+                       "classification", "imputation")
     supported_modes = ("univariate", "multivariate")
 
     # ------------------------------------------------------------------
@@ -133,8 +134,14 @@ class MedTsLLM(nn.Module):
         n_classes = (dataset.n_classes
                      if task in ("classification", "semantic_segmentation") else 0)
         if task in ("forecasting", "reconstruction", "anomaly_detection",
-                    "pretraining"):
+                    "pretraining", "imputation"):
             n_outputs_per_step = dataset.n_features
+        elif task == "classification":
+            # beyond-reference (like the trainer, tasks/classification.py):
+            # one label per window — the FlattenHead projects straight to
+            # n_classes logits (head_steps == 1), precedent
+            # /root/reference/models/gpt4ts.py:178-194
+            n_outputs_per_step = n_classes
         elif task == "semantic_segmentation":
             n_outputs_per_step = n_classes if n_classes > 2 else 1
         elif task == "segmentation":
@@ -311,8 +318,14 @@ class MedTsLLM(nn.Module):
         return self.llm_cfg.d_model
 
     @property
+    def head_steps(self) -> int:
+        """Time steps the FlattenHead emits: pred_len, except
+        classification's single per-window label row."""
+        return 1 if self.task == "classification" else self.pred_len
+
+    @property
     def n_outputs(self) -> int:
-        return self.n_outputs_per_step * self.pred_len
+        return self.n_outputs_per_step * self.head_steps
 
     @property
     def vocab_indices(self):
@@ -405,11 +418,17 @@ class MedTsLLM(nn.Module):
         # preserves.
         return jax.lax.stop_gradient(wte)
 
-    def encode_ts(self, x_enc, *, deterministic):
+    def encode_ts(self, x_enc, *, deterministic, mask=None):
         """RevIN -> patch embed -> reprogramming (medtsllm.py:263-297).
-        Returns (enc [B', P, d_llm], revin stats)."""
+        Returns (enc [B', P, d_llm], revin stats). With `mask`
+        (imputation), normalization statistics cover observed points only
+        (the TSLib protocol, ops/revin.masked_window_norm)."""
         B, L, C = x_enc.shape
-        xn, stats = revin_norm(x_enc)
+        if mask is not None:
+            xn, means, stdev = masked_window_norm(x_enc, mask)
+            stats = {"center": means, "stdev": stdev}
+        else:
+            xn, stats = revin_norm(x_enc)
         x = jnp.swapaxes(xn, 1, 2)  # [B, C, L]
         enc, _ = self.patch_embedding(x, deterministic=deterministic)
         # enc: [B*C, P, d_model]
@@ -442,7 +461,8 @@ class MedTsLLM(nn.Module):
             x_enc = x_enc[..., None]
         B, L, C = x_enc.shape
 
-        ts_emb, stats = self.encode_ts(x_enc, deterministic=det)
+        mask = inputs.get("mask") if self.task == "imputation" else None
+        ts_emb, stats = self.encode_ts(x_enc, deterministic=det, mask=mask)
 
         # prompt order (medtsllm.py:424-437): [bos+dataset(+example text)]
         # -> example TS embedding -> [clip+stats+task+"Time series:"]
@@ -508,18 +528,21 @@ class MedTsLLM(nn.Module):
         dec_out = dec_out.reshape(dec_out.shape[0], -1)
         dec_out = self.output_projection(dec_out)  # [B', n_outputs]
 
+        steps = self.head_steps
         if self.covariate_mode == "independent":
-            dec_out = dec_out.reshape(B, C, self.pred_len, self.n_outputs_per_step)
+            dec_out = dec_out.reshape(B, C, steps, self.n_outputs_per_step)
             dec_out = dec_out.mean(axis=1)
         elif self.covariate_mode == "merge-end":
-            dec_out = dec_out.reshape(B, C, self.pred_len, self.n_outputs_per_step)
-            dec_out = jnp.transpose(dec_out, (0, 2, 3, 1)).reshape(B, self.pred_len, -1)
+            dec_out = dec_out.reshape(B, C, steps, self.n_outputs_per_step)
+            dec_out = jnp.transpose(dec_out, (0, 2, 3, 1)).reshape(B, steps, -1)
             dec_out = self.feature_weighting(dec_out)
         else:
-            dec_out = dec_out.reshape(B, self.pred_len, self.n_outputs_per_step)
+            dec_out = dec_out.reshape(B, steps, self.n_outputs_per_step)
 
+        if self.task == "classification":
+            return dec_out[:, 0]  # [B, n_classes] logits (trainer softmaxes)
         if self.task in ("forecasting", "reconstruction", "anomaly_detection",
-                         "pretraining"):
+                         "pretraining", "imputation"):
             dec_out = revin_denorm(dec_out, stats)
         else:
             dec_out = dec_out.squeeze(-1) if dec_out.shape[-1] == 1 else dec_out
@@ -545,12 +568,12 @@ class MedTsLLM(nn.Module):
         bidirectional, so every prompt token sees the whole prompt.
         Pipeline parallelism gates it off too: the cached layers live on
         different stages (transformer.py prefill raises). Sequence-parallel
-        TP (tp_overlap) gates it off as well: the cached suffix path runs
-        per-block with prefix_kv, which would silently bypass the ring
-        schedule the user explicitly opted into — the two serving levers
-        are an either/or until the sp path learns prefix concat."""
+        TP (tp_overlap) composes: the ring schedule covers the suffix
+        region's projections and the prefix K/V enter the shard_map
+        head-sharded (parallel/sp.py::sp_decoder_stack prefix_kv) — the
+        two serving levers stack on multi-chip TP."""
         return (self.llm_enabled and self.prefix_cache
-                and self.pipeline <= 1 and not self.sp
+                and self.pipeline <= 1
                 and not getattr(self.llm_cfg, "is_encoder_decoder", False)
                 and getattr(self.llm_cfg, "style", "") in ("gpt2", "llama",
                                                            "mamba"))
@@ -776,6 +799,13 @@ class PromptBuilder:
         if task == "segmentation":
             return (f"Identify the change points in the past {seq} steps of "
                     f"data to segment the sequence.")
+        # beyond-reference tasks (the reference prompts stop at its five)
+        if task == "classification":
+            return (f"Classify the past {seq} steps of data into a single "
+                    f"category using the following information.")
+        if task == "imputation":
+            return (f"Fill in the missing values in the past {seq} steps of "
+                    f"data using the following information.")
         raise ValueError(f"Task {task} is not supported.")
 
     def _encode(self, text: str) -> list[int]:

@@ -142,6 +142,57 @@ def test_segmentation(tmp_path):
     assert "val/segment_miou" in scores
 
 
+def test_classification(tmp_path):
+    """The flagship drives the beyond-reference classification trainer
+    end-to-end: train + eval on per-window labels (VERDICT r2 item 8)."""
+    cfg = _cfg("classification", tmp_path, loss="ce",
+               eval_metric="accuracy", eval_dir="max")
+    cfg.datasets.synthetic.n_classes = 3
+    trainer = get_trainer("m-cls", cfg)
+    trainer.train()
+    scores = trainer.test()
+    for k in ("test/accuracy", "test/f1"):
+        assert k in scores and 0 <= scores[k] <= 1
+
+
+def test_imputation(tmp_path):
+    """Flagship imputation: mask-aware RevIN statistics (observed points
+    only) feed encode_ts; the held-out-only loss trains."""
+    cfg = _cfg("imputation", tmp_path, loss="mse",
+               eval_metric="masked_mse", eval_dir="min")
+    cfg["tasks"] = {"imputation": {"mask_rate": 0.3}}
+    trainer = get_trainer("m-imp", cfg)
+    trainer.train()
+    scores = trainer.test()
+    for k in ("test/masked_mse", "test/masked_mae", "test/full_mse"):
+        assert k in scores and np.isfinite(scores[k])
+
+
+def test_imputation_mask_changes_stats(tmp_path):
+    """encode_ts must consume the observation mask: zeroing half the
+    window with mask awareness must differ from treating zeros as data."""
+    import jax.numpy as jnp
+    from medtsllm_tpu.data import get_dataset
+    from medtsllm_tpu.models import build_model
+    cfg = _cfg("imputation", tmp_path)
+    dataset = get_dataset(cfg, "train")
+    model = build_model(cfg, dataset)
+    x = np.stack([dataset[0]["x_enc"]] * 2)
+    mask = np.ones_like(x)
+    mask[:, ::2, :] = 0.0
+    xm = x * mask
+    rng = jax.random.PRNGKey(0)
+    arrays = {"x_enc": jnp.asarray(xm), "mask": jnp.asarray(mask)}
+    params = model.init({"params": rng, "dropout": rng}, arrays,
+                        training=False)["params"]
+    with_mask = np.asarray(model.apply({"params": params}, arrays,
+                                       training=False))
+    without = np.asarray(model.apply(
+        {"params": params}, {"x_enc": jnp.asarray(xm)}, training=False))
+    assert with_mask.shape == without.shape == x.shape
+    assert not np.allclose(with_mask, without)
+
+
 def test_pretraining_then_finetune(tmp_path):
     # pretraining over the 4-dataset mixture (tasks/pretraining.py)
     cfg = _cfg("pretraining", tmp_path)
