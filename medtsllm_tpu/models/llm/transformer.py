@@ -993,11 +993,12 @@ class TransformerDecoder(nn.Module):
                     "models gate it off (medtsllm.py can_prefix_cache)")
             x = self._pipeline_stack(x, deterministic)
         elif (self.sp and self.sp_mesh is not None
-              and not self.is_initializing() and prefix_kv is None):
+              and not self.is_initializing()):
             # sequence-parallel ring-collective TP (parallel/sp.py): the
             # whole stack runs token-sharded inside one shard_map over
             # "tensor"; param layout is IDENTICAL to the plain path
-            # (init/checkpoints interchangeable)
+            # (init/checkpoints interchangeable). prefix_kv rides in
+            # head-sharded (each device attends its local heads' prefix)
             from ...parallel.sp import sp_decoder_stack
             if not deterministic and cfg.dropout > 0:
                 raise NotImplementedError(
@@ -1009,7 +1010,8 @@ class TransformerDecoder(nn.Module):
             x = sp_decoder_stack(layers, x, cfg, self.sp_mesh,
                                  quantize=self.quantize,
                                  act_quant=self.act_quant,
-                                 dtype=self.dtype, remat=self.remat)
+                                 dtype=self.dtype, remat=self.remat,
+                                 prefix_kv=prefix_kv)
         elif prefix_kv is None:
             call = _remat_block_call(self.remat, deterministic,
                                      moe=bool(self.cfg.n_experts

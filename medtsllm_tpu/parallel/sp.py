@@ -177,9 +177,18 @@ def _rmsnorm(x, weight, eps: float):
 
 
 def _sp_attention(layer, x, cfg, axis: str, n: int, quantize: int,
-                  act_quant: bool, dtype):
+                  act_quant: bool, dtype, prefix_kv=None,
+                  position_offset: int = 0):
     """Token-sharded in/out self-attention: fused qkv ring-gather matmul,
-    local heads, ring reduce-scatter o_proj."""
+    local heads, ring reduce-scatter o_proj.
+
+    ``prefix_kv``: (k, v) each [1|B, KV/n, P, D] — the constant prompt
+    head's cache (models/medtsllm.py prefill), HEAD-sharded over the
+    tensor axis by sp_decoder_stack's in_spec so each device attends its
+    local heads' prefix. Only the suffix region's projections ride the
+    ring; the prefix K/V are constants. ``position_offset`` = P shifts
+    the suffix rotary positions exactly like the plain path
+    (models/llm/transformer.py __call__)."""
     from ..models.llm.transformer import rotary_embedding
     from ..ops.pallas.flash_attention import flash_attention
 
@@ -211,11 +220,21 @@ def _sp_attention(layer, x, cfg, axis: str, n: int, quantize: int,
     q = q.reshape(B, L, Hl, D).astype(cd)
     k = k.reshape(B, L, KVl, D).astype(cd)
     v = v.reshape(B, L, KVl, D).astype(cd)
-    positions = jnp.arange(L)
+    positions = position_offset + jnp.arange(L)
     q = rotary_embedding(q, positions, cfg.rope_theta, seq_axis=1)
     k = rotary_embedding(k, positions, cfg.rope_theta, seq_axis=1)
-    out = flash_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                          v.transpose(0, 2, 1, 3), causal=True)
+    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    if prefix_kv is not None:
+        pk, pv = prefix_kv  # [1|B, KVl, P, D], rotary applied at 0..P-1
+        k = jnp.concatenate([jnp.broadcast_to(pk.astype(k.dtype),
+                                              (B,) + pk.shape[1:]), k],
+                            axis=2)
+        v = jnp.concatenate([jnp.broadcast_to(pv.astype(v.dtype),
+                                              (B,) + pv.shape[1:]), v],
+                            axis=2)
+    # flash_attention end-aligns the causal diagonal (query i attends
+    # keys <= i + S - L) — exactly the [prefix | suffix] semantics
+    out = flash_attention(q, k, v, causal=True)
     out = out.transpose(0, 2, 1, 3).reshape(B, L, Hl * D)
 
     o_leaf = att["o_proj"]["base"]
@@ -294,9 +313,12 @@ def _matmul_reduce_scatter2(x_or_rq, mm_or_rq, axis: str, n: int, dtype):
 
 
 def _sp_block(layer, x, cfg, axis: str, n: int, quantize: int,
-              act_quant: bool, dtype):
+              act_quant: bool, dtype, prefix_kv=None,
+              position_offset: int = 0):
     """One llama block, token-sharded residual stream [B, L/n, D]."""
-    attn = _sp_attention(layer, x, cfg, axis, n, quantize, act_quant, dtype)
+    attn = _sp_attention(layer, x, cfg, axis, n, quantize, act_quant, dtype,
+                         prefix_kv=prefix_kv,
+                         position_offset=position_offset)
     x = x + attn
 
     h = _rmsnorm(x, layer["post_attention_layernorm"]["weight"],
@@ -339,7 +361,7 @@ def sp_supported(cfg, lora, quantize: int, mesh) -> bool:
 def sp_decoder_stack(layers: list, x, cfg, mesh: Mesh, *,
                      quantize: int = 0, act_quant: bool = True,
                      dtype=None, remat=False,
-                     tensor_axis: str = "tensor"):
+                     tensor_axis: str = "tensor", prefix_kv=None):
     """Run the llama layer stack sequence-parallel over ``tensor_axis``.
 
     layers: list of per-layer param subtrees (the decoder's ``h_i``, the
@@ -347,16 +369,26 @@ def sp_decoder_stack(layers: list, x, cfg, mesh: Mesh, *,
     x [B, L, D] full (GSPMD view). Tokens are padded to a multiple of the
     axis size (causal attention makes end-padding exact: position i never
     attends beyond i) and the pad sliced off on exit.
+
+    ``prefix_kv``: per-layer (k, v) [1|B, KV, P, D] pairs from prefill.
+    The cache enters the shard_map sharded over its KV-HEAD axis
+    (P(None, tensor_axis, None, None)) — each device holds exactly the
+    prefix heads its local attention needs, no gather. Multi-chip TP
+    serving keeps the prefix-cache lever (VERDICT r2 item 9).
     """
     n = mesh.shape[tensor_axis]
     B, L, D = x.shape
     Lp = -(-L // n) * n  # ceil to a multiple of n
     if Lp != L:
         x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
+    offset = prefix_kv[0][0].shape[2] if prefix_kv is not None else 0
+    pkv_list = (list(prefix_kv) if prefix_kv is not None
+                else [None] * len(layers))
 
-    def block_fn(layer, h):
+    def block_fn(layer, h, pkv):
         return _sp_block(layer, h, cfg, tensor_axis, n, quantize,
-                         act_quant, dtype)
+                         act_quant, dtype, prefix_kv=pkv,
+                         position_offset=offset)
 
     if remat == "dots":
         block_fn = jax.checkpoint(
@@ -365,20 +397,22 @@ def sp_decoder_stack(layers: list, x, cfg, mesh: Mesh, *,
     elif remat:
         block_fn = jax.checkpoint(block_fn)
 
-    def body(layers_local, xs):
+    def body(layers_local, xs, pkvs):
         h = xs
-        for layer in layers_local:
-            h = block_fn(layer, h)
+        for layer, pkv in zip(layers_local, pkvs):
+            h = block_fn(layer, h, pkv)
         return h
 
     # partial-manual: only "tensor" is manual; "data" (batch) stays auto
     specs = [_layer_specs(layer) for layer in layers]
+    pkv_specs = jax.tree_util.tree_map(
+        lambda _: P(None, tensor_axis, None, None), pkv_list)
     from jax.sharding import use_abstract_mesh
     with use_abstract_mesh(mesh.abstract_mesh):
         out = jax.shard_map(
             body, mesh=mesh, axis_names={tensor_axis},
-            in_specs=(specs, P(None, tensor_axis, None)),
-            out_specs=P(None, tensor_axis, None))(layers, x)
+            in_specs=(specs, P(None, tensor_axis, None), pkv_specs),
+            out_specs=P(None, tensor_axis, None))(layers, x, pkv_list)
     return out[:, :L] if Lp != L else out
 
 

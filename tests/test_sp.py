@@ -92,6 +92,68 @@ def test_sp_stack_matches_plain_bf16_compute(quant):
     np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
 
 
+@pytest.mark.parametrize("quant", [0, 8])
+def test_sp_prefix_kv_matches_plain_and_full(quant):
+    """Prefix-KV serving under ring-TP (VERDICT r2 item 9): the sp stack
+    consuming head-sharded prefix (k, v) must equal (a) the plain path
+    with the same cache and (b) the full [prefix | suffix] sequence.
+    Odd suffix length exercises pad-to-multiple with a position offset."""
+    module, params, cfg = load_backbone("llama-tiny", quantize=quant)
+    rng = np.random.default_rng(1)
+    P, L, B = 7, 13, 2
+    prefix = (rng.normal(size=(1, P, cfg.d_model)) * 0.1).astype(np.float32)
+    suffix = (rng.normal(size=(B, L, cfg.d_model)) * 0.1).astype(np.float32)
+
+    kvs = module.apply({"params": params}, jnp.asarray(prefix),
+                       method="prefill")
+    full = module.apply(
+        {"params": params},
+        inputs_embeds=jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(prefix), (B, P, cfg.d_model)),
+             jnp.asarray(suffix)], axis=1))
+    plain_cached = module.apply({"params": params},
+                                inputs_embeds=jnp.asarray(suffix),
+                                prefix_kv=kvs)
+    np.testing.assert_allclose(np.asarray(plain_cached),
+                               np.asarray(full[:, P:]), atol=1e-5)
+
+    mesh = create_mesh(data=4, tensor=2)
+    sharded = shard_params(params, mesh)
+    layers = [sharded[f"h_{i}"] for i in range(cfg.n_layers)]
+
+    @jax.jit
+    def sp(x, kvs):
+        h = sp_decoder_stack(layers, x, cfg, mesh, quantize=quant,
+                             prefix_kv=kvs)
+        return _rmsnorm(h, sharded["norm"]["weight"], cfg.norm_eps)
+
+    got = sp(jnp.asarray(suffix), kvs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(plain_cached),
+                               atol=2e-4)
+
+
+def test_tp_overlap_prefix_cache_serving(tmp_path):
+    """End-to-end: tp_overlap + prefix_cache together — serving the head
+    from the KV cache through the ring-TP stack must reproduce the
+    in-graph split-layout forward exactly (the test_prefix_cache
+    cached-equals-uncached contract, now on the 8-device mesh)."""
+    cfg = _cfg(tmp_path, overlap=True)
+    cfg.models.medtsllm.llm["prefix_cache"] = True
+    trainer = get_trainer("ring-cache", cfg)
+    assert trainer.model.sp and trainer.model.supports_prefix_cache
+
+    batch = next(iter(trainer.test_pipeline))
+    arrays = trainer.model_inputs(batch)
+    assert "prefix_ids" in arrays and arrays["prefix_ids"].ndim == 1
+    cached = trainer.eval_model_inputs(batch)
+    assert "prefix_kv" in cached and "prefix_ids" not in cached
+
+    out_u = trainer.eval_step(trainer.params, arrays)
+    out_c = trainer.eval_step(trainer.params, cached)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_c),
+                               rtol=1e-4, atol=1e-5)
+
+
 def _cfg(tmp_path, overlap: bool):
     cfg = make_config(task="reconstruction", model="medtsllm",
                       hist=32, pred=32, step=16)
@@ -124,6 +186,7 @@ def test_tp_overlap_trainer_matches_auto(tmp_path):
     t1 = get_trainer("auto", _cfg(tmp_path / "a", overlap=False))
     t2 = get_trainer("ring", _cfg(tmp_path / "b", overlap=True))
     assert t2.model.sp and t2.model.sp_mesh is not None
+    # prefix_cache=False in _cfg keeps both runs on the uncached path
     assert not t2.model.supports_prefix_cache
 
     t1.train()
