@@ -236,8 +236,10 @@ def _hf_to_tree(cfg: DecoderConfig, tensors: dict,
         """Projection kernels: quantizable (path ends with /kernel)."""
         if quantize:
             from .transformer import QuantDense
-            q, scale = QuantDense.quantize(np.asarray(w, dtype=np.float32),
-                                           bits=quantize)
+            q, scale = QuantDense.quantize(
+                np.asarray(w, dtype=np.float32), bits=quantize,
+                codebook=(getattr(cfg, "quant4_codebook", "absmax")
+                          if quantize == 4 else "absmax"))
             put(path.removesuffix("kernel") + "kernel_q", q)
             put(path.removesuffix("kernel") + "scale", scale)
         else:
@@ -419,15 +421,25 @@ def load_backbone(llm_id: str, cache_dir: str | None = None,
                   dtype=np.float32, rng=None, remat: bool = False,
                   quantize: int = 0, act_quant: bool = True,
                   pipeline: int = 0, pipeline_microbatches: int = 0,
-                  pipeline_mesh=None, fuse_projections: bool = False):
+                  pipeline_mesh=None, fuse_projections: bool = False,
+                  quant_codebook: str = "absmax"):
     """Returns (module, params, cfg). Params are loaded from a local
     snapshot when available, otherwise random-init with a warning.
     quantize: 0 (off), 8, or 4 bits; True is accepted as 8.
+    quant_codebook (4-bit): "absmax" linear int4, or the bnb "nf4"/"fp4"
+    16-entry codebooks (DecoderConfig.quant4_codebook).
     pipeline > 1 builds the decoder in pipeline-parallel layout (stacked
     h_stack params; HF layer weights are stacked to match)."""
     quantize = 8 if quantize is True else int(quantize or 0)
     assert quantize in (0, 4, 8), quantize
     cfg, snap = resolve_config(llm_id, cache_dir, llm_layers)
+    if quant_codebook != "absmax":
+        assert quantize == 4, "codebooks apply to 4-bit quantization only"
+        if not hasattr(cfg, "quant4_codebook"):
+            raise NotImplementedError(
+                f"quant_codebook={quant_codebook!r} needs a decoder-style "
+                f"backbone; {llm_id!r} ({cfg.style!r}) does not support it")
+        cfg = dataclasses.replace(cfg, quant4_codebook=quant_codebook)
     if fuse_projections:
         if cfg.style != "llama":
             raise ValueError(

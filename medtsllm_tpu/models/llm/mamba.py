@@ -88,7 +88,9 @@ class MambaBlock(nn.Module):
             if self.quantize:
                 return QuantDense(features, use_bias=use_bias,
                                   dtype=self.dtype, bits=self.quantize,
-                                  act_quant=self.act_quant, name=name)
+                                  act_quant=self.act_quant,
+                                  codebook=getattr(cfg, "quant4_codebook",
+                                                   "absmax"), name=name)
             return nn.Dense(features, use_bias=use_bias, dtype=self.dtype,
                             param_dtype=self.param_dtype, name=name)
 

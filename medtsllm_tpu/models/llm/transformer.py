@@ -83,6 +83,14 @@ class DecoderConfig:
     # channel quantization scales concatenate. Single-chip only
     # (Megatron TP rules key on the separate projection names).
     fused_projections: bool = False
+    # 4-bit weight codebook: "absmax" (symmetric linear int4 — the fast
+    # path, feeds the s8xs8 MXU matmul), or the bnb codebooks "fp4"
+    # (the reference's BitsAndBytesConfig default,
+    # /root/reference/models/medtsllm.py:162-173) / "nf4" (QLoRA) — a
+    # 16-entry lookup before a bf16 matmul, exactly bnb's 4-bit GEMM
+    # shape (bnb also dequantizes to the compute dtype; there is no
+    # int4 tensor-core path on the A100 either)
+    quant4_codebook: str = "absmax"
 
     @property
     def head_dim(self) -> int:
@@ -187,6 +195,25 @@ def _act_quant_matmul_bwd(bits, res, g):
 _act_quant_matmul.defvjp(_act_quant_matmul_fwd, _act_quant_matmul_bwd)
 
 
+# bnb 4-bit dequant codebooks (bitsandbytes functional.py create_normal_map
+# / the FP4 sign-exponent-mantissa table; values are what bnb's CUDA
+# dequant kernel emits, scaled by the blockwise absmax). NF4 is the QLoRA
+# information-theoretically-optimal-for-N(0,1) map; FP4 is bnb's
+# load_in_4bit default — the reference's configuration
+# (/root/reference/models/medtsllm.py:162-173).
+_NF4_TABLE = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0], dtype=np.float32)
+_FP4_TABLE = np.array([  # code 0..7 positive, 8..15 the negated mirror
+    0.0, 0.0052083333, 0.6666667, 1.0, 0.3333333, 0.5, 0.16666667, 0.25,
+    -0.0, -0.0052083333, -0.6666667, -1.0, -0.3333333, -0.5, -0.16666667,
+    -0.25], dtype=np.float32)
+QUANT4_CODEBOOKS = {"nf4": _NF4_TABLE, "fp4": _FP4_TABLE}
+
+
 class QuantDense(nn.Module):
     """Int8/int4 quantized Dense.
 
@@ -209,16 +236,34 @@ class QuantDense(nn.Module):
     dtype: object = None
     bits: int = 8
     act_quant: bool = True
+    codebook: str = "absmax"  # 4-bit only: "absmax" | "nf4" | "fp4"
 
     @staticmethod
-    def quantize(w: np.ndarray, bits: int = 8):
+    def quantize(w: np.ndarray, bits: int = 8, codebook: str = "absmax"):
         """w [in, out] float -> (int8 storage, f32 scale [out]).
         bits=8: q [in, out]; bits=4: packed [ceil(in/2), out] split-halves
         (row p: logical row p in the high nibble, row p + ceil(in/2) in
-        the low — see ops/pallas/quant_matmul.pack4_split)."""
+        the low — see ops/pallas/quant_matmul.pack4_split).
+
+        codebook "nf4"/"fp4" (bits=4): nearest-entry encode against the
+        bnb table; storage is (code - 8) so the same int4 packing
+        applies, scale is the per-output-channel absmax itself (the
+        codebook spans [-1, 1]). bnb scales by flat block-64 absmax
+        instead; per-channel is the TPU-friendly layout (the scale
+        applies after the matmul) and is finer than block-64 whenever
+        n_in >= 64."""
         import numpy as _np
 
         from ...ops.pallas.quant_matmul import pack4_split
+        if codebook != "absmax":
+            assert bits == 4 and codebook in QUANT4_CODEBOOKS
+            table = QUANT4_CODEBOOKS[codebook]
+            scale = _np.max(_np.abs(w), axis=0).astype(_np.float32)
+            scale = _np.where(scale == 0, 1.0, scale)
+            wn = w / scale[None, :]
+            codes = _np.argmin(
+                _np.abs(wn[..., None] - table[None, None, :]), axis=-1)
+            return pack4_split((codes - 8).astype(_np.int8)), scale
         qmax = 127.0 if bits == 8 else 7.0
         absmax = _np.max(_np.abs(w), axis=0)
         scale = (absmax / qmax).astype(_np.float32)
@@ -238,6 +283,7 @@ class QuantDense(nn.Module):
     def __call__(self, x):
         n_in = x.shape[-1]
         bits = self.bits
+        cb = self.codebook if bits == 4 else "absmax"
 
         # random init: kernel_q and scale are separate flax params (so
         # they get independent init keys), so both use the SAME fixed
@@ -245,14 +291,19 @@ class QuantDense(nn.Module):
         # to qmax (values beyond 3.5 sigma clip, ~0.05%); a per-channel
         # absmax in init_q would silently disagree with the scale param
         qmax = 127.0 if bits == 8 else 7.0
-        s_init = 3.5 * 0.02 / qmax
+        s_init = 3.5 * 0.02 / (1.0 if cb != "absmax" else qmax)
 
         def init_q(key, shape, _dtype=jnp.int8):
             import jax as _jax
+            from ...ops.pallas.quant_matmul import pack4_split
             w = 0.02 * _jax.random.normal(key, (n_in, self.features), jnp.float32)
+            if cb != "absmax":
+                table = jnp.asarray(QUANT4_CODEBOOKS[cb])
+                codes = jnp.argmin(jnp.abs(w[..., None] / s_init
+                                           - table[None, None, :]), axis=-1)
+                return pack4_split((codes - 8).astype(jnp.int8))
             q = jnp.clip(jnp.round(w / s_init), -qmax, qmax).astype(jnp.int8)
             if bits == 4:
-                from ...ops.pallas.quant_matmul import pack4_split
                 q = pack4_split(q)
             return q
 
@@ -262,7 +313,16 @@ class QuantDense(nn.Module):
                            lambda k, s: s_init * jnp.ones(s, jnp.float32),
                            (self.features,))
         cd = self.dtype or x.dtype
-        if self.act_quant:
+        if cb != "absmax":
+            # bnb-style 4-bit GEMM: 16-entry codebook dequant, matmul at
+            # the compute dtype (weight-only — codebook values are not
+            # integers, so the s8xs8 MXU path does not apply; bnb's CUDA
+            # path also dequantizes to bf16/f16 for the GEMM)
+            codes = self.unpack4(kq, n_in).astype(jnp.int32) + 8
+            table = jnp.asarray(QUANT4_CODEBOOKS[cb])
+            w = jnp.take(table, codes, axis=0).astype(cd)
+            y = (x.astype(cd) @ w) * scale.astype(cd)
+        elif self.act_quant:
             # scale math in f32 regardless of compute dtype; backward is
             # the STE through the dequantized weight (_act_quant_matmul)
             y = _act_quant_matmul(x.astype(jnp.float32), kq, scale,
@@ -292,6 +352,7 @@ class LoRADense(nn.Module):
     param_dtype: object = jnp.float32
     quantize: int = 0  # 0 = off, 8 or 4 bits
     act_quant: bool = True  # int8 activations (s8xs8->s32 MXU matmul)
+    codebook: str = "absmax"  # 4-bit: "absmax" | "nf4" | "fp4"
     lora_out_mask: object = None  # static np vector [features] or None
 
     @nn.compact
@@ -299,7 +360,8 @@ class LoRADense(nn.Module):
         if self.quantize:
             y = QuantDense(self.features, use_bias=self.use_bias,
                            dtype=self.dtype, bits=self.quantize,
-                           act_quant=self.act_quant, name="base")(x)
+                           act_quant=self.act_quant,
+                           codebook=self.codebook, name="base")(x)
         else:
             y = nn.Dense(self.features, use_bias=self.use_bias, name="base",
                          dtype=self.dtype, param_dtype=self.param_dtype)(x)
@@ -355,6 +417,7 @@ class Attention(nn.Module):
                              param_dtype=self.param_dtype,
                              quantize=self.quantize,
                              act_quant=self.act_quant,
+                             codebook=cfg.quant4_codebook,
                              lora_out_mask=lora_out_mask)(
                 src, deterministic=deterministic)
 
@@ -471,7 +534,8 @@ class Attention(nn.Module):
                         lora=o_spec, name=name, dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         quantize=self.quantize,
-                        act_quant=self.act_quant)(
+                        act_quant=self.act_quant,
+                        codebook=cfg.quant4_codebook)(
             out, deterministic=deterministic)
         # HF gpt2's resid_dropout sits AFTER c_proj (softmax-probs dropout
         # is intentionally not implemented — the flash kernel never
@@ -495,7 +559,8 @@ class MLP(nn.Module):
             if self.quantize:
                 return QuantDense(features, use_bias=use_bias,
                                   dtype=self.dtype, bits=self.quantize,
-                                  act_quant=self.act_quant, name=name)
+                                  act_quant=self.act_quant,
+                                  codebook=cfg.quant4_codebook, name=name)
             return nn.Dense(features, use_bias=use_bias, name=name,
                             dtype=self.dtype, param_dtype=self.param_dtype)
 

@@ -221,6 +221,21 @@ class MedTsLLM(nn.Module):
         quantize = 8 if mc.llm.get("load_in_8bit", False) else 0
         if mc.llm.get("load_in_4bit", False):
             quantize = 4  # packed int4, two weights per byte
+            # models.<m>.llm.quant_type: "int4" (default — symmetric
+            # linear absmax feeding the s8xs8 MXU matmul, the fast path)
+            # or the bnb codebooks "fp4" (the reference's bnb default,
+            # medtsllm.py:162-173) / "nf4" (QLoRA) — 16-entry dequant
+            # before a bf16 matmul, bnb-faithful numerics (measured
+            # error table in tests/test_quantization.py / BASELINE.md)
+            qt = str(mc.llm.get("quant_type", "int4")).lower()
+            cb = {"int4": "absmax", "linear": "absmax",
+                  "nf4": "nf4", "fp4": "fp4"}.get(qt)
+            if cb is None:
+                raise ValueError(
+                    f"models.llm.quant_type must be int4/nf4/fp4; got {qt!r}")
+            if cb != "absmax":
+                import dataclasses
+                llm_cfg = dataclasses.replace(llm_cfg, quant4_codebook=cb)
 
         # pipeline parallelism ([setup] pipeline_parallel): stages the
         # backbone's layer stack over the mesh's "stage" axis
