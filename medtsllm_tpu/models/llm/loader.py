@@ -72,6 +72,15 @@ PRESETS = {
         style="gpt2", vocab_size=512, d_model=64, n_layers=2,
         n_heads=4, d_ff=128, max_position=512, dropout=0.1,
         bos_token_id=0, eos_token_id=0),
+    "opt-tiny": DecoderConfig(  # test-sized OPT-style backbone
+        style="opt", vocab_size=512, d_model=64, n_layers=2,
+        n_heads=4, d_ff=128, max_position=512, act_fn="relu",
+        bos_token_id=2, eos_token_id=2, pad_token_id=1),
+    "neox-tiny": DecoderConfig(  # test-sized GPT-NeoX/pythia backbone
+        style="neox", vocab_size=512, d_model=64, n_layers=2,
+        n_heads=4, d_ff=128, max_position=512, rotary_pct=0.25,
+        parallel_residual=True, act_fn="gelu",
+        bos_token_id=0, eos_token_id=0),
 }
 
 
@@ -177,6 +186,40 @@ def config_from_hf_json(path: Path) -> DecoderConfig:
             norm_eps=hf.get("rms_norm_eps", 1e-5),
             bos_token_id=hf.get("bos_token_id"),
             eos_token_id=hf.get("eos_token_id"), **moe)
+    if model_type == "opt":
+        if hf.get("word_embed_proj_dim", hf["hidden_size"]) != hf["hidden_size"]:
+            raise NotImplementedError(
+                "OPT word_embed_proj_dim != hidden_size (the 350m "
+                "projection variant) is not supported")
+        if not hf.get("do_layer_norm_before", True):
+            raise NotImplementedError(
+                "OPT do_layer_norm_before=false (the 350m post-LN "
+                "variant) is not supported")
+        return DecoderConfig(
+            style="opt", vocab_size=hf["vocab_size"],
+            d_model=hf["hidden_size"], n_layers=hf["num_hidden_layers"],
+            n_heads=hf["num_attention_heads"], d_ff=hf["ffn_dim"],
+            max_position=hf.get("max_position_embeddings", 2048),
+            norm_eps=1e-5, dropout=hf.get("dropout", 0.1),
+            act_fn=hf.get("activation_function", "relu"),
+            bos_token_id=hf.get("bos_token_id"),
+            eos_token_id=hf.get("eos_token_id"),
+            pad_token_id=hf.get("pad_token_id"))
+    if model_type == "gpt_neox":
+        return DecoderConfig(
+            style="neox", vocab_size=hf["vocab_size"],
+            d_model=hf["hidden_size"], n_layers=hf["num_hidden_layers"],
+            n_heads=hf["num_attention_heads"],
+            d_ff=hf["intermediate_size"],
+            max_position=hf.get("max_position_embeddings", 2048),
+            rope_theta=hf.get("rotary_emb_base", 10000.0),
+            rotary_pct=hf.get("rotary_pct", 0.25),
+            parallel_residual=hf.get("use_parallel_residual", True),
+            act_fn=hf.get("hidden_act", "gelu"),
+            norm_eps=hf.get("layer_norm_eps", 1e-5),
+            dropout=hf.get("hidden_dropout", 0.0),
+            bos_token_id=hf.get("bos_token_id"),
+            eos_token_id=hf.get("eos_token_id"))
     raise ValueError(f"Unsupported HF model_type {model_type!r}")
 
 
@@ -304,6 +347,68 @@ def _hf_to_tree(cfg: DecoderConfig, tensors: dict,
             for hf_n, fx_n in ffn:
                 put_kernel(f"dec_h_{i}/mlp/{fx_n}/kernel",
                            tensors[p + f"layer.2.DenseReluDense.{hf_n}.weight"].T)
+        return tree
+    if cfg.style == "opt":
+        # HF OPTModel nests OPTDecoder under "decoder."; canonical flax
+        # names reuse the gpt2-family layout (ln_1/ln_2/ln_f/c_fc/c_proj)
+        # so the Megatron TP rules and freeze labels apply unchanged
+        put("wte", tensors["decoder.embed_tokens.weight"])
+        put("wpe", tensors["decoder.embed_positions.weight"])
+        put("ln_f/scale", tensors["decoder.final_layer_norm.weight"])
+        put("ln_f/bias", tensors["decoder.final_layer_norm.bias"])
+        for i in range(cfg.n_layers):
+            p = f"decoder.layers.{i}."
+            put(f"h_{i}/ln_1/scale", tensors[p + "self_attn_layer_norm.weight"])
+            put(f"h_{i}/ln_1/bias", tensors[p + "self_attn_layer_norm.bias"])
+            put(f"h_{i}/ln_2/scale", tensors[p + "final_layer_norm.weight"])
+            put(f"h_{i}/ln_2/bias", tensors[p + "final_layer_norm.bias"])
+            for hf_n, fx_n in (("q_proj", "q_proj"), ("k_proj", "k_proj"),
+                               ("v_proj", "v_proj"), ("out_proj", "o_proj")):
+                put_kernel(f"h_{i}/attn/{fx_n}/base/kernel",
+                           tensors[p + f"self_attn.{hf_n}.weight"].T)
+                put(f"h_{i}/attn/{fx_n}/base/bias",
+                    tensors[p + f"self_attn.{hf_n}.bias"])
+            put_kernel(f"h_{i}/mlp/c_fc/kernel", tensors[p + "fc1.weight"].T)
+            put(f"h_{i}/mlp/c_fc/bias", tensors[p + "fc1.bias"])
+            put_kernel(f"h_{i}/mlp/c_proj/kernel", tensors[p + "fc2.weight"].T)
+            put(f"h_{i}/mlp/c_proj/bias", tensors[p + "fc2.bias"])
+        return tree
+    if cfg.style == "neox":
+        # HF GPTNeoXAttention packs q/k/v PER HEAD in query_key_value
+        # ([H, 3, D] on the out axis) — deinterleave into separate
+        # projections so the canonical q/k/v layout (and its TP rules)
+        # applies
+        put("wte", tensors["embed_in.weight"])
+        put("ln_f/scale", tensors["final_layer_norm.weight"])
+        put("ln_f/bias", tensors["final_layer_norm.bias"])
+        H, D, M = cfg.n_heads, cfg.head_dim, cfg.d_model
+        for i in range(cfg.n_layers):
+            p = f"layers.{i}."
+            put(f"h_{i}/ln_1/scale", tensors[p + "input_layernorm.weight"])
+            put(f"h_{i}/ln_1/bias", tensors[p + "input_layernorm.bias"])
+            put(f"h_{i}/ln_2/scale",
+                tensors[p + "post_attention_layernorm.weight"])
+            put(f"h_{i}/ln_2/bias",
+                tensors[p + "post_attention_layernorm.bias"])
+            qkv_w = tensors[p + "attention.query_key_value.weight"]
+            qkv_w = np.asarray(qkv_w).reshape(H, 3, D, M)  # [H,3,D,in]
+            qkv_b = np.asarray(
+                tensors[p + "attention.query_key_value.bias"]).reshape(H, 3, D)
+            for j, fx_n in enumerate(("q_proj", "k_proj", "v_proj")):
+                put_kernel(f"h_{i}/attn/{fx_n}/base/kernel",
+                           qkv_w[:, j].reshape(H * D, M).T)
+                put(f"h_{i}/attn/{fx_n}/base/bias",
+                    qkv_b[:, j].reshape(H * D))
+            put_kernel(f"h_{i}/attn/o_proj/base/kernel",
+                       tensors[p + "attention.dense.weight"].T)
+            put(f"h_{i}/attn/o_proj/base/bias",
+                tensors[p + "attention.dense.bias"])
+            put_kernel(f"h_{i}/mlp/c_fc/kernel",
+                       tensors[p + "mlp.dense_h_to_4h.weight"].T)
+            put(f"h_{i}/mlp/c_fc/bias", tensors[p + "mlp.dense_h_to_4h.bias"])
+            put_kernel(f"h_{i}/mlp/c_proj/kernel",
+                       tensors[p + "mlp.dense_4h_to_h.weight"].T)
+            put(f"h_{i}/mlp/c_proj/bias", tensors[p + "mlp.dense_4h_to_h.bias"])
         return tree
     if cfg.style == "gpt2":
         put("wte", tensors["wte.weight"])

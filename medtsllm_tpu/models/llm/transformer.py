@@ -1,9 +1,13 @@
-"""Decoder-only transformer backbones (GPT-2 and LLaMA styles) in flax.
+"""Decoder-only transformer backbones (GPT-2 / LLaMA / OPT / NeoX styles).
 
-One module covers both families the reference uses via HF AutoModel
-(models/medtsllm.py:175, models/gpt4ts.py:44):
+One module covers the decoder families the reference accepts via HF
+AutoModel (models/medtsllm.py:175, models/gpt4ts.py:44):
   - gpt2: learned positions, pre-LN, fused qkv (Conv1D layout), tanh-GELU MLP
   - llama: RMSNorm, rotary positions, GQA-ready separate q/k/v, SwiGLU MLP
+    (mistral/mixtral load as llama-style; mixtral adds the MoEMLP)
+  - opt: learned positions at offset 2, pre-LN, biased q/k/v, relu MLP
+  - neox (pythia): partial rotary (rotary_pct), parallel attention+FFN
+    residual, per-head-packed qkv (deinterleaved by the loader), erf-GELU
 
 Attention runs through the Pallas flash kernel on TPU
 (ops/pallas/flash_attention.py). LoRA adapters (reference peft usage,
@@ -91,6 +95,12 @@ class DecoderConfig:
     # shape (bnb also dequantizes to the compute dtype; there is no
     # int4 tensor-core path on the A100 either)
     quant4_codebook: str = "absmax"
+    # opt/neox-family extras (closing the reference's "any HF AutoModel"
+    # breadth, medtsllm.py:175): MLP activation override, GPT-NeoX partial
+    # rotary fraction and parallel attention+FFN residual
+    act_fn: str = ""
+    rotary_pct: float = 1.0
+    parallel_residual: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -99,6 +109,28 @@ class DecoderConfig:
     @property
     def kv_heads(self) -> int:
         return self.n_kv_heads or self.n_heads
+
+    @property
+    def ln_family(self) -> bool:
+        """LayerNorm + biased projections (gpt2/opt/neox), vs the RMSNorm
+        bias-free llama family."""
+        return self.style in ("gpt2", "opt", "neox")
+
+    @property
+    def learned_positions(self) -> bool:
+        return self.style in ("gpt2", "opt")
+
+    @property
+    def pos_offset(self) -> int:
+        """OPT's learned positions start at offset 2 (HF
+        OPTLearnedPositionalEmbedding: padding_idx legacy)."""
+        return 2 if self.style == "opt" else 0
+
+    @property
+    def rotary_dims(self) -> int:
+        """Leading head dims that rotate (neox rotary_pct; full for llama)."""
+        d = int(self.head_dim * self.rotary_pct)
+        return d - (d % 2)
 
 
 class RMSNorm(nn.Module):
@@ -412,7 +444,7 @@ class Attention(nn.Module):
 
         def proj(name, features, key, src, lora_out_mask=None):
             spec = self.lora if (self.lora and key in self.lora.targets) else None
-            return LoRADense(features, use_bias=(cfg.style == "gpt2"),
+            return LoRADense(features, use_bias=cfg.ln_family,
                              lora=spec, name=name, dtype=self.dtype,
                              param_dtype=self.param_dtype,
                              quantize=self.quantize,
@@ -493,15 +525,24 @@ class Attention(nn.Module):
             out = out.reshape(B, L, H * D)
             new_kv = None
         else:
-            if cfg.style == "llama" and kv is None:
+            if cfg.style in ("llama", "neox") and kv is None:
                 # rotate in the contiguous projection layout, THEN
                 # transpose (see rotary_embedding: fusing the rotation
-                # across the head transpose costs ~7x in strided reads)
+                # across the head transpose costs ~7x in strided reads).
+                # neox rotates only the leading rotary_pct head dims
+                # (HF GPTNeoXAttention partial rotary)
                 positions = position_offset + jnp.arange(L)
-                q = rotary_embedding(q, positions, cfg.rope_theta,
-                                     seq_axis=1)
-                k = rotary_embedding(k, positions, cfg.rope_theta,
-                                     seq_axis=1)
+                rot = cfg.rotary_dims
+
+                def rope(t):
+                    if rot == D:
+                        return rotary_embedding(t, positions,
+                                                cfg.rope_theta, seq_axis=1)
+                    rotated = rotary_embedding(t[..., :rot], positions,
+                                               cfg.rope_theta, seq_axis=1)
+                    return jnp.concatenate([rotated, t[..., rot:]], axis=-1)
+
+                q, k = rope(q), rope(k)
 
             q = q.transpose(0, 2, 1, 3)
             k = k.transpose(0, 2, 1, 3)
@@ -530,7 +571,7 @@ class Attention(nn.Module):
 
         o_spec = self.lora if (self.lora and "o" in self.lora.targets) else None
         name = "c_proj" if cfg.style == "gpt2" else "o_proj"
-        out = LoRADense(cfg.d_model, use_bias=(cfg.style == "gpt2"),
+        out = LoRADense(cfg.d_model, use_bias=cfg.ln_family,
                         lora=o_spec, name=name, dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         quantize=self.quantize,
@@ -564,9 +605,19 @@ class MLP(nn.Module):
             return nn.Dense(features, use_bias=use_bias, name=name,
                             dtype=self.dtype, param_dtype=self.param_dtype)
 
-        if cfg.style == "gpt2":
+        if cfg.ln_family:  # gpt2 / opt / neox: biased fc pair
             h = dense(cfg.d_ff, True, "c_fc")(x)
-            h = nn.gelu(h, approximate=True)
+            # gpt2: HF "gelu_new" (tanh); opt: relu; neox: HF "gelu"
+            # (exact erf) — cfg.act_fn carries the snapshot's
+            # activation_function/hidden_act override
+            act = cfg.act_fn or {"gpt2": "gelu_tanh", "opt": "relu",
+                                 "neox": "gelu"}[cfg.style]
+            if cfg.style == "gpt2":
+                act = "gelu_tanh"
+            h = {"gelu_tanh": lambda v: nn.gelu(v, approximate=True),
+                 "gelu_new": lambda v: nn.gelu(v, approximate=True),
+                 "gelu": lambda v: nn.gelu(v, approximate=False),
+                 "relu": nn.relu}[act](h)
             h = dense(cfg.d_model, True, "c_proj")(h)
             return nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
         if cfg.style == "t5":
@@ -795,7 +846,7 @@ class Block(nn.Module):
         cfg = self.cfg
 
         def norm(name_gpt2, name_llama):
-            if cfg.style == "gpt2":
+            if cfg.ln_family:  # gpt2/opt/neox canonical ln_1/ln_2 names
                 return nn.LayerNorm(epsilon=cfg.norm_eps, name=name_gpt2,
                                     dtype=self.dtype,
                                     param_dtype=self.param_dtype)
@@ -813,6 +864,17 @@ class Block(nn.Module):
         new_kv = None
         if return_kv:
             attn_out, new_kv = attn_out
+        if cfg.parallel_residual:
+            # GPT-NeoX parallel form: x + attn(ln_1(x)) + mlp(ln_2(x)) —
+            # both sublayers read the SAME input (HF use_parallel_residual)
+            assert not self.cross
+            mlp_out = MLP(cfg, dtype=self.dtype,
+                          param_dtype=self.param_dtype,
+                          quantize=self.quantize, act_quant=self.act_quant,
+                          name="mlp")(norm("ln_2", "post_attention_layernorm")(x),
+                                      deterministic=deterministic)
+            x = x + attn_out + mlp_out
+            return (x, new_kv) if return_kv else x
         x = x + attn_out
         if self.cross:
             x = x + Attention(cfg, self.lora, dtype=self.dtype,
@@ -945,10 +1007,12 @@ class TransformerDecoder(nn.Module):
         cfg = self.cfg
         self.wte = self.param("wte", nn.initializers.normal(0.02),
                               (cfg.vocab_size, cfg.d_model), self.param_dtype)
-        if cfg.style == "gpt2":
+        if cfg.learned_positions:  # gpt2 / opt (+pos_offset rows for opt)
             self.wpe = self.param("wpe", nn.initializers.normal(0.01),
-                                  (cfg.max_position, cfg.d_model),
+                                  (cfg.max_position + cfg.pos_offset,
+                                   cfg.d_model),
                                   self.param_dtype)
+        if cfg.ln_family:  # gpt2 / opt / neox: final LayerNorm
             self.ln_f = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_f",
                                      dtype=self.dtype,
                                      param_dtype=self.param_dtype)
@@ -1046,8 +1110,10 @@ class TransformerDecoder(nn.Module):
         L = x.shape[1]
         offset = prefix_kv[0][0].shape[2] if prefix_kv is not None else 0
 
-        if cfg.style == "gpt2":
-            x = x + self.wpe[None, offset:offset + L, :].astype(x.dtype)
+        if cfg.learned_positions:
+            p0 = offset + cfg.pos_offset  # opt positions start at 2
+            x = x + self.wpe[None, p0:p0 + L, :].astype(x.dtype)
+        if cfg.ln_family:
             x = self.embed_drop(x, deterministic=deterministic)
 
         if self.pipeline and self.pipeline > 1:
@@ -1090,7 +1156,7 @@ class TransformerDecoder(nn.Module):
                 x = block(x, deterministic=deterministic,
                           prefix_kv=prefix_kv[i], position_offset=offset)
 
-        if cfg.style == "gpt2":
+        if cfg.ln_family:
             x = self.ln_f(x)
         else:
             x = self.norm(x)
@@ -1106,8 +1172,9 @@ class TransformerDecoder(nn.Module):
                 "prefill (prefix KV cache) is not supported under "
                 "pipeline parallelism")
         x = inputs_embeds
-        if self.cfg.style == "gpt2":
-            x = x + self.wpe[None, :x.shape[1], :].astype(x.dtype)
+        if self.cfg.learned_positions:
+            p0 = self.cfg.pos_offset
+            x = x + self.wpe[None, p0:p0 + x.shape[1], :].astype(x.dtype)
         kvs = []
         for block in self.blocks:
             x, kv = block(x, deterministic=True, return_kv=True)

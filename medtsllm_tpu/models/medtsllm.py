@@ -591,6 +591,7 @@ class MedTsLLM(nn.Module):
                 and self.pipeline <= 1
                 and not getattr(self.llm_cfg, "is_encoder_decoder", False)
                 and getattr(self.llm_cfg, "style", "") in ("gpt2", "llama",
+                                                           "opt", "neox",
                                                            "mamba"))
 
     @property

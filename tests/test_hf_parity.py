@@ -50,6 +50,87 @@ def test_gpt2_parity(tmp_path):
     np.testing.assert_allclose(got, expected, atol=2e-4)
 
 
+def test_opt_parity(tmp_path):
+    """OPT family (decoder-only, learned positions at offset 2, pre-LN,
+    biased separate q/k/v, relu FFN) — HF AutoModel breadth beyond the
+    reference configs' named backbones (medtsllm.py:175)."""
+    from transformers import OPTConfig, OPTModel
+    hf_cfg = OPTConfig(vocab_size=96, hidden_size=32, ffn_dim=64,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       max_position_embeddings=64, dropout=0.0,
+                       do_layer_norm_before=True, word_embed_proj_dim=32)
+    torch.manual_seed(2)
+    hf = OPTModel(hf_cfg).eval()
+    snap = _save_snapshot(tmp_path, hf, hf_cfg)
+
+    from medtsllm_tpu.models.llm.loader import load_backbone
+    module, params, cfg = load_backbone(str(snap))
+    assert cfg.style == "opt" and cfg.pos_offset == 2
+
+    ids = np.array([[1, 5, 9, 20, 33, 2, 7, 11]], dtype=np.int32)
+    with torch.no_grad():
+        expected = hf(input_ids=torch.tensor(ids, dtype=torch.long)
+                      ).last_hidden_state.numpy()
+    got = np.asarray(module.apply({"params": params},
+                                  input_ids=jnp.asarray(ids)))
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_neox_parity(tmp_path):
+    """GPT-NeoX/pythia family: per-head-packed qkv (deinterleaved by the
+    loader), partial rotary (rotary_pct), parallel attention+FFN
+    residual, exact-erf gelu."""
+    from transformers import GPTNeoXConfig, GPTNeoXModel
+    hf_cfg = GPTNeoXConfig(vocab_size=96, hidden_size=32,
+                           intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=4,
+                           max_position_embeddings=64, rotary_pct=0.25,
+                           use_parallel_residual=True, hidden_act="gelu",
+                           hidden_dropout=0.0, attention_dropout=0.0)
+    torch.manual_seed(3)
+    hf = GPTNeoXModel(hf_cfg).eval()
+    snap = _save_snapshot(tmp_path, hf, hf_cfg)
+
+    from medtsllm_tpu.models.llm.loader import load_backbone
+    module, params, cfg = load_backbone(str(snap))
+    assert cfg.style == "neox" and cfg.rotary_dims == 2  # 8 * 0.25
+
+    ids = np.array([[1, 5, 9, 20, 33, 2, 7, 11]], dtype=np.int32)
+    with torch.no_grad():
+        expected = hf(input_ids=torch.tensor(ids, dtype=torch.long)
+                      ).last_hidden_state.numpy()
+    got = np.asarray(module.apply({"params": params},
+                                  input_ids=jnp.asarray(ids)))
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_neox_sequential_residual_parity(tmp_path):
+    """use_parallel_residual=False pythia variants take the sequential
+    path."""
+    from transformers import GPTNeoXConfig, GPTNeoXModel
+    hf_cfg = GPTNeoXConfig(vocab_size=96, hidden_size=32,
+                           intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=4,
+                           max_position_embeddings=64, rotary_pct=1.0,
+                           use_parallel_residual=False, hidden_act="gelu",
+                           hidden_dropout=0.0, attention_dropout=0.0)
+    torch.manual_seed(4)
+    hf = GPTNeoXModel(hf_cfg).eval()
+    snap = _save_snapshot(tmp_path, hf, hf_cfg)
+
+    from medtsllm_tpu.models.llm.loader import load_backbone
+    module, params, cfg = load_backbone(str(snap))
+    assert not cfg.parallel_residual and cfg.rotary_dims == cfg.head_dim
+
+    ids = np.array([[3, 7, 1, 44, 8, 2, 9, 10]], dtype=np.int32)
+    with torch.no_grad():
+        expected = hf(input_ids=torch.tensor(ids, dtype=torch.long)
+                      ).last_hidden_state.numpy()
+    got = np.asarray(module.apply({"params": params},
+                                  input_ids=jnp.asarray(ids)))
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
 def test_llama_parity(tmp_path):
     from transformers import LlamaConfig, LlamaModel
     hf_cfg = LlamaConfig(vocab_size=96, hidden_size=32, intermediate_size=64,

@@ -43,12 +43,15 @@ def _cfg(tmp_path, llm="llama-tiny", *, input_stats=True, cache_order=False,
     return cfg
 
 
-@pytest.mark.parametrize("llm", ["llama-tiny", "gpt2-tiny", "mixtral-tiny"])
+@pytest.mark.parametrize("llm", ["llama-tiny", "gpt2-tiny", "mixtral-tiny",
+                                 "opt-tiny", "neox-tiny"])
 def test_cached_equals_uncached(tmp_path, llm):
     """Serving the prefix from the KV cache must reproduce the in-graph
     forward exactly (same layout, same positions — llama rotary offset
     and gpt2 wpe offset both covered; mixtral covers the MoE FFN, which
-    routes per token and so is untouched by the KV split)."""
+    routes per token and so is untouched by the KV split; opt covers the
+    +2 learned-position offset, neox the partial-rotary offset and the
+    parallel residual)."""
     trainer = get_trainer(f"pc-{llm}", _cfg(tmp_path, llm=llm))
     batch = next(iter(trainer.test_pipeline))
     arrays = trainer.model_inputs(batch)
