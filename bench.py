@@ -159,7 +159,7 @@ def serving_inputs(trainer, bf16: bool = True, train: bool = False):
 
 
 def bench_config(config_path: str, iters: int, warmup: int,
-                 llm_override: str | None = "llama-1b") -> dict:
+                 llm_override: str | None = "auto") -> dict:
     """Throughput for one of the reference-mirroring TOML configs
     (BASELINE.md measured table)."""
     import io
@@ -175,9 +175,19 @@ def bench_config(config_path: str, iters: int, warmup: int,
     if cfg.model in ("medtsllm", "timellm") and llm_override not in (None, "config"):
         # 7B fp32 random-init exceeds single-chip HBM at init time; bench
         # the flagship pipeline with a bench-sized backbone unless local
-        # weights make the configured one loadable
+        # weights make the configured one loadable. "auto" (the CLI
+        # default) overrides with llama-1b EXCEPT when the configured
+        # backbone is already a bench-sized preset (moe-8x1b, mamba-130m,
+        # *-tiny) — clobbering those silently measures the wrong family
+        # (and crashes on family-specific keys like expert_capacity). An
+        # explicit --llm-override always applies.
         section = ("medtsllm" if "medtsllm" in cfg.models else "timellm")
-        cfg.models[section].llm.llm = llm_override
+        from medtsllm_tpu.models.llm.loader import is_preset
+        if llm_override == "auto":
+            if not is_preset(cfg.models[section].llm.get("llm", "")):
+                cfg.models[section].llm.llm = "llama-1b"
+        else:
+            cfg.models[section].llm.llm = llm_override
 
     capture = io.StringIO()
     with contextlib.redirect_stdout(capture):
@@ -399,9 +409,11 @@ def main():
                          "meta-llama/Llama-2-7b-hf|gpt2)")
     ap.add_argument("--config", default=None,
                     help="bench a TOML config instead of the flagship sweep")
-    ap.add_argument("--llm-override", default="llama-1b",
+    ap.add_argument("--llm-override", default="auto",
                     help="backbone override for --config medtsllm benches "
-                         "('config' keeps the configured id)")
+                         "('config' keeps the configured id; 'auto' = "
+                         "llama-1b unless the config names a bench-sized "
+                         "preset like moe-8x1b/mamba-130m)")
     # measured sweet spot with the prefix-cached 112-token region
     # (win/s: b48 137.2, b64 148.0, b72 150.3, b80 153.4, b88 149.6,
     # b96 144.8 — 80 x 112 = 8960 rows fills the MXU best)

@@ -81,6 +81,11 @@ PRESETS = {
         n_heads=4, d_ff=128, max_position=512, rotary_pct=0.25,
         parallel_residual=True, act_fn="gelu",
         bos_token_id=0, eos_token_id=0),
+    "bart-tiny": DecoderConfig(  # test-sized BART encoder-decoder
+        style="bart", vocab_size=512, d_model=64, n_layers=2,
+        n_dec_layers=2, n_heads=4, d_ff=128, max_position=512,
+        act_fn="gelu", is_encoder_decoder=True,
+        bos_token_id=0, eos_token_id=2, pad_token_id=1),
 }
 
 
@@ -205,6 +210,28 @@ def config_from_hf_json(path: Path) -> DecoderConfig:
             bos_token_id=hf.get("bos_token_id"),
             eos_token_id=hf.get("eos_token_id"),
             pad_token_id=hf.get("pad_token_id"))
+    if model_type == "bart":
+        if (hf.get("decoder_attention_heads", hf["encoder_attention_heads"])
+                != hf["encoder_attention_heads"]
+                or hf.get("decoder_ffn_dim", hf["encoder_ffn_dim"])
+                != hf["encoder_ffn_dim"]):
+            raise NotImplementedError(
+                "BART with asymmetric encoder/decoder head or FFN sizes "
+                "is not supported (DecoderConfig carries one set)")
+        return DecoderConfig(
+            style="bart", vocab_size=hf["vocab_size"],
+            d_model=hf["d_model"], n_layers=hf["encoder_layers"],
+            n_dec_layers=hf.get("decoder_layers", hf["encoder_layers"]),
+            n_heads=hf["encoder_attention_heads"],
+            d_ff=hf["encoder_ffn_dim"],
+            max_position=hf.get("max_position_embeddings", 1024),
+            norm_eps=1e-5, dropout=hf.get("dropout", 0.1),
+            act_fn=hf.get("activation_function", "gelu"),
+            scale_embedding=hf.get("scale_embedding", False),
+            is_encoder_decoder=True,
+            bos_token_id=hf.get("bos_token_id"),
+            eos_token_id=hf.get("eos_token_id"),
+            pad_token_id=hf.get("pad_token_id"))
     if model_type == "gpt_neox":
         return DecoderConfig(
             style="neox", vocab_size=hf["vocab_size"],
@@ -231,6 +258,12 @@ def _truncate(cfg, llm_layers: int):
             extra["n_dec_layers"] = min(llm_layers, cfg.n_dec_layers)
         cfg = dataclasses.replace(cfg, n_layers=llm_layers, **extra)
     return cfg
+
+
+def is_preset(llm_id: str) -> bool:
+    """True when `llm_id` names a built-in bench-sized preset (vs an HF
+    id that needs a local snapshot)."""
+    return llm_id in PRESETS or llm_id in _mamba_presets()
 
 
 def resolve_config(llm_id: str, cache_dir: str | None = None,
@@ -347,6 +380,50 @@ def _hf_to_tree(cfg: DecoderConfig, tensors: dict,
             for hf_n, fx_n in ffn:
                 put_kernel(f"dec_h_{i}/mlp/{fx_n}/kernel",
                            tensors[p + f"layer.2.DenseReluDense.{hf_n}.weight"].T)
+        return tree
+    if cfg.style == "bart":
+        # HF BartModel: shared embeddings, per-side learned positions
+        # (+2 offset rows) and layernorm_embedding, post-LN layers
+        # (self_attn_layer_norm -> ln_1, encoder_attn_layer_norm ->
+        # ln_cross, final_layer_norm -> ln_2), biased projections
+        put("wte", tensors["shared.weight"])
+        put("enc_wpe", tensors["encoder.embed_positions.weight"])
+        put("dec_wpe", tensors["decoder.embed_positions.weight"])
+        put("enc_ln_emb/scale", tensors["encoder.layernorm_embedding.weight"])
+        put("enc_ln_emb/bias", tensors["encoder.layernorm_embedding.bias"])
+        put("dec_ln_emb/scale", tensors["decoder.layernorm_embedding.weight"])
+        put("dec_ln_emb/bias", tensors["decoder.layernorm_embedding.bias"])
+
+        def bart_attn(dst, src):
+            for hf_n, fx_n in (("q_proj", "q_proj"), ("k_proj", "k_proj"),
+                               ("v_proj", "v_proj"), ("out_proj", "o_proj")):
+                put_kernel(f"{dst}/{fx_n}/base/kernel",
+                           tensors[src + f".{hf_n}.weight"].T)
+                put(f"{dst}/{fx_n}/base/bias", tensors[src + f".{hf_n}.bias"])
+
+        def bart_common(dst, src):
+            put(f"{dst}/ln_1/scale",
+                tensors[src + "self_attn_layer_norm.weight"])
+            put(f"{dst}/ln_1/bias", tensors[src + "self_attn_layer_norm.bias"])
+            put(f"{dst}/ln_2/scale", tensors[src + "final_layer_norm.weight"])
+            put(f"{dst}/ln_2/bias", tensors[src + "final_layer_norm.bias"])
+            bart_attn(f"{dst}/attn", src + "self_attn")
+            put_kernel(f"{dst}/mlp/c_fc/kernel", tensors[src + "fc1.weight"].T)
+            put(f"{dst}/mlp/c_fc/bias", tensors[src + "fc1.bias"])
+            put_kernel(f"{dst}/mlp/c_proj/kernel",
+                       tensors[src + "fc2.weight"].T)
+            put(f"{dst}/mlp/c_proj/bias", tensors[src + "fc2.bias"])
+
+        for i in range(cfg.n_layers):
+            bart_common(f"enc_h_{i}", f"encoder.layers.{i}.")
+        for i in range(cfg.n_dec_layers or cfg.n_layers):
+            p = f"decoder.layers.{i}."
+            bart_common(f"dec_h_{i}", p)
+            put(f"dec_h_{i}/ln_cross/scale",
+                tensors[p + "encoder_attn_layer_norm.weight"])
+            put(f"dec_h_{i}/ln_cross/bias",
+                tensors[p + "encoder_attn_layer_norm.bias"])
+            bart_attn(f"dec_h_{i}/cross_attn", p + "encoder_attn")
         return tree
     if cfg.style == "opt":
         # HF OPTModel nests OPTDecoder under "decoder."; canonical flax

@@ -8,6 +8,9 @@ AutoModel (models/medtsllm.py:175, models/gpt4ts.py:44):
   - opt: learned positions at offset 2, pre-LN, biased q/k/v, relu MLP
   - neox (pythia): partial rotary (rotary_pct), parallel attention+FFN
     residual, per-head-packed qkv (deinterleaved by the loader), erf-GELU
+  - bart (TransformerEncDec): post-LN enc-dec, learned positions at
+    offset 2 per side, layernorm_embedding, erf-GELU, optional
+    sqrt(d_model) embed scale
 
 Attention runs through the Pallas flash kernel on TPU
 (ops/pallas/flash_attention.py). LoRA adapters (reference peft usage,
@@ -101,6 +104,9 @@ class DecoderConfig:
     act_fn: str = ""
     rotary_pct: float = 1.0
     parallel_residual: bool = False
+    # bart: multiply token embeddings by sqrt(d_model) (HF
+    # BartScaledWordEmbedding; applies to the input_ids path only, like HF)
+    scale_embedding: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -112,9 +118,9 @@ class DecoderConfig:
 
     @property
     def ln_family(self) -> bool:
-        """LayerNorm + biased projections (gpt2/opt/neox), vs the RMSNorm
-        bias-free llama family."""
-        return self.style in ("gpt2", "opt", "neox")
+        """LayerNorm + biased projections (gpt2/opt/neox/bart), vs the
+        RMSNorm bias-free llama family."""
+        return self.style in ("gpt2", "opt", "neox", "bart")
 
     @property
     def learned_positions(self) -> bool:
@@ -122,9 +128,16 @@ class DecoderConfig:
 
     @property
     def pos_offset(self) -> int:
-        """OPT's learned positions start at offset 2 (HF
-        OPTLearnedPositionalEmbedding: padding_idx legacy)."""
-        return 2 if self.style == "opt" else 0
+        """OPT/BART learned positions start at offset 2 (HF
+        OPTLearnedPositionalEmbedding / BartLearnedPositionalEmbedding:
+        padding_idx legacy)."""
+        return 2 if self.style in ("opt", "bart") else 0
+
+    @property
+    def post_ln(self) -> bool:
+        """BART block order: LayerNorm AFTER each residual add (HF
+        BartEncoderLayer/BartDecoderLayer), vs pre-LN everywhere else."""
+        return self.style == "bart"
 
     @property
     def rotary_dims(self) -> int:
@@ -605,13 +618,13 @@ class MLP(nn.Module):
             return nn.Dense(features, use_bias=use_bias, name=name,
                             dtype=self.dtype, param_dtype=self.param_dtype)
 
-        if cfg.ln_family:  # gpt2 / opt / neox: biased fc pair
+        if cfg.ln_family:  # gpt2 / opt / neox / bart: biased fc pair
             h = dense(cfg.d_ff, True, "c_fc")(x)
-            # gpt2: HF "gelu_new" (tanh); opt: relu; neox: HF "gelu"
+            # gpt2: HF "gelu_new" (tanh); opt: relu; neox/bart: HF "gelu"
             # (exact erf) — cfg.act_fn carries the snapshot's
             # activation_function/hidden_act override
             act = cfg.act_fn or {"gpt2": "gelu_tanh", "opt": "relu",
-                                 "neox": "gelu"}[cfg.style]
+                                 "neox": "gelu", "bart": "gelu"}[cfg.style]
             if cfg.style == "gpt2":
                 act = "gelu_tanh"
             h = {"gelu_tanh": lambda v: nn.gelu(v, approximate=True),
@@ -853,12 +866,14 @@ class Block(nn.Module):
             return RMSNorm(eps=cfg.norm_eps, name=name_llama,
                            param_dtype=self.param_dtype)
 
+        post = cfg.post_ln  # bart: LN after each residual add
         attn_out = Attention(cfg, self.lora, dtype=self.dtype,
                              param_dtype=self.param_dtype,
                              quantize=self.quantize, act_quant=self.act_quant,
                              causal=self.causal,
                              name="attn")(
-            norm("ln_1", "input_layernorm")(x), attn_bias=attn_bias,
+            x if post else norm("ln_1", "input_layernorm")(x),
+            attn_bias=attn_bias,
             prefix_kv=prefix_kv, position_offset=position_offset,
             return_kv=return_kv, deterministic=deterministic)
         new_kv = None
@@ -876,22 +891,29 @@ class Block(nn.Module):
             x = x + attn_out + mlp_out
             return (x, new_kv) if return_kv else x
         x = x + attn_out
+        if post:
+            x = norm("ln_1", "input_layernorm")(x)
         if self.cross:
+            cross_in = (x if post
+                        else norm("ln_cross", "cross_attention_layernorm")(x))
             x = x + Attention(cfg, self.lora, dtype=self.dtype,
                               param_dtype=self.param_dtype,
                               quantize=self.quantize,
                               act_quant=self.act_quant, causal=False,
                               name="cross_attn")(
-                norm("ln_cross", "cross_attention_layernorm")(x), enc_out,
-                deterministic=deterministic)
+                cross_in, enc_out, deterministic=deterministic)
+            if post:
+                x = norm("ln_cross", "cross_attention_layernorm")(x)
         moe = cfg.n_experts and cfg.n_experts > 1
         mlp_cls = MoEMLP if moe else MLP
         extra = {"ep_mesh": self.ep_mesh} if moe else {}
         x = x + mlp_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                         quantize=self.quantize, act_quant=self.act_quant,
                         name="mlp", **extra)(
-            norm("ln_2", "post_attention_layernorm")(x),
+            x if post else norm("ln_2", "post_attention_layernorm")(x),
             deterministic=deterministic)
+        if post:
+            x = norm("ln_2", "post_attention_layernorm")(x)
         return (x, new_kv) if return_kv else x
 
 
@@ -1217,8 +1239,12 @@ class TransformerEncDec(nn.Module):
     style == "t5" reproduces HF T5Model semantics so real T5/FLAN-T5
     weights load (loader._hf_to_tree): T5LayerNorm (= RMSNorm), unscaled
     attention, shared relative-position bias computed from the first
-    block's bucket table, relu or gated-gelu FFN. gpt2/llama styles give
-    a generic pre-LN enc-dec for random-init experimentation."""
+    block's bucket table, relu or gated-gelu FFN. style == "bart"
+    reproduces HF BartModel: post-LN blocks (cfg.post_ln), learned
+    positions at offset 2 per side, layernorm_embedding after embed+pos,
+    biased projections, erf-gelu FFN, optional sqrt(d_model) embed scale.
+    gpt2/llama styles give a generic pre-LN enc-dec for random-init
+    experimentation."""
 
     cfg: DecoderConfig
     lora: LoraSpec | None = None
@@ -1242,7 +1268,26 @@ class TransformerEncDec(nn.Module):
         self.dec_blocks = [block_cls(cfg, self.lora, causal=True, cross=True,
                                      name=f"dec_h_{i}", **kw)
                            for i in range(n_dec)]
-        if cfg.style == "gpt2":
+        if cfg.style == "bart":
+            # post-LN blocks end with their own final_layer_norm, so there
+            # is no stack-final norm; each side gets its own learned
+            # position table (+2 offset rows) and layernorm_embedding
+            self.enc_wpe = self.param("enc_wpe", nn.initializers.normal(0.01),
+                                      (cfg.max_position + cfg.pos_offset,
+                                       cfg.d_model), self.param_dtype)
+            self.dec_wpe = self.param("dec_wpe", nn.initializers.normal(0.01),
+                                      (cfg.max_position + cfg.pos_offset,
+                                       cfg.d_model), self.param_dtype)
+            self.enc_ln_emb = nn.LayerNorm(epsilon=cfg.norm_eps,
+                                           dtype=self.dtype,
+                                           param_dtype=self.param_dtype,
+                                           name="enc_ln_emb")
+            self.dec_ln_emb = nn.LayerNorm(epsilon=cfg.norm_eps,
+                                           dtype=self.dtype,
+                                           param_dtype=self.param_dtype,
+                                           name="dec_ln_emb")
+            self.embed_drop = nn.Dropout(cfg.dropout)
+        elif cfg.style == "gpt2":
             self.enc_norm = nn.LayerNorm(epsilon=cfg.norm_eps,
                                          dtype=self.dtype,
                                          param_dtype=self.param_dtype,
@@ -1273,7 +1318,12 @@ class TransformerEncDec(nn.Module):
                 self.param_dtype)
 
     def embed(self, token_ids) -> jnp.ndarray:
-        return jnp.take(self.wte, token_ids, axis=0)
+        e = jnp.take(self.wte, token_ids, axis=0)
+        if self.cfg.scale_embedding:  # HF BartScaledWordEmbedding: the
+            # scale lives inside embed_tokens, so it applies to the
+            # input_ids path only (inputs_embeds bypass it, like HF)
+            e = e * math.sqrt(self.cfg.d_model)
+        return e
 
     def word_embeddings(self) -> jnp.ndarray:
         return self.wte
@@ -1292,20 +1342,33 @@ class TransformerEncDec(nn.Module):
         enc = inputs_embeds if inputs_embeds is not None else self.embed(input_ids)
         if cfg.style == "gpt2":
             enc = enc + self.wpe[None, :enc.shape[1], :].astype(enc.dtype)
+        elif cfg.style == "bart":
+            p0 = cfg.pos_offset
+            enc = enc + self.enc_wpe[None, p0:p0 + enc.shape[1],
+                                     :].astype(enc.dtype)
+            enc = self.embed_drop(self.enc_ln_emb(enc),
+                                  deterministic=deterministic)
         enc_bias = (self._rel_bias(self.enc_rel_bias, enc.shape[1],
                                    bidirectional=True, dtype=enc.dtype)
                     if cfg.style == "t5" else None)
         for blk in self.enc_blocks:
             enc = blk(enc, attn_bias=enc_bias, deterministic=deterministic)
-        enc = self.enc_norm(enc)
+        if cfg.style != "bart":  # post-LN blocks end with their own norm
+            enc = self.enc_norm(enc)
 
         dec = decoder_inputs_embeds
         if cfg.style == "gpt2":
             dec = dec + self.wpe[None, :dec.shape[1], :].astype(dec.dtype)
+        elif cfg.style == "bart":
+            p0 = cfg.pos_offset
+            dec = dec + self.dec_wpe[None, p0:p0 + dec.shape[1],
+                                     :].astype(dec.dtype)
+            dec = self.embed_drop(self.dec_ln_emb(dec),
+                                  deterministic=deterministic)
         dec_bias = (self._rel_bias(self.dec_rel_bias, dec.shape[1],
                                    bidirectional=False, dtype=dec.dtype)
                     if cfg.style == "t5" else None)
         for blk in self.dec_blocks:
             dec = blk(dec, enc, attn_bias=dec_bias,
                       deterministic=deterministic)
-        return self.dec_norm(dec)
+        return dec if cfg.style == "bart" else self.dec_norm(dec)

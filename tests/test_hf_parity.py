@@ -297,3 +297,73 @@ def test_t5_gated_parity(tmp_path):
         {"params": params}, inputs_embeds=jnp.asarray(enc_in),
         decoder_inputs_embeds=jnp.asarray(dec_in)))
     np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def _tiny_bart_cfg(**kw):
+    from transformers import BartConfig
+    return BartConfig(vocab_size=96, d_model=32, encoder_layers=2,
+                      decoder_layers=2, encoder_attention_heads=4,
+                      decoder_attention_heads=4, encoder_ffn_dim=64,
+                      decoder_ffn_dim=64, max_position_embeddings=64,
+                      dropout=0.0, attention_dropout=0.0,
+                      activation_dropout=0.0, activation_function="gelu",
+                      is_encoder_decoder=True, use_cache=False, **kw)
+
+
+def test_bart_parity(tmp_path):
+    """BART enc-dec (the third family the reference's AutoModel breadth
+    names, medtsllm.py:175): post-LN blocks, learned positions at offset
+    2 per side, layernorm_embedding, biased projections, erf-gelu FFN —
+    validated against HF BartModel on the inputs_embeds path (the
+    reference's enc-dec call shape, medtsllm.py:346-348)."""
+    from transformers import BartModel
+    hf_cfg = _tiny_bart_cfg(scale_embedding=False)
+    torch.manual_seed(5)
+    hf = BartModel(hf_cfg).eval()
+    snap = _save_snapshot(tmp_path, hf, hf_cfg)
+
+    from medtsllm_tpu.models.llm.loader import load_backbone
+    module, params, cfg = load_backbone(str(snap))
+    assert cfg.style == "bart" and cfg.is_encoder_decoder
+    assert cfg.post_ln and cfg.pos_offset == 2
+
+    rng = np.random.default_rng(5)
+    enc_in = rng.normal(0, 0.5, size=(2, 12, 32)).astype(np.float32)
+    dec_in = rng.normal(0, 0.5, size=(2, 7, 32)).astype(np.float32)
+    with torch.no_grad():
+        expected = hf(inputs_embeds=torch.tensor(enc_in),
+                      decoder_inputs_embeds=torch.tensor(dec_in)
+                      ).last_hidden_state.numpy()
+    got = np.asarray(module.apply(
+        {"params": params}, inputs_embeds=jnp.asarray(enc_in),
+        decoder_inputs_embeds=jnp.asarray(dec_in)))
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_bart_scaled_embed_ids_parity(tmp_path):
+    """scale_embedding=True variants multiply token embeddings by
+    sqrt(d_model) on the input_ids path (HF BartScaledWordEmbedding) —
+    exercised through encoder input_ids + decoder embeds."""
+    from transformers import BartModel
+    hf_cfg = _tiny_bart_cfg(scale_embedding=True)
+    torch.manual_seed(6)
+    hf = BartModel(hf_cfg).eval()
+    snap = _save_snapshot(tmp_path, hf, hf_cfg)
+
+    from medtsllm_tpu.models.llm.loader import load_backbone
+    module, params, cfg = load_backbone(str(snap))
+    assert cfg.scale_embedding
+
+    ids = np.array([[1, 5, 9, 20, 33, 2, 7, 11]], dtype=np.int32)
+    rng = np.random.default_rng(6)
+    dec_in = rng.normal(0, 0.5, size=(1, 5, 32)).astype(np.float32)
+    with torch.no_grad():
+        expected = hf(input_ids=torch.tensor(ids, dtype=torch.long),
+                      decoder_inputs_embeds=torch.tensor(dec_in)
+                      ).last_hidden_state.numpy()
+    emb = module.apply({"params": params}, jnp.asarray(ids),
+                       method="embed")
+    got = np.asarray(module.apply(
+        {"params": params}, inputs_embeds=emb,
+        decoder_inputs_embeds=jnp.asarray(dec_in)))
+    np.testing.assert_allclose(got, expected, atol=2e-4)
