@@ -46,7 +46,7 @@ def wait_for_backend(retries: int = 15, probe_timeout: int = 180,
         "error": f"TPU tunnel unreachable for ~{retries * (probe_timeout + sleep_s) // 60}min "
                  "(infra outage, not a framework failure)",
         "last_measured": "BASELINE.md row 5m (driver default, on-chip "
-                         "2026-08-17): 153.4 win/s, 2.15x nominal A100",
+                         "2026-08-19): 154.0 win/s, 2.16x nominal A100",
     }))
     sys.exit(0)
 
@@ -415,9 +415,11 @@ def main():
                          "llama-1b unless the config names a bench-sized "
                          "preset like moe-8x1b/mamba-130m)")
     # measured sweet spot with the prefix-cached 112-token region
-    # (win/s: b48 137.2, b64 148.0, b72 150.3, b80 153.4, b88 149.6,
-    # b96 144.8 — 80 x 112 = 8960 rows fills the MXU best)
-    ap.add_argument("--batch", type=int, default=80)
+    # (2026-08-19 sweep, win/s: b48 137.8, b64 152.4/154.0 re-run,
+    # b72 143.4, b80 145.8, b88 142.5, b96 138.2 — the 9d1eda0 rotary/
+    # layout fixes moved the optimum from b80 to b64; 64 x 112 = 7168
+    # rows now fills the MXU best)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--history-len", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
@@ -446,12 +448,18 @@ def main():
                     help="disable the prompt-prefix KV cache + serving "
                          "prompt layout (A/B the reference-order uncached "
                          "pipeline)")
-    ap.add_argument("--fuse-projections", default="auto",
+    ap.add_argument("--fuse-projections", default="off",
                     choices=("auto", "on", "off"),
-                    help="fuse q|k|v and gate|up into single wide matmuls "
-                         "(small-batch serving layout; 'auto' = on for "
-                         "inference at batch <= 8 where the fused per-layer "
-                         "matmuls measure 1.68-1.82x, tools/ab_smallbatch.py)")
+                    help="fuse q|k|v and gate|up into single wide matmuls. "
+                         "Default OFF by measurement: the ISOLATED fused "
+                         "matmuls win 1.7x at batch <= 8 "
+                         "(tools/ab_smallbatch.py) but END-TO-END fusion "
+                         "loses at every batch tried — b4 13.87 (off) vs "
+                         "14.59 (on) ms/window, b8 9.57 vs 9.47 (wash), "
+                         "2026-08-19 — XLA's per-projection epilogue "
+                         "fusion beats the fused layout's s32 round-trip "
+                         "in the real graph ('auto' keeps the old "
+                         "batch<=8 heuristic for A/Bs)")
     args = ap.parse_args()
 
     if not (args.overlap_ab or args.mesh):  # those force the CPU platform
