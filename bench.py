@@ -51,6 +51,63 @@ def wait_for_backend(retries: int = 15, probe_timeout: int = 180,
     sys.exit(0)
 
 
+def measure_steps(dispatch, collect, iters: int, warmup: int):
+    """Time jitted steps with back-to-back (pipelined) dispatch.
+
+    ``dispatch()`` enqueues one step and returns its output handle(s);
+    ``collect(handles)`` forces execution of a list of them with ONE
+    host readback. Production serving (and the torch/CUDA A100
+    baseline's async launch queue) runs exactly like this: the device
+    queue stays full and host<->device round-trip latency is off the
+    critical path.
+
+    The per-step cost is the SLOPE between a shallow and a deep
+    dispatch group: (t(d_hi) - t(d_lo)) / (d_hi - d_lo). The slope is
+    immune to the once-per-group readback floor, which on the sandbox
+    tunnel varies between ~1 ms and ~1 s across sessions (measured
+    2026-08-19) and would otherwise be charged to every step — the
+    pre-2026-08-19 sync-per-step protocol swung the recorded headline
+    by whole percents from tunnel weather alone. The per-step DISPATCH
+    cost (~1 ms host-side HTTP per enqueue on the tunnel, ~20 us on a
+    local PJRT client) stays inside the slope, so small-model rows
+    remain conservative.
+
+    Returns (p50_slope_step_s, p50_sync_step_s); the sync number (one
+    readback per step, the old protocol) is reported in ``detail`` for
+    continuity with pre-change rows.
+    """
+    collect([dispatch()])  # compile (+ absorb the first-exec stall)
+    for _ in range(warmup):
+        collect([dispatch()])
+    sync_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        collect([dispatch()])
+        sync_times.append(time.perf_counter() - t0)
+    s1 = min(sync_times)
+
+    def group(depth):
+        t0 = time.perf_counter()
+        collect([dispatch() for _ in range(depth)])
+        return time.perf_counter() - t0
+
+    d_lo = 4
+    g_pilot = group(d_lo)
+    # crude per-step estimate from pilot-vs-sync (both contain one
+    # floor); pick d_hi so the slope signal is ~6 s of device time,
+    # capped to keep any one group bounded
+    per_est = max((g_pilot - s1) / (d_lo - 1), 1e-4)
+    d_hi = max(d_lo * 4, min(256, int(6.0 / per_est)))
+    reps = max(2, min(4, iters // d_lo))
+    lo = [group(d_lo) for _ in range(reps)]
+    hi = [group(d_hi) for _ in range(reps)]
+    slope = ((float(np.percentile(hi, 50)) - float(np.percentile(lo, 50)))
+             / (d_hi - d_lo))
+    if not slope > 0:  # floor noise swamped the signal; be conservative
+        slope = float(np.percentile(hi, 50)) / d_hi
+    return slope, float(np.percentile(sync_times, 50))
+
+
 def build_trainer(model_size: str, batch_size: int, history_len: int,
                   bf16: bool, remat=False, quant: int = 0,
                   int8_matmul: bool = True, prefix_cache: bool = True,
@@ -196,21 +253,18 @@ def bench_config(config_path: str, iters: int, warmup: int,
         arrays = trainer.eval_model_inputs(batch)  # serving path (KV-cached
         params = trainer.params                    # prompt head if enabled)
 
-        def run_sync():
-            return float(np.asarray(
-                jax.device_get(trainer.eval_step(params, arrays))).sum())
+        import jax.numpy as jnp
 
-        run_sync()
-        for _ in range(warmup):
-            run_sync()
-        times = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            run_sync()
-            times.append(time.perf_counter() - t0)
+        def dispatch():
+            return trainer.eval_step(params, arrays)
+
+        def collect(outs):
+            return float(np.asarray(jax.device_get(
+                jnp.stack([o.sum() for o in outs]).sum())))
+
+        p50, p50_sync = measure_steps(dispatch, collect, iters, warmup)
 
     bs = cfg.training.batch_size
-    p50 = float(np.percentile(times, 50))
     name = config_path.rsplit("/", 1)[-1].removesuffix(".toml")
     return {
         "metric": f"{name}_inference_windows_per_sec_per_chip",
@@ -219,6 +273,7 @@ def bench_config(config_path: str, iters: int, warmup: int,
         "vs_baseline": None,
         "detail": {
             "p50_latency_ms_per_window": round(p50 / bs * 1e3, 3),
+            "p50_sync_ms_per_window": round(p50_sync / bs * 1e3, 3),
             "batch": bs, "model": cfg.model, "task": cfg.task,
             "backend": jax.default_backend(),
         },
@@ -521,33 +576,30 @@ def main():
 
         # compile + warmup; sync via a host readback of a scalar — on some
         # remote backends block_until_ready alone returns before execution
+        import jax.numpy as jnp
         if args.train:
-            import jax.numpy as jnp
             trainer.params = params
             trainer.opt_state = trainer.optimizer.init(params)
             valid = jnp.ones((args.batch,), bool)
 
-            def run_sync():
+            # successive train steps chain through params/opt_state, so
+            # back-to-back dispatch still executes them serially on
+            # device — only the host sync moves off the per-step path
+            def dispatch():
                 trainer.params, trainer.opt_state, loss = trainer.train_step(
                     trainer.params, trainer.opt_state, arrays, valid,
                     trainer._next_rng())
-                return float(loss)
+                return loss
         else:
-            def run_sync():
-                return float(trainer.eval_step(params, arrays).sum())
+            def dispatch():
+                return trainer.eval_step(params, arrays)
 
-        run_sync()
-        for _ in range(args.warmup):
-            run_sync()
+        def collect(outs):
+            return float(np.asarray(jax.device_get(
+                jnp.stack([o.sum() for o in outs]).sum())))
 
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            run_sync()
-            times.append(time.perf_counter() - t0)
-
-    times = np.asarray(times)
-    p50_batch = float(np.percentile(times, 50))
+        p50_batch, p50_sync = measure_steps(dispatch, collect,
+                                            args.iters, args.warmup)
     windows_per_sec = args.batch / p50_batch
     p50_window_ms = p50_batch / args.batch * 1e3
 
@@ -594,6 +646,7 @@ def main():
         "vs_baseline": round(windows_per_sec / baseline, 3),
         "detail": {
             "p50_latency_ms_per_window": round(p50_window_ms, 3),
+            "p50_sync_ms_per_window": round(p50_sync / args.batch * 1e3, 3),
             "batch": args.batch,
             "history_len": args.history_len,
             "prompt_tokens": prompt_len,

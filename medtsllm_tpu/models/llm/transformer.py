@@ -80,12 +80,14 @@ class DecoderConfig:
     n_experts: int = 0
     n_experts_per_tok: int = 2
     expert_capacity: float = 0.0
-    # small-batch serving: fuse q|k|v and gate|up into single wide
-    # matmuls (llama style). At small M the per-projection weight
-    # streams dominate and the fused matmul wins 1.68-1.82x
-    # (tools/ab_smallbatch.py, BASELINE.md); at large M the s32
-    # intermediate's HBM round-trip loses — keep False for training /
-    # large-batch. Numerics are EXACTLY the separate path's: the fused
+    # fuse q|k|v and gate|up into single wide matmuls (llama style).
+    # MEASURED LOSS end-to-end at every batch tried (BASELINE.md: b4
+    # 13.87 unfused vs 14.59 fused ms/window, b8 a wash, b80 113.4 vs
+    # 99.7): XLA fuses each separate projection's epilogue into its
+    # consumer, and the fused layout's s32 intermediate round-trip
+    # costs more than the wide matmul saves. Kept for A/Bs
+    # (bench --fuse-projections). Numerics are EXACTLY the separate
+    # path's: the fused
     # kernel is the column-concat of the separate kernels and per-output-
     # channel quantization scales concatenate. Single-chip only
     # (Megatron TP rules key on the separate projection names).
@@ -211,6 +213,24 @@ def _act_quant_matmul(xf, kq, scale, bits):
         return w4a8_matmul(xq.reshape(-1, n_in), kq,
                            x_scale.reshape(-1, 1), scale,
                            out_dtype=jnp.float32).reshape(*lead, -1)
+    if bits == 8:
+        # opt-in (MEDTSLLM_SMALLM_KERNEL=1) weight-streaming kernel for
+        # small-M serving shapes. Measured 0.70-0.75x XLA at M=448 —
+        # XLA's s8 dot is already at ~70% of the int8 compute bound
+        # there, see ops/pallas/smallm_matmul.py — kept for A/Bs only.
+        # Exact same integers + rescale as the XLA path below.
+        from ...ops.pallas.smallm_matmul import (smallm_blocks,
+                                                 smallm_supported,
+                                                 w8a8_smallm_matmul_pallas)
+        lead = xq.shape[:-1]
+        m_flat = int(np.prod(lead)) if lead else 1
+        if smallm_supported(m_flat, n_in, kq.shape[1]):
+            out = w8a8_smallm_matmul_pallas(
+                xq.reshape(m_flat, n_in), kq,
+                x_scale.reshape(m_flat, 1), scale,
+                out_dtype=jnp.float32,
+                block_n=smallm_blocks(m_flat, n_in, kq.shape[1]))
+            return out.reshape(*lead, -1)
     w = kq if bits == 8 else QuantDense.unpack4(kq, n_in)
     acc = jax.lax.dot_general(xq, w, (((xq.ndim - 1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)

@@ -172,9 +172,9 @@ class MedTsLLM(nn.Module):
             llm_cfg = dataclasses.replace(llm_cfg,
                                           expert_capacity=float(cap))
 
-        # models.<m>.llm.fuse_projections: small-batch serving — fuse
-        # q|k|v and gate|up into single wide matmuls (measured 1.68-1.82x
-        # on the per-layer matmuls at batch<=8, tools/ab_smallbatch.py).
+        # models.<m>.llm.fuse_projections: fuse q|k|v and gate|up into
+        # single wide matmuls. A/B-only — measured SLOWER end-to-end at
+        # every batch tried (BASELINE.md "Fused q/k/v ... REVERTED").
         # Single-chip only: the Megatron TP rules and the sp ring path
         # key on the separate projection names.
         if mc.llm.get("fuse_projections", False) and mc.llm.enabled:

@@ -1,9 +1,14 @@
 """Small-batch serving floor probe: where does the time go at batch 4-16?
 
-The serving-latency table (BASELINE.md) shows 7B int8 at batch 4 costs
-~57 ms/step while the weight-streaming lower bound is ~8 ms — this probe
-decomposes the gap at the small-M serving shapes (M = batch x 112-token
-prefix-cached region):
+NOTE (2026-08-19): this tool's original _time() body was loop-invariant
+and got LICM-hoisted — its pre-fix numbers (the "~60 GB/s at M=448"
+diagnosis) measured the tunnel dispatch floor, not the matmul, and are
+retracted in BASELINE.md. The loop index is now mixed into every
+iteration's input. For the highest-SNR per-matmul numbers prefer the
+carry-chained slope probe in tools/ab_w8a8_small.py; this tool remains
+useful for the fused-vs-separate layout comparison. At the small-M
+serving shapes (M = batch x 112-token prefix-cached region) it
+decomposes:
 
   1. the bare s8xs8 matmul time per 7B projection shape (as
      tools/ab_int8_ceiling.py, at small M),
@@ -34,12 +39,17 @@ FUSED = [("qkv", D, 3 * D), ("o", D, D), ("gate+up", D, 2 * FF),
 
 
 def _time(fn, *args, loops, reps=5):
+    # fn takes (i, *args) and must MIX the loop index into its inputs:
+    # a loop-invariant body is hoisted out of the fori_loop by XLA's
+    # LICM, and with the tunnel's ~30 ms dispatch floor the "loop" then
+    # measures floor/loops. (This bug produced the pre-2026-08-19
+    # "~60 GB/s at M=448" diagnosis in BASELINE.md — retracted there.)
     import jax
     import jax.numpy as jnp
 
     def run(*a):
         def body(i, acc):
-            return acc + fn(*a).astype(jnp.float32)[0, 0]
+            return acc + fn(i, *a).astype(jnp.float32)[0, 0]
         return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
 
     g = jax.jit(run)
@@ -70,9 +80,9 @@ def main():
             xs = jnp.asarray(rng.uniform(1e-3, 1e-2, (M, 1)), jnp.float32)
             ws = jnp.asarray(rng.uniform(1e-3, 1e-2, (N,)), jnp.float32)
 
-            def f(xq, w, xs, ws):
+            def f(i, xq, w, xs, ws):
                 acc = jax.lax.dot_general(
-                    xq, w, (((1,), (0,)), ((), ())),
+                    xq + i.astype(jnp.int8), w, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
                 return (acc.astype(jnp.float32) * (xs * ws[None, :])
                         ).astype(jnp.bfloat16)
@@ -86,8 +96,11 @@ def main():
     nbytes = sum(K * N for _, K, N in SEPARATE)
     w_all = jnp.asarray(rng.integers(-127, 128, (nbytes,)), jnp.int8)
 
-    def read_all(w):
-        return jnp.sum(w, dtype=jnp.int32).reshape(1, 1)
+    def read_all(i, w):
+        # dynamic 2-element window start forces a fresh full read each
+        # iteration (hoist-proof) at negligible extra cost
+        s = jax.lax.dynamic_slice(w, (i % 2,), (w.shape[0] - 2,))
+        return jnp.sum(s, dtype=jnp.int32).reshape(1, 1)
 
     t_read = _time(read_all, w_all, loops=20)
     print(f"weight-read floor: {nbytes/1e6:.1f} MB/layer, "
