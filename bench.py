@@ -46,7 +46,8 @@ def wait_for_backend(retries: int = 15, probe_timeout: int = 180,
         "error": f"TPU tunnel unreachable for ~{retries * (probe_timeout + sleep_s) // 60}min "
                  "(infra outage, not a framework failure)",
         "last_measured": "BASELINE.md row 5m (driver default, on-chip "
-                         "2026-08-19): 154.0 win/s, 2.16x nominal A100",
+                         "2026-08-19, slope protocol, batch 8): "
+                         "188.0 win/s, 2.64x nominal A100",
     }))
     sys.exit(0)
 
@@ -98,13 +99,20 @@ def measure_steps(dispatch, collect, iters: int, warmup: int):
     # capped to keep any one group bounded
     per_est = max((g_pilot - s1) / (d_lo - 1), 1e-4)
     d_hi = max(d_lo * 4, min(256, int(6.0 / per_est)))
-    reps = max(2, min(4, iters // d_lo))
-    lo = [group(d_lo) for _ in range(reps)]
-    hi = [group(d_hi) for _ in range(reps)]
-    slope = ((float(np.percentile(hi, 50)) - float(np.percentile(lo, 50)))
-             / (d_hi - d_lo))
-    if not slope > 0:  # floor noise swamped the signal; be conservative
-        slope = float(np.percentile(hi, 50)) / d_hi
+    reps = max(3, min(5, iters // d_lo))
+    # interleave lo/hi groups and take MIN, not median: the readback
+    # floor is one-sided additive noise and NONSTATIONARY (storm windows
+    # of ~1 s floors alternate with calm ~30 ms ones within a session —
+    # measured 2026-08-19, it corrupted two table rows by 5x), so the
+    # minimum of each depth is the storm-immune estimate and interleaving
+    # keeps a drifting storm from biasing one depth only
+    lo, hi = [], []
+    for _ in range(reps):
+        lo.append(group(d_lo))
+        hi.append(group(d_hi))
+    slope = (min(hi) - min(lo)) / (d_hi - d_lo)
+    if not slope > 0:  # noise swamped the signal; be conservative
+        slope = min(hi) / d_hi
     return slope, float(np.percentile(sync_times, 50))
 
 
@@ -239,9 +247,18 @@ def bench_config(config_path: str, iters: int, warmup: int,
         # (and crashes on family-specific keys like expert_capacity). An
         # explicit --llm-override always applies.
         section = ("medtsllm" if "medtsllm" in cfg.models else "timellm")
-        from medtsllm_tpu.models.llm.loader import is_preset
+        from medtsllm_tpu.models.llm.loader import is_preset, resolve_config
         if llm_override == "auto":
-            if not is_preset(cfg.models[section].llm.get("llm", "")):
+            configured = cfg.models[section].llm.get("llm", "")
+            # "bench-sized" = preset with d_model < 4096: the 7B id is
+            # ALSO a preset (for the --model CLI path), but auto keeping
+            # it silently turned the table's llama-1b config rows into
+            # 7B rows (found 2026-08-19: ludb "regressed" 265->131 win/s
+            # because it was suddenly benching 6.6B params). --llm-
+            # override config opts into the configured 7B explicitly.
+            keep = (is_preset(configured)
+                    and resolve_config(configured)[0].d_model < 4096)
+            if not keep:
                 cfg.models[section].llm.llm = "llama-1b"
         else:
             cfg.models[section].llm.llm = llm_override
@@ -469,12 +486,11 @@ def main():
                          "('config' keeps the configured id; 'auto' = "
                          "llama-1b unless the config names a bench-sized "
                          "preset like moe-8x1b/mamba-130m)")
-    # measured sweet spot with the prefix-cached 112-token region
-    # (2026-08-19 sweep, win/s: b48 137.8, b64 152.4/154.0 re-run,
-    # b72 143.4, b80 145.8, b88 142.5, b96 138.2 — the 9d1eda0 rotary/
-    # layout fixes moved the optimum from b80 to b64; 64 x 112 = 7168
-    # rows now fills the MXU best)
-    ap.add_argument("--batch", type=int, default=64)
+    # 8 = the measured throughput optimum AND near-best latency: per-
+    # window cost is flat in batch (M = batch x 112 tokens is above the
+    # int8 roofline ridge M*~240 from batch 4 up, so the step is compute-
+    # bound everywhere); 2026-08-19 slope-protocol sweep in BASELINE.md
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--history-len", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)

@@ -1,0 +1,113 @@
+"""bench.measure_steps: the floor-immune slope dispatch protocol.
+
+The sandbox tunnel charges a per-readback floor that is session weather
+(~1 ms to ~1 s measured 2026-08-19); the protocol times back-to-back
+dispatch groups and reports the per-step slope between a shallow and a
+deep group, which cancels the floor exactly (BASELINE.md "Dispatch
+protocol"). These tests drive the real function with a fake clock."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench
+
+
+class FakeBackend:
+    """dispatch() returns a step handle; collect() advances a virtual
+    clock by floor + steps * step_cost, exactly like a queue-full device
+    behind a fixed round-trip."""
+
+    def __init__(self, monkeypatch, step_s, floor_s, jitter=None):
+        self.t = 0.0
+        self.step_s = step_s
+        self.floor_s = floor_s
+        self.jitter = jitter or (lambda: 0.0)
+        self.max_outstanding = 0
+        monkeypatch.setattr(bench.time, "perf_counter", lambda: self.t)
+
+    def dispatch(self):
+        return object()
+
+    def collect(self, handles):
+        self.max_outstanding = max(self.max_outstanding, len(handles))
+        self.t += self.floor_s + len(handles) * self.step_s + self.jitter()
+        return 0.0
+
+
+@pytest.mark.parametrize("floor_s", [0.001, 0.031, 0.985])
+def test_slope_cancels_any_floor(monkeypatch, floor_s):
+    fb = FakeBackend(monkeypatch, step_s=0.050, floor_s=floor_s)
+    per, sync = bench.measure_steps(fb.dispatch, fb.collect,
+                                    iters=20, warmup=3)
+    assert per == pytest.approx(0.050, rel=1e-6)
+    # the sync number keeps the floor (continuity with old rows)
+    assert sync == pytest.approx(0.050 + floor_s, rel=1e-6)
+
+
+def test_depth_adapts_to_step_cost(monkeypatch):
+    # sub-ms steps need a deep group for signal; long steps must not
+    # explode the group length
+    fast = FakeBackend(monkeypatch, step_s=0.002, floor_s=0.030)
+    per, _ = bench.measure_steps(fast.dispatch, fast.collect, 20, 3)
+    assert per == pytest.approx(0.002, rel=1e-6)
+    assert fast.max_outstanding == 256  # capped deep group
+
+    slow = FakeBackend(monkeypatch, step_s=0.400, floor_s=0.030)
+    per, _ = bench.measure_steps(slow.dispatch, slow.collect, 20, 3)
+    assert per == pytest.approx(0.400, rel=1e-6)
+    assert slow.max_outstanding <= 16
+
+
+def test_storm_windows_cannot_corrupt_the_slope(monkeypatch):
+    """The 2026-08-19 failure mode: the tunnel floor alternates between
+    calm (~30 ms) and storm (~1 s) WINDOWS within one run. min-of-depth
+    with interleaved groups recovers the exact step as long as each
+    depth sees one calm window."""
+    fb = FakeBackend(monkeypatch, step_s=0.0015, floor_s=0.030)
+    # storms are WINDOWS in time (seconds long), not per-call coin flips:
+    # collects landing in the first 1.5 s of every 3 s virtual-time
+    # window pay an extra ~1 s
+    fb.jitter = lambda: (0.97 if (fb.t % 3.0) < 1.5 else 0.0)
+    per, _ = bench.measure_steps(fb.dispatch, fb.collect, 20, 3)
+    assert per == pytest.approx(0.0015, rel=1e-6)
+
+
+def test_noise_floor_falls_back_conservative(monkeypatch):
+    # adversarial jitter that makes the deep group FASTER than the
+    # shallow one -> slope <= 0 -> fall back to group/depth (an upper
+    # bound on the step, never a negative or zero time)
+    state = {"n": 0}
+
+    def jitter():
+        state["n"] += 1
+        return -0.5 if state["n"] % 2 else 0.5
+
+    fb = FakeBackend(monkeypatch, step_s=0.001, floor_s=0.5, jitter=jitter)
+    per, _ = bench.measure_steps(fb.dispatch, fb.collect, 20, 3)
+    assert per > 0
+
+
+def test_train_chaining_contract():
+    """bench's train dispatch chains params/opt_state through successive
+    dispatches, so back-to-back groups execute serially on device; the
+    eval dispatch reuses constant inputs. Pin the contract: collect gets
+    exactly the handles dispatch returned, in order."""
+    log = []
+
+    def dispatch():
+        log.append("d")
+        return len(log)
+
+    def collect(handles):
+        assert handles == sorted(handles)
+        log.append(("c", len(handles)))
+        return 0.0
+
+    bench.measure_steps(dispatch, collect, iters=8, warmup=1)
+    # first collect is the compile call with exactly one handle
+    assert log[1] == ("c", 1)

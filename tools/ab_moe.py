@@ -27,15 +27,21 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def timed(fn, *args, reps=5):
+def timed(fn, *args, reps=5, depth=8):
+    """Per-call time via back-to-back dispatch (one readback per group):
+    the tunnel's per-readback floor is session weather (~1 ms to ~1 s,
+    BASELINE.md "Dispatch protocol"), so sync-per-call numbers are only
+    comparable within one session — group dispatch amortizes it away."""
     import jax
+    import jax.numpy as jnp
     out = fn(*args)
-    float(jax.numpy.asarray(out).sum())  # compile + sync
+    float(jnp.asarray(out).sum())  # compile + sync
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(jax.numpy.asarray(fn(*args)).sum())
-        ts.append(time.perf_counter() - t0)
+        outs = [fn(*args) for _ in range(depth)]
+        float(jnp.stack([jnp.asarray(o).sum() for o in outs]).sum())
+        ts.append((time.perf_counter() - t0) / depth)
     return min(ts)
 
 

@@ -34,15 +34,19 @@ def main():
         jnp.asarray(rng.normal(size=(E,)), jnp.float32),
     )
 
-    def timed(f):
+    def timed(f, depth=8):
+        # back-to-back dispatch, one readback per group: amortizes the
+        # tunnel's variable per-readback floor (BASELINE.md "Dispatch
+        # protocol"); sync-per-call would charge it to every call
         out = f(*args)
         float(jax.tree_util.tree_leaves(out)[0].sum())
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            out = f(*args)
-            float(jax.tree_util.tree_leaves(out)[0].sum())
-            ts.append(time.perf_counter() - t0)
+            outs = [f(*args) for _ in range(depth)]
+            float(jnp.stack([jax.tree_util.tree_leaves(o)[0].sum()
+                             for o in outs]).sum())
+            ts.append((time.perf_counter() - t0) / depth)
         return min(ts)
 
     f_k = jax.jit(selective_ssm)
