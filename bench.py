@@ -116,6 +116,70 @@ def measure_steps(dispatch, collect, iters: int, warmup: int):
     return slope, float(np.percentile(sync_times, 50))
 
 
+def measure_eval_on_device(eval_step, params, arrays, iters: int,
+                           warmup: int):
+    """Per-step device time via an ON-DEVICE fori_loop — the estimator
+    of last resort that survives everything the tunnel does.
+
+    measure_steps' dispatch-slope cancels the per-READBACK floor, but a
+    degraded tunnel session also inflates every DISPATCH (measured
+    2026-08-19: ~60 ms per enqueue during a storm, which made a 1B
+    config row read 971 ms/step). Here the loop over steps runs on the
+    device itself: one jitted program whose trip count K is a traced
+    argument (lax.fori_loop with a dynamic bound lowers to while_loop —
+    ONE compile for all K), so host<->device traffic is one dispatch +
+    one readback per timing regardless of K, and the K_hi-vs-K_lo slope
+    contains zero host cost. The loop index is mixed into the first
+    floating input (x * (1 + i*1e-30)) so XLA cannot hoist the body
+    (the LICM bug class documented in BASELINE.md).
+
+    Returns (per_step_s, p50_sync_s) — sync kept for detail continuity.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves = [k for k, v in sorted(arrays.items())
+              if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)]
+    mix_key = leaves[0] if leaves else None
+
+    @jax.jit
+    def run(params, arrays, K):
+        def body(i, acc):
+            arr = arrays
+            if mix_key is not None:
+                arr = dict(arrays)
+                arr[mix_key] = arrays[mix_key] * (
+                    1.0 + i.astype(jnp.float32) * 1e-30)
+            out = eval_step(params, arr)
+            leaf = jax.tree.leaves(out)[0]
+            return acc + leaf.sum().astype(jnp.float32)
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    def timed(K, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(params, arrays, K))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    float(run(params, arrays, 1))  # compile + absorb first-exec stall
+    sync_times = []
+    for _ in range(max(3, warmup)):
+        t0 = time.perf_counter()
+        float(np.asarray(jax.device_get(jax.tree.leaves(
+            eval_step(params, arrays))[0].sum())))
+        sync_times.append(time.perf_counter() - t0)
+    k_lo = 2
+    t_lo = timed(k_lo)
+    per_est = max((t_lo - min(sync_times)) / k_lo, 1e-4)
+    k_hi = max(k_lo * 8, min(256, int(6.0 / per_est)))
+    per = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
+    if not per > 0:
+        per = timed(k_hi) / k_hi
+    return per, float(np.percentile(sync_times, 50))
+
+
 def build_trainer(model_size: str, batch_size: int, history_len: int,
                   bf16: bool, remat=False, quant: int = 0,
                   int8_matmul: bool = True, prefix_cache: bool = True,
@@ -223,6 +287,29 @@ def serving_inputs(trainer, bf16: bool = True, train: bool = False):
     return params, arrays, prefix_len
 
 
+def resolve_bench_backbone(configured: str, llm_override: str):
+    """What backbone a --config bench should build. Returns the id to
+    set, or None to keep the configured one.
+
+    7B fp32 random-init exceeds single-chip HBM at init time, so "auto"
+    (the CLI default) downsizes to llama-1b EXCEPT when the configured
+    backbone is a bench-SIZED preset (moe-8x1b, mamba-130m, *-tiny...)
+    — clobbering those silently measures the wrong family (and crashes
+    on family-specific keys like expert_capacity). Bench-sized means
+    d_model < 4096: meta-llama/Llama-2-7b-hf is ALSO a preset (for the
+    --model CLI path), and auto keeping it silently turned the table's
+    llama-1b config rows into 7B rows (found 2026-08-19: ludb
+    "regressed" 265 -> 131 win/s because it was suddenly benching 6.6B
+    params). `--llm-override config` opts into a configured 7B
+    explicitly; any other explicit override always applies."""
+    if llm_override != "auto":
+        return llm_override
+    from medtsllm_tpu.models.llm.loader import is_preset, resolve_config
+    if is_preset(configured) and resolve_config(configured)[0].d_model < 4096:
+        return None
+    return "llama-1b"
+
+
 def bench_config(config_path: str, iters: int, warmup: int,
                  llm_override: str | None = "auto") -> dict:
     """Throughput for one of the reference-mirroring TOML configs
@@ -238,30 +325,11 @@ def bench_config(config_path: str, iters: int, warmup: int,
     cfg.setup.logger = "print"
     cfg.setup.num_workers = 0
     if cfg.model in ("medtsllm", "timellm") and llm_override not in (None, "config"):
-        # 7B fp32 random-init exceeds single-chip HBM at init time; bench
-        # the flagship pipeline with a bench-sized backbone unless local
-        # weights make the configured one loadable. "auto" (the CLI
-        # default) overrides with llama-1b EXCEPT when the configured
-        # backbone is already a bench-sized preset (moe-8x1b, mamba-130m,
-        # *-tiny) — clobbering those silently measures the wrong family
-        # (and crashes on family-specific keys like expert_capacity). An
-        # explicit --llm-override always applies.
         section = ("medtsllm" if "medtsllm" in cfg.models else "timellm")
-        from medtsllm_tpu.models.llm.loader import is_preset, resolve_config
-        if llm_override == "auto":
-            configured = cfg.models[section].llm.get("llm", "")
-            # "bench-sized" = preset with d_model < 4096: the 7B id is
-            # ALSO a preset (for the --model CLI path), but auto keeping
-            # it silently turned the table's llama-1b config rows into
-            # 7B rows (found 2026-08-19: ludb "regressed" 265->131 win/s
-            # because it was suddenly benching 6.6B params). --llm-
-            # override config opts into the configured 7B explicitly.
-            keep = (is_preset(configured)
-                    and resolve_config(configured)[0].d_model < 4096)
-            if not keep:
-                cfg.models[section].llm.llm = "llama-1b"
-        else:
-            cfg.models[section].llm.llm = llm_override
+        resolved = resolve_bench_backbone(
+            cfg.models[section].llm.get("llm", ""), llm_override)
+        if resolved is not None:
+            cfg.models[section].llm.llm = resolved
 
     capture = io.StringIO()
     with contextlib.redirect_stdout(capture):
@@ -270,16 +338,8 @@ def bench_config(config_path: str, iters: int, warmup: int,
         arrays = trainer.eval_model_inputs(batch)  # serving path (KV-cached
         params = trainer.params                    # prompt head if enabled)
 
-        import jax.numpy as jnp
-
-        def dispatch():
-            return trainer.eval_step(params, arrays)
-
-        def collect(outs):
-            return float(np.asarray(jax.device_get(
-                jnp.stack([o.sum() for o in outs]).sum())))
-
-        p50, p50_sync = measure_steps(dispatch, collect, iters, warmup)
+        p50, p50_sync = measure_eval_on_device(
+            trainer.eval_step, params, arrays, iters, warmup)
 
     bs = cfg.training.batch_size
     name = config_path.rsplit("/", 1)[-1].removesuffix(".toml")
@@ -600,22 +660,24 @@ def main():
 
             # successive train steps chain through params/opt_state, so
             # back-to-back dispatch still executes them serially on
-            # device — only the host sync moves off the per-step path
+            # device — only the host sync moves off the per-step path.
+            # (The on-device loop is eval-only: re-jitting the donated
+            # train step inside a loop would double its param memory.)
             def dispatch():
                 trainer.params, trainer.opt_state, loss = trainer.train_step(
                     trainer.params, trainer.opt_state, arrays, valid,
                     trainer._next_rng())
                 return loss
+
+            def collect(outs):
+                return float(np.asarray(jax.device_get(
+                    jnp.stack([o.sum() for o in outs]).sum())))
+
+            p50_batch, p50_sync = measure_steps(dispatch, collect,
+                                                args.iters, args.warmup)
         else:
-            def dispatch():
-                return trainer.eval_step(params, arrays)
-
-        def collect(outs):
-            return float(np.asarray(jax.device_get(
-                jnp.stack([o.sum() for o in outs]).sum())))
-
-        p50_batch, p50_sync = measure_steps(dispatch, collect,
-                                            args.iters, args.warmup)
+            p50_batch, p50_sync = measure_eval_on_device(
+                trainer.eval_step, params, arrays, args.iters, args.warmup)
     windows_per_sec = args.batch / p50_batch
     p50_window_ms = p50_batch / args.batch * 1e3
 

@@ -92,6 +92,51 @@ def test_noise_floor_falls_back_conservative(monkeypatch):
     assert per > 0
 
 
+def test_on_device_loop_estimator_runs_real_jax():
+    """measure_eval_on_device: the storm-proof estimator (one dispatch +
+    one readback per timing, loop-over-steps ON device with a traced
+    trip count). Drive it with a real jitted step on CPU and check the
+    contract: positive per-step, strictly below the sync time (which
+    contains a dispatch + readback), and tolerant of integer-only
+    inputs (no floating leaf to mix the index into)."""
+    import jax
+    import jax.numpy as jnp
+
+    def step(params, arrays):
+        return jnp.tanh(arrays["x_enc"] @ params["w"]).sum(axis=-1)
+
+    params = {"w": jnp.ones((64, 64))}
+    arrays = {"x_enc": jnp.ones((8, 64)), "index": jnp.arange(8)}
+    per, sync = bench.measure_eval_on_device(step, params, arrays,
+                                             iters=8, warmup=1)
+    assert 0 < per < sync
+
+    def int_step(params, arrays):
+        return (arrays["index"] * params["k"]).astype(jnp.float32)
+
+    per2, _ = bench.measure_eval_on_device(
+        int_step, {"k": jnp.int32(3)}, {"index": jnp.arange(8)}, 8, 1)
+    assert per2 > 0
+
+
+@pytest.mark.parametrize("configured,override,expect", [
+    # auto downsizes HF ids that need a snapshot
+    ("meta-llama/Llama-2-13b-hf", "auto", "llama-1b"),
+    # auto downsizes the 7B even though it IS a preset (6.6B random-init
+    # benched silently as a "config row" — the 2026-08-19 ludb incident)
+    ("meta-llama/Llama-2-7b-hf", "auto", "llama-1b"),
+    # auto keeps bench-sized presets (family-specific configs crash
+    # under a llama-1b override)
+    ("moe-8x1b", "auto", None),
+    ("mamba-130m", "auto", None),
+    ("llama-tiny", "auto", None),
+    # explicit override always applies
+    ("moe-8x1b", "llama-1b", "llama-1b"),
+])
+def test_config_bench_backbone_resolution(configured, override, expect):
+    assert bench.resolve_bench_backbone(configured, override) == expect
+
+
 def test_train_chaining_contract():
     """bench's train dispatch chains params/opt_state through successive
     dispatches, so back-to-back groups execute serially on device; the
