@@ -11,6 +11,7 @@ pipeline: an fp16 A100 (312 TFLOP/s peak, ~45% MFU) running the same
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -46,8 +47,8 @@ def wait_for_backend(retries: int = 15, probe_timeout: int = 180,
         "error": f"TPU tunnel unreachable for ~{retries * (probe_timeout + sleep_s) // 60}min "
                  "(infra outage, not a framework failure)",
         "last_measured": "BASELINE.md row 5m (driver default, on-chip "
-                         "2026-08-19, slope protocol, batch 8): "
-                         "188.0 win/s, 2.64x nominal A100",
+                         "2026-08-19, on-device-loop estimator, batch 8): "
+                         "192.9 win/s, 2.71x nominal A100",
     }))
     sys.exit(0)
 
@@ -178,6 +179,79 @@ def measure_eval_on_device(eval_step, params, arrays, iters: int,
     if not per > 0:
         per = timed(k_hi) / k_hi
     return per, float(np.percentile(sync_times, 50))
+
+
+def measure_train_on_device(train_step, params, opt_state, arrays, valid,
+                            base_rng, warmup: int):
+    """Train-step analogue of measure_eval_on_device: an ON-DEVICE
+    fori_loop whose carry threads (params, opt_state) through K real
+    optimizer steps, so the K_hi-vs-K_lo slope contains zero host cost.
+
+    The outer jit donates params/opt_state (the loop carry aliases the
+    donated input buffers), so the 7B backbone is NOT duplicated — the
+    old objection to looping the train step ("re-jitting the donated
+    step doubles its param memory") only applied to nesting the
+    already-jitted step without donating the outer arguments. The
+    per-iteration dropout key is fold_in(base_rng, i), matching the
+    host loop's fresh-key-per-step contract. The body is inherently
+    hoist-proof (params change every iteration), but the loop index is
+    still mixed into the first floating input for symmetry with the
+    eval estimator.
+
+    Returns (per_step_s, p50_sync_s, final_params, final_opt_state) —
+    the caller must adopt the returned state (inputs were donated).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves = [k for k, v in sorted(arrays.items())
+              if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)]
+    mix_key = leaves[0] if leaves else None
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_state, arrays, K):
+        def body(i, carry):
+            p, o, acc = carry
+            arr = arrays
+            if mix_key is not None:
+                arr = dict(arrays)
+                arr[mix_key] = arrays[mix_key] * (
+                    1.0 + i.astype(jnp.float32) * 1e-30)
+            rng = jax.random.fold_in(base_rng, i)
+            p, o, loss = train_step(p, o, arr, valid, rng)
+            return (p, o, acc + loss.astype(jnp.float32))
+        return jax.lax.fori_loop(
+            0, K, body, (params, opt_state, jnp.float32(0)))
+
+    state = [params, opt_state]
+
+    def timed(K, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            p, o, acc = run(state[0], state[1], arrays, K)
+            float(acc)  # host readback = execution barrier on the tunnel
+            state[0], state[1] = p, o
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    timed(1, reps=1)  # compile + absorb the first-exec stall
+    sync_times = []
+    for _ in range(max(3, warmup)):
+        t0 = time.perf_counter()
+        p, o, acc = run(state[0], state[1], arrays, 1)
+        float(acc)
+        state[0], state[1] = p, o
+        sync_times.append(time.perf_counter() - t0)
+    k_lo = 2
+    t_lo = timed(k_lo)
+    per_est = max((t_lo - min(sync_times)) / k_lo, 1e-4)
+    k_hi = max(k_lo * 8, min(256, int(6.0 / per_est)))
+    per = (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
+    if not per > 0:
+        per = timed(k_hi) / k_hi
+    return (per, float(np.percentile(sync_times, 50)),
+            state[0], state[1])
 
 
 def build_trainer(model_size: str, batch_size: int, history_len: int,
@@ -658,23 +732,13 @@ def main():
             trainer.opt_state = trainer.optimizer.init(params)
             valid = jnp.ones((args.batch,), bool)
 
-            # successive train steps chain through params/opt_state, so
-            # back-to-back dispatch still executes them serially on
-            # device — only the host sync moves off the per-step path.
-            # (The on-device loop is eval-only: re-jitting the donated
-            # train step inside a loop would double its param memory.)
-            def dispatch():
-                trainer.params, trainer.opt_state, loss = trainer.train_step(
-                    trainer.params, trainer.opt_state, arrays, valid,
-                    trainer._next_rng())
-                return loss
-
-            def collect(outs):
-                return float(np.asarray(jax.device_get(
-                    jnp.stack([o.sum() for o in outs]).sum())))
-
-            p50_batch, p50_sync = measure_steps(dispatch, collect,
-                                                args.iters, args.warmup)
+            # on-device fori_loop with (params, opt_state) as the carry
+            # (storm-immune, like the eval estimator); the outer jit
+            # donates the state so the backbone is not duplicated
+            p50_batch, p50_sync, trainer.params, trainer.opt_state = (
+                measure_train_on_device(
+                    trainer.train_step, trainer.params, trainer.opt_state,
+                    arrays, valid, trainer._next_rng(), args.warmup))
         else:
             p50_batch, p50_sync = measure_eval_on_device(
                 trainer.eval_step, params, arrays, args.iters, args.warmup)
