@@ -1,7 +1,11 @@
 """Optimizer + LR schedule construction on optax.
 
 Reference surface (tasks/base.py:87-141): adam / adamw(wd=0.01) /
-sgd(momentum=0.9, nesterov) / ranger; constant scheduler; finetuning either
+sgd(momentum=0.9, nesterov) / ranger21 (pytorch_optimizer.Ranger21,
+implemented here from the published composition — see the Ranger21 block
+below; "ranger" is kept as classic RAdam+Lookahead, a documented
+deviation from the reference's ranger->Ranger21 alias); constant
+scheduler; finetuning either
 freezes loaded params for `frozen_epochs` or warms them up over
 `warmup_epochs` with a linspace(warmup_factor, 1) factor.
 
@@ -184,7 +188,247 @@ def grad_accumulation(inner: optax.GradientTransformation, every: int,
     return optax.GradientTransformation(init, update)
 
 
-def _base_optimizer(name: str, lr):
+# ---------------------------------------------------------------------------
+# Ranger21 (Wright & Demeure 2021) — the reference's `ranger21`/`ranger`
+# optimizer (tasks/base.py:102-104, pytorch_optimizer.Ranger21). That
+# package is not importable in this image, so the composition is
+# implemented here from the published algorithm; each component below is
+# unit-tested against its documented behavior (tests/test_ranger21.py).
+# Components, in the order the torch step applies them:
+#   1. adaptive gradient clipping (AGC, Brock et al. 2021): per-unit
+#      g <- g * (clip * ||p||_unit / ||g||_unit) where ||g|| exceeds it;
+#   2. gradient centralization (Yong et al. 2020): subtract the mean over
+#      all-but-the-first axis for rank>=2 tensors;
+#   3. gradient normalization: g / (std(g) + eps);
+#   4. positive-negative momentum (Xie et al. 2021): two EMA buffers with
+#      decay beta1^2 updated on alternating steps; effective momentum
+#      ((1+b)*m_cur - b*m_prev) / sqrt((1+b)^2 + b^2) with b = 1.0;
+#   5. second moment nu = EMA(g^2, beta2) with Adam bias correction and a
+#      softplus(beta=50)-smoothed denominator;
+#   6. stable weight decay (Xie et al. 2020): p *= 1 - lr*wd/sqrt(mean nu_hat)
+#      where the mean runs over EVERY parameter scalar in the tree;
+#   7. norm loss (Georgiou et al. 2021): p *= 1 - lr*2*f*(1 - 1/||p||_unit);
+#   8. linear LR warmup over ~2/(1-beta2) steps and linear warmdown to
+#      min_lr over the final 28% of `num_iterations`;
+#   9. lookahead (k=5, alpha=0.5) on the updated fast weights.
+# ---------------------------------------------------------------------------
+
+
+def _unit_norm(x):
+    """L2 norm per 'unit' (output row): over all-but-axis-0 for rank>=2
+    tensors (keepdims, broadcastable back), whole-tensor for rank<=1."""
+    if x.ndim <= 1:
+        return jnp.sqrt(jnp.sum(jnp.square(x)))
+    axes = tuple(range(1, x.ndim))
+    return jnp.sqrt(jnp.sum(jnp.square(x), axis=axes, keepdims=True))
+
+
+def adaptive_grad_clip(p, g, clip: float = 1e-2, eps: float = 1e-3):
+    """AGC (Brock et al. 2021): clip each unit's gradient norm to at most
+    `clip` x the unit's parameter norm (parameter norm floored at `eps`)."""
+    p_norm = jnp.maximum(_unit_norm(p), eps)
+    g_norm = _unit_norm(g)
+    max_norm = p_norm * clip
+    scaled = g * (max_norm / jnp.maximum(g_norm, 1e-6))
+    return jnp.where(g_norm > max_norm, scaled, g)
+
+
+def centralize_gradient(g):
+    """Gradient centralization: zero-mean over all-but-axis-0 (rank>=2)."""
+    if g.ndim <= 1:
+        return g
+    axes = tuple(range(1, g.ndim))
+    return g - jnp.mean(g, axis=axes, keepdims=True)
+
+
+def normalize_gradient(g, eps: float = 1e-8):
+    """Whole-tensor std normalization (size>2 tensors only, like the torch
+    implementation, which needs >=2 dof for a std)."""
+    if g.size <= 2:
+        return g
+    return g / (jnp.std(g) + eps)
+
+
+def ranger21_lr(stepf, lr, num_warmup, warmdown_start, num_warmdown,
+                min_lr):
+    """Ranger21's internal LR schedule (factored out for unit tests):
+    linear warmup over `num_warmup` steps, flat, then linear warmdown to
+    `min_lr` from `warmdown_start` to `warmdown_start+num_warmdown`."""
+    lr_warm = lr * jnp.minimum(1.0, stepf / num_warmup)
+    prog = jnp.clip((stepf - warmdown_start) / max(num_warmdown, 1),
+                    0.0, 1.0)
+    return jnp.where(
+        stepf > warmdown_start,
+        jnp.maximum(lr_warm * (1.0 - prog) + min_lr * prog, min_lr),
+        lr_warm)
+
+
+class _Ranger21State(NamedTuple):
+    count: jnp.ndarray
+    pos_m: object   # PNM buffer updated on odd (1-based) steps
+    neg_m: object   # PNM buffer updated on even steps
+    nu: object      # second-moment EMA
+    slow: object    # lookahead slow weights
+
+
+def ranger21(learning_rate,
+             num_iterations: int,
+             betas=(0.9, 0.999),
+             eps: float = 1e-8,
+             weight_decay: float = 1e-4,
+             agc_clip: float = 1e-2,
+             agc_eps: float = 1e-3,
+             norm_loss_factor: float = 1e-4,
+             pnm_beta: float = 1.0,
+             use_softplus: bool = True,
+             beta_softplus: float = 50.0,
+             num_warmup: int | None = None,
+             num_warmdown: int | None = None,
+             min_lr: float = 3e-5,
+             lookahead_merge_time: int = 5,
+             lookahead_alpha: float = 0.5) -> optax.GradientTransformation:
+    """Ranger21 as one optax GradientTransformation (see block comment
+    above). `num_iterations` must be the total optimizer-step count of the
+    run (the reference computes len(train_dataloader) * epochs,
+    tasks/base.py:103). Warmup defaults to ceil(2/(1-beta2)) capped at
+    22% of the run; warmdown covers the final 28%, linear to `min_lr`.
+
+    Non-float params (int-quantized kernels under allow_int=True, whose
+    grads are float0) pass through with no state, like the rest of this
+    module. Known deviation: under grouped param labels (multi_transform)
+    the stable-weight-decay variance mean runs per GROUP, where the torch
+    implementation averages across all param groups at once."""
+    import math
+
+    beta1, beta2 = float(betas[0]), float(betas[1])
+    if num_warmup is None:
+        num_warmup = math.ceil(2.0 / (1.0 - beta2))
+        if num_warmup > num_iterations:
+            num_warmup = max(1, math.ceil(0.22 * num_iterations))
+    if num_warmdown is None:
+        num_warmdown = math.ceil(0.28 * num_iterations)
+    warmdown_start = max(num_iterations - num_warmdown, num_warmup)
+    noise_norm = math.sqrt((1.0 + pnm_beta) ** 2 + pnm_beta ** 2)
+
+    def _active(p):
+        return (hasattr(p, "dtype")
+                and jnp.issubdtype(p.dtype, jnp.floating))
+
+    def init(params):
+        def buf(p):
+            return (jnp.zeros_like(p) if _active(p)
+                    else jnp.zeros((0,), jnp.float32))
+        # slow weights are a REAL copy (params are donated by train steps)
+        return _Ranger21State(
+            count=jnp.zeros([], jnp.int32),
+            pos_m=jax.tree.map(buf, params),
+            neg_m=jax.tree.map(buf, params),
+            nu=jax.tree.map(buf, params),
+            slow=jax.tree.map(
+                lambda p: jnp.copy(p) if _active(p)
+                else jnp.zeros((0,), jnp.float32), params))
+
+    def update(grads, state, params=None):
+        if params is None:
+            raise ValueError("ranger21 requires params in update() — "
+                             "weight decay, norm loss and lookahead act "
+                             "on the parameters")
+        step = state.count + 1
+        stepf = step.astype(jnp.float32)
+        bc1 = 1.0 - beta1 ** stepf
+        bc2 = 1.0 - beta2 ** stepf
+
+        g_leaves, treedef = jax.tree.flatten(grads)
+        p_leaves = treedef.flatten_up_to(params)
+        pos_leaves = treedef.flatten_up_to(state.pos_m)
+        neg_leaves = treedef.flatten_up_to(state.neg_m)
+        nu_leaves = treedef.flatten_up_to(state.nu)
+        slow_leaves = treedef.flatten_up_to(state.slow)
+
+        def active(i):
+            return (_active(p_leaves[i]) and hasattr(g_leaves[i], "dtype")
+                    and g_leaves[i].dtype != jax.dtypes.float0)
+
+        # pass 1 — condition gradients, update nu, accumulate the global
+        # variance sum for stable weight decay
+        cond, new_nu = [], []
+        var_sum = jnp.zeros([], jnp.float32)
+        n_scalars = 0
+        for i, g in enumerate(g_leaves):
+            if not active(i):
+                cond.append(g)
+                new_nu.append(nu_leaves[i])
+                continue
+            p = p_leaves[i]
+            g = adaptive_grad_clip(p, g, agc_clip, agc_eps)
+            g = normalize_gradient(centralize_gradient(g))
+            nu = beta2 * nu_leaves[i] + (1.0 - beta2) * jnp.square(g)
+            cond.append(g)
+            new_nu.append(nu)
+            var_sum = var_sum + jnp.sum(nu.astype(jnp.float32)) / bc2
+            n_scalars += p.size
+        # sqrt of the mean bias-corrected second moment over every scalar
+        variance_normalized = jnp.sqrt(
+            jnp.maximum(var_sum / max(n_scalars, 1), 1e-12))
+
+        # internal LR schedule: linear warmup, linear warmdown to min_lr
+        sched_lr = ranger21_lr(stepf, jnp.asarray(learning_rate, jnp.float32),
+                               num_warmup, warmdown_start, num_warmdown,
+                               min_lr)
+
+        parity = (step % 2) == 1  # odd steps update pos_m
+        sync = (step % lookahead_merge_time) == 0
+        b1sq = beta1 ** 2
+        wd_scale = sched_lr * weight_decay / variance_normalized
+
+        updates, new_pos, new_neg, new_slow = [], [], [], []
+        for i, g in enumerate(cond):
+            if not active(i):
+                updates.append(g)
+                new_pos.append(pos_leaves[i])
+                new_neg.append(neg_leaves[i])
+                new_slow.append(slow_leaves[i])
+                continue
+            p = p_leaves[i]
+            pos, neg = pos_leaves[i], neg_leaves[i]
+            np_ = jnp.where(parity, b1sq * pos + (1.0 - b1sq) * g, pos)
+            nn_ = jnp.where(parity, neg, b1sq * neg + (1.0 - b1sq) * g)
+            cur = jnp.where(parity, np_, nn_)
+            other = jnp.where(parity, nn_, np_)
+            m_eff = ((1.0 + pnm_beta) * cur - pnm_beta * other) / noise_norm
+
+            de_nom = jnp.sqrt(new_nu[i] / bc2) + eps
+            if use_softplus:
+                de_nom = jax.nn.softplus(beta_softplus * de_nom) \
+                    / beta_softplus
+
+            # norm loss: pull each unit's norm toward 1
+            correction = 2.0 * norm_loss_factor \
+                * (1.0 - 1.0 / (_unit_norm(p) + eps))
+            # exact sequential form of the torch step:
+            #   p = p*(1-lr*wd/varnorm)*(1-lr*correction) - step_size*m/denom
+            scale = (1.0 - wd_scale) * (1.0 - sched_lr * correction)
+            u = (p * (scale - 1.0)
+                 - (sched_lr / bc1) * m_eff / de_nom).astype(p.dtype)
+
+            fast = p + u
+            slow = slow_leaves[i]
+            ns = jnp.where(sync, slow + lookahead_alpha * (fast - slow),
+                           slow).astype(slow.dtype)
+            updates.append(jnp.where(sync, ns - p, u).astype(p.dtype))
+            new_pos.append(np_)
+            new_neg.append(nn_)
+            new_slow.append(ns)
+
+        unflat = treedef.unflatten
+        return unflat(updates), _Ranger21State(
+            count=step, pos_m=unflat(new_pos), neg_m=unflat(new_neg),
+            nu=unflat(new_nu), slow=unflat(new_slow))
+
+    return optax.GradientTransformation(init, update)
+
+
+def _base_optimizer(name: str, lr, num_iterations=None):
     match name:
         case "adam":
             return optax.adam(lr)
@@ -192,19 +436,29 @@ def _base_optimizer(name: str, lr):
             return optax.adamw(lr, weight_decay=0.01)
         case "sgd":
             return optax.sgd(lr, momentum=0.9, nesterov=True)
-        case "ranger" | "ranger21":
-            # Ranger = RAdam + Lookahead; the reference pulls Ranger21
-            # from pytorch_optimizer (tasks/base.py:102-104)
+        case "ranger":
+            # classic Ranger = RAdam + Lookahead. DOCUMENTED DEVIATION:
+            # the reference aliases "ranger" to pytorch_optimizer.Ranger21
+            # (tasks/base.py:102-104); use "ranger21" for that behavior.
             return lookahead(optax.radam(lr))
+        case "ranger21":
+            if num_iterations is None:
+                raise ValueError(
+                    "ranger21 needs the total optimizer-step count for its "
+                    "warmup/warmdown schedule (the reference computes "
+                    "len(train_dataloader) * epochs, tasks/base.py:103); "
+                    "pass num_iterations to Optimizer(...)")
+            return ranger21(lr, num_iterations=num_iterations)
         case _:
             raise ValueError(f"Invalid optimizer selection: {name}")
 
 
 class Optimizer:
-    def __init__(self, config, param_labels=None):
+    def __init__(self, config, param_labels=None, num_iterations=None):
         t = config.training
         self.name = t.optimizer
         self.base_lr = float(t.learning_rate)
+        self.num_iterations = num_iterations
 
         scheduler_type = t.get("lr_scheduler")
         if scheduler_type not in (None, "none", "constant",
@@ -241,7 +495,8 @@ class Optimizer:
 
         def make():
             return optax.inject_hyperparams(
-                lambda learning_rate: _base_optimizer(self.name, learning_rate))(
+                lambda learning_rate: _base_optimizer(
+                    self.name, learning_rate, self.num_iterations))(
                 learning_rate=self.base_lr)
 
         self._grouped = param_labels is not None

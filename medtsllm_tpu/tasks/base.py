@@ -189,7 +189,12 @@ class BaseTask:
                 lambda p, l: overlay(p, l), labels)
         if set(jax.tree.leaves(labels)) == {"new"}:
             labels = None
-        return Optimizer(self.config, labels)
+        # ranger21's internal warmup/warmdown schedule needs the run's total
+        # optimizer-step count (reference tasks/base.py:103:
+        # len(train_dataloader) * epochs)
+        num_iter = (len(self.train_pipeline)
+                    * int(self.config.training.epochs))
+        return Optimizer(self.config, labels, num_iterations=num_iter)
 
     def build_loss(self):
         n_classes = getattr(self.train_dataset, "n_classes", 0)
