@@ -149,11 +149,19 @@ def measure_eval_on_device(eval_step, params, arrays, iters: int,
             arr = arrays
             if mix_key is not None:
                 arr = dict(arrays)
-                arr[mix_key] = arrays[mix_key] * (
+                # cast the product back so the timed graph keeps the
+                # production input dtype (no bf16->f32 promotion)
+                arr[mix_key] = (arrays[mix_key] * (
                     1.0 + i.astype(jnp.float32) * 1e-30)
+                ).astype(arrays[mix_key].dtype)
             out = eval_step(params, arr)
-            leaf = jax.tree.leaves(out)[0]
-            return acc + leaf.sum().astype(jnp.float32)
+            # force EVERY float leaf: a multi-output eval_step would get
+            # its unforced leaves dead-code-eliminated and under-measure
+            tot = jnp.float32(0)
+            for leaf in jax.tree.leaves(out):
+                if jnp.issubdtype(leaf.dtype, jnp.floating):
+                    tot = tot + leaf.sum().astype(jnp.float32)
+            return acc + tot
         return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
     def timed(K, reps=3):
@@ -215,8 +223,9 @@ def measure_train_on_device(train_step, params, opt_state, arrays, valid,
             arr = arrays
             if mix_key is not None:
                 arr = dict(arrays)
-                arr[mix_key] = arrays[mix_key] * (
+                arr[mix_key] = (arrays[mix_key] * (
                     1.0 + i.astype(jnp.float32) * 1e-30)
+                ).astype(arrays[mix_key].dtype)
             rng = jax.random.fold_in(base_rng, i)
             p, o, loss = train_step(p, o, arr, valid, rng)
             return (p, o, acc + loss.astype(jnp.float32))

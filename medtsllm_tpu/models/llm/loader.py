@@ -120,9 +120,22 @@ def find_snapshot(llm_id: str, cache_dir: str | None) -> Path | None:
     return None
 
 
+#: ln-family hidden activations the MLP dispatch maps (transformer.py
+#: MLP); validated here at LOAD time so an exotic snapshot fails with a
+#: clear message instead of a KeyError deep inside apply()
+KNOWN_LN_ACTS = ("gelu", "gelu_tanh", "gelu_new", "gelu_fast",
+                 "gelu_pytorch_tanh", "quick_gelu", "relu", "silu", "swish")
+
+
 def config_from_hf_json(path: Path) -> DecoderConfig:
     hf = json.loads((path / "config.json").read_text())
     model_type = hf.get("model_type", "gpt2")
+    act = hf.get("activation_function", hf.get("hidden_act"))
+    if (model_type in ("gpt2", "opt", "bart", "gpt_neox")
+            and act is not None and act not in KNOWN_LN_ACTS):
+        raise NotImplementedError(
+            f"{model_type} snapshot uses hidden activation {act!r}; "
+            f"supported: {KNOWN_LN_ACTS}")
     if model_type == "gpt2":
         return DecoderConfig(
             style="gpt2", vocab_size=hf["vocab_size"],

@@ -647,10 +647,22 @@ class MLP(nn.Module):
                                  "neox": "gelu", "bart": "gelu"}[cfg.style]
             if cfg.style == "gpt2":
                 act = "gelu_tanh"
-            h = {"gelu_tanh": lambda v: nn.gelu(v, approximate=True),
-                 "gelu_new": lambda v: nn.gelu(v, approximate=True),
-                 "gelu": lambda v: nn.gelu(v, approximate=False),
-                 "relu": nn.relu}[act](h)
+            acts = {"gelu_tanh": lambda v: nn.gelu(v, approximate=True),
+                    # HF aliases for the tanh approximation
+                    "gelu_new": lambda v: nn.gelu(v, approximate=True),
+                    "gelu_fast": lambda v: nn.gelu(v, approximate=True),
+                    "gelu_pytorch_tanh": lambda v: nn.gelu(v,
+                                                           approximate=True),
+                    "quick_gelu": lambda v: v * nn.sigmoid(1.702 * v),
+                    "gelu": lambda v: nn.gelu(v, approximate=False),
+                    "relu": nn.relu,
+                    "silu": nn.silu, "swish": nn.silu}
+            if act not in acts:
+                raise NotImplementedError(
+                    f"hidden activation {act!r} (from the snapshot's "
+                    "activation_function/hidden_act) is not mapped; known: "
+                    f"{sorted(acts)}")
+            h = acts[act](h)
             h = dense(cfg.d_model, True, "c_proj")(h)
             return nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
         if cfg.style == "t5":
@@ -1153,7 +1165,16 @@ class TransformerDecoder(nn.Module):
         offset = prefix_kv[0][0].shape[2] if prefix_kv is not None else 0
 
         if cfg.learned_positions:
-            p0 = offset + cfg.pos_offset  # opt positions start at 2
+            # opt positions start at 2 (HF OPTLearnedPositionalEmbedding).
+            # KNOWN DEVIATION: HF derives OPT positions from the
+            # attention-mask cumsum, so LEFT-padded real tokens keep
+            # positions 2..n; here positions are a fixed arange over the
+            # slot index. This framework left-pads prompts into grow-only
+            # buckets and masks padded slots out of attention AND loss, so
+            # within-framework numerics are self-consistent; HF parity is
+            # exact for unpadded batches (tests/test_hf_parity.py) and
+            # shifts by the pad count for padded ones.
+            p0 = offset + cfg.pos_offset
             x = x + self.wpe[None, p0:p0 + L, :].astype(x.dtype)
         if cfg.ln_family:
             x = self.embed_drop(x, deterministic=deterministic)
