@@ -160,6 +160,10 @@ class PatchTST(nn.Module):
             n_out = self.num_class if self.num_class > 2 else 1
             out = nn.Dense(self.seq_len * n_out, name="projection")(flat)
             if self.num_class > 2:
+                # KNOWN REFERENCE BUG not replicated: the reference
+                # reshapes to (B, self.pred_len, C) with pred_len
+                # hard-zeroed for non-forecasting (PatchTST.py:44,279) and
+                # crashes; seq_len is the intended target
                 out = out.reshape(out.shape[0], self.seq_len, self.num_class)
                 if not training:
                     out = nn.softmax(out, axis=-1)

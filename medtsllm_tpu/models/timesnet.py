@@ -14,7 +14,8 @@ import flax.linen as nn
 
 from ..ops.embed import DataEmbedding
 from ..ops.revin import masked_window_norm
-from ..ops.inception import InceptionBlockV1, fft_for_period
+from ..ops.inception import (InceptionBlockV1, fft_for_period,
+                             fold_conv_valid_mask)
 
 
 class TimesBlock(nn.Module):
@@ -35,11 +36,23 @@ class TimesBlock(nn.Module):
         conv1 = InceptionBlockV1(self.d_ff, self.num_kernels, name="conv1")
         conv2 = InceptionBlockV1(self.d_model, self.num_kernels, name="conv2")
 
+        # the reference runs conv -> gelu -> conv on the FOLDED image, so
+        # conv2 reads conv1's (nonzero) outputs in the zero-padded rows
+        # whenever T % period != 0 (TimesNet.py:267-307). Carry a 2T
+        # buffer between the stages (total padded length <= 2T-1 for any
+        # period <= T) and crop to T only after conv2 — parity verified by
+        # test_reference_oracle_systems.py::test_timesblock_period_fold.
+        xbuf = jnp.concatenate([x, jnp.zeros_like(x)], axis=1)  # [B, 2T, N]
         res = []
         for i in range(self.top_k):
-            out = conv1(x, periods[i])
-            out = nn.gelu(out, approximate=False)
-            out = conv2(out, periods[i])
+            mid = conv1(xbuf, periods[i], seq_len=T, out_len=2 * T)
+            mid = nn.gelu(mid, approximate=False)
+            # zero beyond the padded image so conv2's zero-'same'-padding
+            # reads match the reference
+            mid = jnp.where(
+                fold_conv_valid_mask(2 * T, T, periods[i])[None, :, None],
+                mid, 0.0)
+            out = conv2(mid, periods[i], seq_len=T, out_len=T)
             res.append(out)
         res = jnp.stack(res, axis=-1)  # [B, T, N, k]
 

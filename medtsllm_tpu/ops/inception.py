@@ -34,21 +34,43 @@ _kaiming_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 def fold_conv2d(x: jnp.ndarray, period: jnp.ndarray, kernel: jnp.ndarray,
-                bias: jnp.ndarray) -> jnp.ndarray:
-    """Composite-kernel 2D conv on the period-folded view of x.
+                bias: jnp.ndarray, seq_len: int | None = None,
+                out_len: int | None = None) -> jnp.ndarray:
+    """Composite-kernel 2D conv on the period-folded view of an image
+    BUFFER.
 
-    x: [B, T, Nin]; period: traced int scalar; kernel: [K, K, Nin, Nout]
-    (K odd, 'same' zero padding on the folded image); bias: [Nout].
-    Returns [B, T, Nout] (the first T outputs of the folded conv, i.e. the
-    reference's crop `out[:, :seq_len+pred_len]`, TimesNet.py:310).
+    x: [B, Lbuf, Nin] — the folded image flattened row-major, valid at
+    positions [0, total) where total = ceil(seq_len/period) * period is
+    the reference's zero-padded image length (TimesNet.py:290-296); the
+    buffer MUST hold zeros at [seq_len, Lbuf) when it carries the raw
+    series, and the caller masks intermediate buffers beyond `total`
+    (fold_conv_valid_mask). period: traced int scalar; kernel:
+    [K, K, Nin, Nout] (K odd, 'same' zero padding on the folded image);
+    bias: [Nout]; seq_len: the original series length T (defaults to
+    Lbuf); out_len: number of output positions to produce (defaults to
+    Lbuf; pass T for the final stage — the reference's crop
+    `out[:, :seq_len+pred_len]`, TimesNet.py:310).
+
+    Stacked stages must see each other's PADDED-ROW values: for
+    total > seq_len the first conv's outputs at positions
+    [seq_len, total) are nonzero (bias + taps of real data) and the
+    reference's second conv reads them from the folded image
+    (TimesNet.py:267-279 conv -> gelu -> conv on the same image). Hence
+    the buffer semantics: produce out_len = 2*seq_len positions for
+    intermediate stages (total <= 2*seq_len - 1 for any period <=
+    seq_len), crop to seq_len only at the last stage. Caught by the
+    executed oracle tests/test_reference_oracle_systems.py::
+    test_timesblock_period_fold_oracle.
     """
-    B, T, Nin = x.shape
+    B, Lbuf, Nin = x.shape
+    T = seq_len if seq_len is not None else Lbuf
+    out_len = out_len if out_len is not None else Lbuf
     K = kernel.shape[0]
     c = K // 2
     Nout = kernel.shape[-1]
 
     p = period.astype(jnp.int32)
-    t = jnp.arange(T, dtype=jnp.int32)
+    t = jnp.arange(out_len, dtype=jnp.int32)
     j = jnp.mod(t, p)
     cycles = (T + p - 1) // p
     total = cycles * p  # padded image length
@@ -61,16 +83,26 @@ def fold_conv2d(x: jnp.ndarray, period: jnp.ndarray, kernel: jnp.ndarray,
         (di, dj), w_tap = inp
         s = t + di * p + dj
         jj = j + dj
-        valid = (jj >= 0) & (jj < p) & (s >= 0) & (s < total) & (s < T)
-        sc = jnp.clip(s, 0, T - 1)
-        vals = jnp.take(x, sc, axis=1)  # [B, T, Nin]
+        valid = (jj >= 0) & (jj < p) & (s >= 0) & (s < total) & (s < Lbuf)
+        sc = jnp.clip(s, 0, Lbuf - 1)
+        vals = jnp.take(x, sc, axis=1)  # [B, out_len, Nin]
         vals = jnp.where(valid[None, :, None], vals, 0.0)
         return carry + jnp.einsum("btn,no->bto", vals, w_tap,
                                   preferred_element_type=carry.dtype), None
 
-    init = jnp.zeros((B, T, Nout), dtype=x.dtype)
+    init = jnp.zeros((B, out_len, Nout), dtype=x.dtype)
     out, _ = jax.lax.scan(tap, init, (off, w.astype(x.dtype)))
     return out + bias.astype(x.dtype)
+
+
+def fold_conv_valid_mask(out_len: int, seq_len: int,
+                         period: jnp.ndarray) -> jnp.ndarray:
+    """[out_len] bool mask of positions inside the padded image
+    (< ceil(seq_len/period)*period); intermediate buffers must be zeroed
+    beyond it so the next stage's zero-'same'-padding semantics hold."""
+    p = period.astype(jnp.int32)
+    total = ((seq_len + p - 1) // p) * p
+    return jnp.arange(out_len, dtype=jnp.int32) < total
 
 
 class InceptionBlockV1(nn.Module):
@@ -101,9 +133,11 @@ class InceptionBlockV1(nn.Module):
         return combined, bias
 
     @nn.compact
-    def __call__(self, x, period):
+    def __call__(self, x, period, seq_len: int | None = None,
+                 out_len: int | None = None):
         kernel, bias = self.composite_kernel(x.shape[-1], x.dtype)
-        return fold_conv2d(x, period, kernel, bias)
+        return fold_conv2d(x, period, kernel, bias,
+                           seq_len=seq_len, out_len=out_len)
 
 
 class InceptionBlockV2(nn.Module):
@@ -114,7 +148,8 @@ class InceptionBlockV2(nn.Module):
     num_kernels: int = 6
 
     @nn.compact
-    def __call__(self, x, period):
+    def __call__(self, x, period, seq_len: int | None = None,
+                 out_len: int | None = None):
         in_channels = x.shape[-1]
         n_branches = 2 * (self.num_kernels // 2) + 1
         K_max = 2 * (self.num_kernels // 2) + 1
@@ -145,7 +180,8 @@ class InceptionBlockV2(nn.Module):
         biases.append(b1)
         combined = combined / n_branches
         bias = sum(biases) / n_branches
-        return fold_conv2d(x, period, combined, bias)
+        return fold_conv2d(x, period, combined, bias,
+                           seq_len=seq_len, out_len=out_len)
 
 
 def fft_for_period(x: jnp.ndarray, k: int = 2):
