@@ -104,8 +104,12 @@ class ProbAttention(nn.Module):
         sample_idx = jnp.linspace(0, L_K - 1, U_part).astype(jnp.int32)
         k_sample = k[:, :, sample_idx, :]  # [B,H,U,D]
         scores_sample = jnp.einsum("bhld,bhud->bhlu", q, k_sample)
-        # sparsity measure M = max - mean
-        M = jnp.max(scores_sample, axis=-1) - jnp.mean(scores_sample, axis=-1)
+        # sparsity measure M = max - sum/L_K: the reference divides the
+        # SAMPLED sum by the FULL key count (SelfAttention_Family.py:120),
+        # not by sample_k — not a mean; parity pinned by
+        # test_reference_oracle_systems.py::test_prob_attention_sparse
+        M = (jnp.max(scores_sample, axis=-1)
+             - jnp.sum(scores_sample, axis=-1) / L_K)
         _, top_idx = jax.lax.top_k(M, u)  # [B,H,u]
 
         q_top = jnp.take_along_axis(q, top_idx[..., None], axis=2)  # [B,H,u,D]

@@ -102,6 +102,13 @@ class _RefCfg:
         for k, v in d.items():
             setattr(self, k, _RefCfg(v) if isinstance(v, dict) else v)
 
+    # the dict-ish surface the reference's dict_to_object configs expose
+    def get(self, key, default=None):
+        return getattr(self, key, default)
+
+    def __contains__(self, key):
+        return hasattr(self, key)
+
 
 # ===========================================================================
 # PatchTST — full model, every task head (PatchTST.py:9-345)
@@ -320,3 +327,456 @@ def test_timesblock_period_fold_oracle(ref):
     got = mine.apply(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), ref_out.numpy(),
                                rtol=5e-4, atol=5e-4)
+
+
+# ===========================================================================
+# FEDformer — full model, Fourier version (FEDformer.py:18-306)
+# ===========================================================================
+
+
+def proj4(mod):  # AutoCorrelationLayer / AttentionLayer projections
+    return {"query_projection": lin(mod.query_projection),
+            "key_projection": lin(mod.key_projection),
+            "value_projection": lin(mod.value_projection),
+            "out_projection": lin(mod.out_projection)}
+
+
+def conv_k1_nobias(mod):  # Conv1d k=1 bias=False -> Dense kernel
+    return {"kernel": t2j(mod.weight)[:, :, 0].T}
+
+
+def _fed_cfg(task, version, n_classes=0, seq=32, pred=16):
+    return _RefCfg({
+        "task": task, "history_len": seq,
+        "pred_len": pred if task == "forecasting" else seq,
+        "models": {"fedformer": {
+            "version": version, "mode_select": "low", "modes": 8,
+            "label_len": seq // 2, "e_layers": 2, "d_layers": 1,
+            "d_model": 16, "n_heads": 8, "d_ff": 32, "moving_avg": 13,
+            "activation": "gelu"}},
+        "training": {"dropout": 0.0},
+        "tasks": {"segmentation": {"mode": "boundary-prediction"}},
+    })
+
+
+def _fedformer_pair(ref, task, version, n_classes=0, seq=32, pred=16):
+    from medtsllm_tpu.models.fedformer import FEDformer
+    cfg = _fed_cfg(task, version, n_classes, seq, pred)
+    ds = types.SimpleNamespace(n_features=3, n_classes=n_classes)
+    m = ref.fedformer.FEDformer(cfg, ds)
+    m.eval()
+    _perturb(m, seed=51, scale=0.05)
+    mine = FEDformer.from_config(cfg, ds)
+    return m, mine
+
+
+def _copy_fedformer(m, version, e_layers=2, d_layers=1, task="forecasting"):
+    params = {
+        "enc_embedding": {"value_embedding":
+                          token_conv(m.enc_embedding.value_embedding)},
+        "encoder": {"norm": {"layernorm": ln(m.encoder.norm.layernorm)}},
+    }
+    for i, el in enumerate(m.encoder.attn_layers):
+        params[f"enc_attn_{i}"] = proj4(el.attention)
+        params[f"enc_layer_{i}"] = {"conv1": conv_k1_nobias(el.conv1),
+                                    "conv2": conv_k1_nobias(el.conv2)}
+    if version == "Fourier":
+        # the torch model SHARES one FourierBlock instance across all
+        # encoder layers (FEDformer.py:105,133) — flax mirrors the sharing
+        # (one FourierBlock_0 bound at the model scope)
+        fb = m.encoder.attn_layers[0].attention.inner_correlation
+        params["FourierBlock_0"] = {"weights1": t2j(fb.weights1),
+                                    "weights2": t2j(fb.weights2)}
+    if task == "forecasting":
+        params["dec_embedding"] = {"value_embedding":
+                                   token_conv(m.dec_embedding.value_embedding)}
+        params["decoder"] = {
+            "norm": {"layernorm": ln(m.decoder.norm.layernorm)},
+            "projection": lin(m.decoder.projection)}
+        for i, dl in enumerate(m.decoder.layers):
+            params[f"dec_self_{i}"] = proj4(dl.self_attention)
+            params[f"dec_cross_{i}"] = proj4(dl.cross_attention)
+            params[f"dec_layer_{i}"] = {
+                "conv1": conv_k1_nobias(dl.conv1),
+                "conv2": conv_k1_nobias(dl.conv2),
+                "projection": {"kernel": jnp.transpose(
+                    t2j(dl.projection.weight), (2, 1, 0))}}
+        if version == "Fourier":
+            dsb = m.decoder.layers[0].self_attention.inner_correlation
+            params["FourierBlock_1"] = {"weights1": t2j(dsb.weights1),
+                                        "weights2": t2j(dsb.weights2)}
+            dcb = m.decoder.layers[0].cross_attention.inner_correlation
+            params["FourierCrossAttention_0"] = {
+                "weights1": t2j(dcb.weights1), "weights2": t2j(dcb.weights2)}
+    if hasattr(m, "projection"):
+        params["projection"] = lin(m.projection)
+    return {"params": params}
+
+
+@pytest.mark.parametrize("task,n_classes", [
+    ("forecasting", 0),
+    ("reconstruction", 0),
+    ("classification", 5),
+])
+def test_fedformer_fourier_full_model_oracle(ref, task, n_classes):
+    m, mine = _fedformer_pair(ref, task, "Fourier", n_classes)
+    x = _rand(2, 32, 3, seed=52)
+    inputs = {"x_enc": torch.from_numpy(x)}
+    if task == "classification":
+        inputs["x_mark_enc"] = torch.ones(2, 32)
+    with torch.no_grad():
+        ref_out = m(inputs)
+    got = mine.apply(_copy_fedformer(m, "Fourier", task=task),
+                     {"x_enc": jnp.asarray(x)}, training=False)
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(),
+                               rtol=5e-4, atol=5e-4)
+
+
+# ===========================================================================
+# MultiWavelet modules (MultiWaveletCorrelation.py:257-492) — the hairiest
+# static-shape redesigns (VERDICT r3 item 7)
+# ===========================================================================
+
+
+def _mwt_params(t):
+    def sk(s):
+        return {"weights1": t2j(s.weights1), "weights2": t2j(s.weights2)}
+    cz = t.MWT_CZ[0]
+    return {"Lk0": lin(t.Lk0), "Lk1": lin(t.Lk1),
+            "MWT_CZ_0": {"A": sk(cz.A), "B": sk(cz.B), "C": sk(cz.C),
+                         "T0": lin(cz.T0)}}
+
+
+@pytest.mark.parametrize("L_seq", [16, 12])  # 12: non-power-of-2 wraparound
+def test_multiwavelet_transform_oracle(ref, L_seq):
+    from medtsllm_tpu.ops.wavelets import MultiWaveletTransform
+    B, H, E = 2, 8, 2  # ich = 16
+    m = ref.mwt.MultiWaveletTransform(ich=16, k=2, alpha=4, c=4, nCZ=1,
+                                      L=0, base="legendre")
+    m.eval()
+    _perturb(m, seed=61, scale=0.05)
+    q = _rand(B, L_seq, H, E, seed=62)
+    kv = _rand(B, L_seq, H, E, seed=63)
+    v = _rand(B, L_seq, H, E, seed=64)
+    with torch.no_grad():
+        ref_out, _ = m(torch.from_numpy(q), torch.from_numpy(kv),
+                       torch.from_numpy(v), None)
+
+    mine = MultiWaveletTransform(ich=16, k=2, alpha=4, c=4, nCZ=1, L=0,
+                                 base="legendre")
+    got, _ = mine.apply({"params": _mwt_params(m)}, jnp.asarray(q),
+                        jnp.asarray(kv), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_multiwavelet_cross_oracle(ref):
+    """Cross attention over the wavelet decomposition: decompose q/k/v,
+    FourierCrossAttentionW at every scale, reconstruct
+    (MultiWaveletCorrelation.py:395-470). seq_len_q > seq_len_kv
+    exercises the k/v zero-extension branch."""
+    from medtsllm_tpu.ops.wavelets import MultiWaveletCross
+    B, H, E = 2, 8, 2  # ich = 16
+    Nq, Skv = 24, 16
+    m = ref.mwt.MultiWaveletCross(
+        in_channels=16, out_channels=16, seq_len_q=Nq, seq_len_kv=Skv,
+        modes=8, c=4, k=4, ich=16, L=0, base="legendre", activation="tanh")
+    m.eval()
+    _perturb(m, seed=65, scale=0.05)
+    q = _rand(B, Nq, H, E, seed=66)
+    kk = _rand(B, Skv, H, E, seed=67)
+    v = _rand(B, Skv, H, E, seed=68)
+    with torch.no_grad():
+        ref_out, _ = m(torch.from_numpy(q), torch.from_numpy(kk),
+                       torch.from_numpy(v), None)
+
+    mine = MultiWaveletCross(
+        in_channels=16, out_channels=16, seq_len_q=Nq, seq_len_kv=Skv,
+        modes=8, c=4, k=4, ich=16, L=0, base="legendre", activation="tanh")
+    params = {"Lq": lin(m.Lq), "Lk": lin(m.Lk), "Lv": lin(m.Lv),
+              "out": lin(m.out)}
+    got, _ = mine.apply({"params": params}, jnp.asarray(q),
+                        jnp.asarray(kk), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_fedformer_wavelets_full_model_oracle(ref):
+    """The whole Wavelets FEDformer forecast path: MWT encoder self-attn
+    (shared instance), MWT decoder self-attn, MultiWaveletCross
+    decoder cross-attn, trend/seasonal decomposition stack."""
+    m, mine = _fedformer_pair(ref, "forecasting", "Wavelets")
+    params = _copy_fedformer(m, "Wavelets", task="forecasting")["params"]
+
+    enc_mwt = m.encoder.attn_layers[0].attention.inner_correlation
+    dec_mwt = m.decoder.layers[0].self_attention.inner_correlation
+    dec_mwc = m.decoder.layers[0].cross_attention.inner_correlation
+    params["MultiWaveletTransform_0"] = _mwt_params(enc_mwt)
+    params["MultiWaveletTransform_1"] = _mwt_params(dec_mwt)
+    params["MultiWaveletCross_0"] = {
+        "Lq": lin(dec_mwc.Lq), "Lk": lin(dec_mwc.Lk),
+        "Lv": lin(dec_mwc.Lv), "out": lin(dec_mwc.out)}
+
+    x = _rand(2, 32, 3, seed=69)
+    with torch.no_grad():
+        ref_out = m({"x_enc": torch.from_numpy(x)})
+    got = mine.apply({"params": params}, {"x_enc": jnp.asarray(x)},
+                     training=False)
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(),
+                               rtol=1e-3, atol=1e-3)
+
+
+# ===========================================================================
+# ProbAttention (SelfAttention_Family.py:92-192) — static-shape rewrite
+# ===========================================================================
+
+
+def _prob_pair(ref, mask_flag, factor):
+    from medtsllm_tpu.ops.attention import ProbAttention
+    m = ref.attn.ProbAttention(mask_flag=mask_flag, factor=factor,
+                               attention_dropout=0.0,
+                               output_attention=False)
+    m.eval()
+    mine = ProbAttention(mask_flag=mask_flag, factor=factor,
+                         attention_dropout=0.0, output_attention=False)
+    return m, mine
+
+
+# NOTE (latent reference bug, found by these oracles): the reference
+# ProbAttention returns context in [B, H, L, D] WITHOUT transposing back
+# to [B, L, H, D] (SelfAttention_Family.py:190 `context.contiguous()`),
+# so AttentionLayer's `out.view(B, L, -1)` would scramble heads across
+# positions. No reference model instantiates ProbAttention (dead
+# surface), so nothing downstream trips it. This implementation returns
+# the correct [B, L, H, D]; the oracles compare against the reference's
+# output transposed.
+
+
+@pytest.mark.parametrize("mask_flag", [False, True])
+def test_prob_attention_full_coverage_oracle(ref, mask_flag):
+    """factor large enough that U_part == L_K and u == L_Q: every query is
+    'top' and attends all keys, so the reference's randint sampling cannot
+    affect the output — parity is exact and deterministic."""
+    m, mine = _prob_pair(ref, mask_flag, factor=64)
+    B, L, H, D = 2, 16, 4, 8
+    q, k, v = (_rand(B, L, H, D, seed=s) for s in (71, 72, 73))
+    with torch.no_grad():
+        ref_out, _ = m(torch.from_numpy(q), torch.from_numpy(k),
+                       torch.from_numpy(v), None)
+    got, _ = mine.apply({"params": {}}, jnp.asarray(q), jnp.asarray(k),
+                        jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got),
+                               ref_out.numpy().swapaxes(1, 2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_prob_attention_sparse_oracle(ref, monkeypatch):
+    """The PARTIAL path (u < L_Q): pin the reference's randint key sample
+    to the same strided set this implementation uses (a documented
+    deviation — reference samples uniformly per query,
+    attention.py:102-104), then the sparsity measure, top-u selection,
+    prior context, and scatter-update must agree exactly."""
+    m, mine = _prob_pair(ref, mask_flag=False, factor=1)
+    B, L, H, D = 2, 32, 4, 8
+    # factor=1 at L=32: U_part = u = ceil(ln 32) = 4 < 32
+    q, k, v = (_rand(B, L, H, D, seed=s) for s in (74, 75, 76))
+
+    strided = np.linspace(0, L - 1, 4).astype(np.int64)  # U_part = 4
+
+    def fake_randint(high, size, **kw):
+        assert high == L and size == (L, 4)
+        return torch.from_numpy(np.tile(strided, (L, 1)))
+
+    monkeypatch.setattr(torch, "randint", fake_randint)
+    with torch.no_grad():
+        ref_out, _ = m(torch.from_numpy(q), torch.from_numpy(k),
+                       torch.from_numpy(v), None)
+    got, _ = mine.apply({"params": {}}, jnp.asarray(q), jnp.asarray(k),
+                        jnp.asarray(v))
+    ref_np = ref_out.numpy().swapaxes(1, 2)  # reference layout bug, above
+    # sanity: the sparse path really differs from dense attention (the
+    # prior rows are means, not attention outputs)
+    dense = torch.softmax(
+        torch.einsum("blhd,bshd->bhls", torch.from_numpy(q),
+                     torch.from_numpy(k)) / np.sqrt(D), -1)
+    dense = torch.einsum("bhls,bshd->blhd", dense,
+                         torch.from_numpy(v)).numpy()
+    assert not np.allclose(ref_np, dense, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got), ref_np,
+                               rtol=1e-4, atol=1e-5)
+
+
+# ===========================================================================
+# MedTsLLM flagship — the WHOLE pipeline executed against the reference
+# (models/medtsllm.py), both sides loading the same tiny local GPT-2
+# snapshot: RevIN -> patch conv -> vocab mapping -> reprogramming ->
+# backbone -> downsample -> FlattenHead -> denorm.
+# (The reference's llm.enabled=false path cannot execute: predict()
+# unconditionally dereferences self.llm which setup_llm only assigns when
+# enabled (medtsllm.py:227-228,346) — documented reference bug #6 in
+# MIGRATION.md — so the oracle runs the ENABLED path instead, which
+# covers strictly more.)
+# ===========================================================================
+
+
+def _tiny_gpt2_snapshot(tmp_path):
+    import json as _json
+
+    from safetensors.torch import save_file
+    from transformers import GPT2Config, GPT2Model
+    hf_cfg = GPT2Config(vocab_size=96, n_positions=64, n_embd=32,
+                        n_layer=2, n_head=4, resid_pdrop=0.0,
+                        embd_pdrop=0.0, attn_pdrop=0.0)
+    torch.manual_seed(7)
+    hf = GPT2Model(hf_cfg).eval()
+    snap = tmp_path / "snap"
+    snap.mkdir()
+    (snap / "config.json").write_text(_json.dumps(hf_cfg.to_dict()))
+    state = {k: v.clone().contiguous()
+             for k, v in hf.state_dict().items()}
+    save_file(state, str(snap / "model.safetensors"))
+    # minimal GPT-2 tokenizer files so the reference's AutoTokenizer
+    # loads (only pad/eos handling is exercised: prompting is off)
+    vocab = {"<|endoftext|>": 0}
+    vocab.update({chr(33 + i): i + 1 for i in range(60)})
+    (snap / "vocab.json").write_text(_json.dumps(vocab))
+    (snap / "merges.txt").write_text("#version: 0.2\n")
+    (snap / "tokenizer_config.json").write_text(
+        _json.dumps({"tokenizer_class": "GPT2Tokenizer"}))
+    return snap
+
+
+def _flagship_cfg_dict(snap, covariate_mode):
+    return {
+        "DEBUG": True,
+        "task": "reconstruction", "model": "medtsllm",
+        "history_len": 32, "pred_len": 32,
+        "data": {"dataset": "synthetic", "mode": "multivariate",
+                 "cols": "all", "normalize": True, "step": 16},
+        "datasets": {"synthetic": {"n_points": 256, "n_features": 3}},
+        "models": {"medtsllm": {
+            "d_model": 16, "d_ff": 24, "n_heads": 4, "num_tokens": 40,
+            "covariate_mode": covariate_mode,
+            "embedding_downsample_mode": "linear",
+            "patching": {"patch_len": 8, "stride": 4},
+            "prompting": {"dataset": False, "task": False, "clip": False,
+                          "input_stats": False, "examples": False,
+                          "input_stats_dim": 0,
+                          "input_stats_select": "all"},
+            "llm": {"enabled": True, "llm": str(snap), "llm_layers": -1,
+                    "load_in_4bit": False, "load_in_8bit": False},
+        }},
+        "training": {"epochs": 1, "batch_size": 2, "optimizer": "adam",
+                     "learning_rate": 1e-3, "dropout": 0.0, "loss": "mse",
+                     "eval_metric": "mse", "eval_metric_direction": "min"},
+        "tasks": {"segmentation": {"mode": "boundary-prediction"}},
+        "setup": {"seed": 0, "device": "cpu", "dtype": "float32",
+                  "num_workers": 0, "logger": "print"},
+    }
+
+
+@pytest.mark.parametrize("covariate_mode", ["concat", "independent", "add"])
+def test_medtsllm_flagship_pipeline_oracle(ref, tmp_path, covariate_mode):
+    from medtsllm_tpu.config import Config
+    from medtsllm_tpu.data import get_dataset
+    from medtsllm_tpu.models import build_model
+    from medtsllm_tpu.models.medtsllm import MedTsLLM
+
+    snap = _tiny_gpt2_snapshot(tmp_path)
+    cfg_dict = _flagship_cfg_dict(snap, covariate_mode)
+    my_cfg = Config(cfg_dict)
+    dataset = get_dataset(my_cfg, "train")
+
+    # --- reference model on the same snapshot -------------------------
+    m = ref.medtsllm.MedTsLLM(_RefCfg(cfg_dict), dataset)
+    m.eval()
+    with torch.no_grad():  # break default inits on the fusion layers
+        for name, p in m.named_parameters():
+            # keep the backbone AND its word-embedding copy (the model
+            # registers wte as a top-level Parameter, medtsllm.py:219-222;
+            # this side reads it from the snapshot)
+            if not name.startswith("llm.") and name != "word_embeddings":
+                p.add_(torch.from_numpy(_rand(*p.shape, seed=81) * 0.05))
+
+    # --- mine, backbone loaded from the SAME snapshot ------------------
+    model = build_model(my_cfg, dataset)
+    pre = MedTsLLM.make_preprocessor(my_cfg, dataset, model)
+    x = _rand(2, 32, 3, seed=82)
+    arrays = pre({"x_enc": x})
+    rng = jax.random.PRNGKey(0)
+    params = dict(model.init({"params": rng, "dropout": rng}, arrays,
+                             training=False)["params"])
+    params = model.pretrained_param_loader()(params)
+
+    # copy the fusion layers torch -> flax
+    params["mapping_layer"] = lin(m.mapping_layer)
+    params["patch_embedding"] = {"value_embedding": token_conv(
+        m.patch_embedding.value_embedding)}
+    params["reprogramming_layer"] = proj4(m.reprogramming_layer)
+    params["output_projection"] = lin(m.output_projection.linear)
+    params["embedding_downsample_layer"] = lin(m.embedding_downsample_layer)
+
+    with torch.no_grad():
+        ref_out = m({"x_enc": torch.from_numpy(x)})
+    got = model.apply({"params": params}, arrays, training=False)
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("stats_dim", [0, "all"])
+def test_medtsllm_prompt_text_oracle(ref, tmp_path, stats_dim):
+    """The PROMPT TEXT itself, executed against the reference's
+    build_prompt/build_input_stats_prompt (medtsllm.py:386-495): dataset/
+    clip/stats/task parts, float and trend formatting, torch-median
+    (lower-middle) semantics, FFT autocorrelation lags. Compared with the
+    bos token stripped (the tokenizers differ; everything after it must
+    match byte-for-byte)."""
+    from medtsllm_tpu.config import Config
+    from medtsllm_tpu.data import get_dataset
+    from medtsllm_tpu.models import build_model
+    from medtsllm_tpu.models.medtsllm import MedTsLLM, PromptBuilder
+
+    snap = _tiny_gpt2_snapshot(tmp_path)
+    cfg_dict = _flagship_cfg_dict(snap, "concat")
+    p = cfg_dict["models"]["medtsllm"]["prompting"]
+    p.update({"dataset": True, "task": True, "clip": True,
+              "input_stats": True, "input_stats_dim": stats_dim})
+    my_cfg = Config(cfg_dict)
+    dataset = get_dataset(my_cfg, "train")
+
+    m = ref.medtsllm.MedTsLLM(_RefCfg(cfg_dict), dataset)
+    m.eval()
+
+    x = _rand(2, 32, 3, seed=91)
+    descriptions = ["Clip A: patient resting.", "Clip B: patient walking."]
+    ref_parts = m.build_prompt({"x_enc": torch.from_numpy(x),
+                                "descriptions": descriptions})
+    ref_texts = ["".join(parts) for parts in ref_parts]
+    ref_bos = m.tokenizer.bos_token or ""
+
+    model = build_model(my_cfg, dataset)
+    pb = PromptBuilder(my_cfg, dataset, model)
+    pre, post = pb.build_prompts({"x_enc": x, "descriptions": descriptions})
+    my_texts = ["".join(pre[b] + post[b]) for b in range(2)]
+    my_bos = pb.bos or ""
+
+    import re
+
+    def split_lags(text):
+        """Extract the lag list: circular autocorrelation is symmetric
+        (corr[l] == corr[N-l] exactly), so lag l always ties its mirror
+        N-l and torch.topk's heap order is not a reproducible rule —
+        compare lags modulo the mirror equivalence, the rest
+        byte-for-byte."""
+        mm = re.search(r"lags are \[([^\]]*)\]", text)
+        lags = [int(v) for v in mm.group(1).split(",")]
+        return text[:mm.start(1)] + text[mm.end(1):], \
+            sorted(min(v, 32 - v) for v in lags)
+
+    for b in range(2):
+        assert ref_texts[b].startswith(ref_bos)
+        assert my_texts[b].startswith(my_bos)
+        ref_body, ref_lags = split_lags(ref_texts[b][len(ref_bos):])
+        my_body, my_lags = split_lags(my_texts[b][len(my_bos):])
+        assert my_body == ref_body
+        assert my_lags == ref_lags
