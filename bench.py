@@ -349,7 +349,9 @@ def serving_inputs(trainer, bf16: bool = True, train: bool = False):
     import jax
     batch = next(iter(trainer.val_pipeline))
     arrays = trainer.model_inputs(batch)
-    prefix_len = (int(arrays["prefix_ids"].shape[0])
+    # token count of the cached head: shape [P] for the constant head,
+    # [B, P] for the per-clip head (clip_head) — P is the LAST axis
+    prefix_len = (int(arrays["prefix_ids"].shape[-1])
                   if "prefix_ids" in arrays else 0)
     if "prefix_ids" in arrays:
         use_cache = (getattr(trainer.model, "train_prefix_cache_safe",
@@ -433,6 +435,7 @@ def bench_config(config_path: str, iters: int, warmup: int,
         "vs_baseline": None,
         "detail": {
             "p50_latency_ms_per_window": round(p50 / bs * 1e3, 3),
+            "ms_per_step": round(p50 * 1e3, 3),  # per-REQUEST latency
             "p50_sync_ms_per_window": round(p50_sync / bs * 1e3, 3),
             "batch": bs, "model": cfg.model, "task": cfg.task,
             "backend": jax.default_backend(),
@@ -797,6 +800,9 @@ def main():
         "vs_baseline": round(windows_per_sec / baseline, 3),
         "detail": {
             "p50_latency_ms_per_window": round(p50_window_ms, 3),
+            # the SLO unit: one batch completes in ms_per_step, not in
+            # ms_per_window (the throughput unit above)
+            "ms_per_step": round(p50_window_ms * args.batch, 3),
             "p50_sync_ms_per_window": round(p50_sync / args.batch * 1e3, 3),
             "batch": args.batch,
             "history_len": args.history_len,

@@ -485,13 +485,17 @@ class MedTsLLM(nn.Module):
         prefix_kv = inputs.get("prefix_kv")
         prefix_ids = inputs.get("prefix_ids")
         if prefix_ids is not None:
-            # the constant prompt head [bos + dataset description], laid
-            # out at positions 0..P-1 (before any padding). Train and
-            # uncached eval embed it here; the serving path replaces it
-            # with `prefix_kv` from `prefill` — numerically identical
+            # the prompt head laid out at positions 0..P-1: 1D = the
+            # batch-constant [bos + dataset description]; 2D [B, P] = the
+            # per-clip head (constants + clip description, left-padded to
+            # the head bucket). Train and uncached eval embed it here;
+            # the serving path replaces it with `prefix_kv` from
+            # `prefill` — numerically identical
             assert prefix_kv is None
             pe = self.llm.embed(prefix_ids).astype(ts_emb.dtype)
-            parts.append(jnp.broadcast_to(pe[None], (B,) + pe.shape))
+            if prefix_ids.ndim == 1:
+                pe = jnp.broadcast_to(pe[None], (B,) + pe.shape)
+            parts.append(pe)
         if prefix_kv is not None:
             assert self.supports_prefix_cache, \
                 "prefix_kv requires a decoder-only transformer backbone"
@@ -514,6 +518,12 @@ class MedTsLLM(nn.Module):
         if self.covariate_mode in ("independent", "merge-end"):
             # per-channel rows through the LLM; prompt repeated per channel
             prompt_emb = jnp.repeat(prompt_emb, C, axis=0)
+            if prefix_kv is not None:
+                # per-clip KV rows ([B, ...]) repeat per channel too;
+                # batch-constant rows ([1, ...]) broadcast in attention
+                prefix_kv = jax.tree.map(
+                    lambda t: (jnp.repeat(t, C, axis=0)
+                               if t.shape[0] > 1 else t), prefix_kv)
 
         if self.llm_enabled and getattr(self.llm_cfg, "is_encoder_decoder", False):
             # enc-dec path (medtsllm.py:346-348): prompt -> encoder,
@@ -614,15 +624,18 @@ class MedTsLLM(nn.Module):
                 and getattr(self.llm_cfg, "dropout", 0.0) == 0.0)
 
     def prefill(self, prefix_ids, embed_dtype=jnp.float32):
-        """Per-layer (k, v) for the constant prompt head [1, P] — computed
-        once per eval run and reused for every window (the reference
-        re-runs the full prompt through the 7B backbone per batch).
-        ``embed_dtype`` must match what `__call__` would feed the LLM
-        (ts_emb's dtype — f32 everywhere except the mixed-precision
-        train step, whose caller must also cast the params; see
-        tasks/base.py prefill_program) so cached and uncached paths are
-        bit-identical."""
-        emb = self.llm.embed(prefix_ids)[None].astype(embed_dtype)
+        """Per-layer (k, v) for a prompt head — computed once per eval run
+        (1D constant head, reused for every window) or once per CLIP
+        (2D [N, P] per-clip head rows, banked by tasks/base.py), where
+        the reference re-runs the full prompt through the 7B backbone
+        per batch. ``embed_dtype`` must match what `__call__` would feed
+        the LLM (ts_emb's dtype — f32 everywhere except the
+        mixed-precision train step, whose caller must also cast the
+        params; see tasks/base.py prefill_program) so cached and
+        uncached paths are bit-identical."""
+        emb = self.llm.embed(prefix_ids).astype(embed_dtype)
+        if prefix_ids.ndim == 1:
+            emb = emb[None]
         return self.llm.prefill(emb)
 
     # ------------------------------------------------------------------
@@ -743,7 +756,8 @@ class PromptBuilder:
             self.cfg = {"dataset": True, "clip": True, "input_stats": True,
                         "task": True, "examples": False,
                         "input_stats_dim": 0, "input_stats_select": "all",
-                        "cache_order": False}
+                        "cache_order": False, "clip_head": True,
+                        "clip_cache_slots": 8}
         else:
             self.cfg = {
                 "dataset": prompting.get("dataset", True),
@@ -760,6 +774,17 @@ class PromptBuilder:
                 # computed region shrinks to [clip, stats, "Time series:"]
                 # — the standard constant-parts-first serving layout
                 "cache_order": prompting.get("cache_order", False),
+                # multi-entry per-clip prefix cache: clip/patient
+                # descriptions come from a small FINITE set (reference
+                # datasets/ecg.py:75-78, ludb patient x lead), so the
+                # clip part joins the cacheable head — per-sample
+                # [B, P] prefix ids, served from an LRU KV bank keyed by
+                # clip (tasks/base.py::_prefix_kv). Token ORDER is
+                # unchanged (clip already precedes stats in the
+                # reference layout); only padding moves buckets.
+                "clip_head": prompting.get("clip_head", True),
+                "clip_cache_slots": int(prompting.get("clip_cache_slots",
+                                                      8)),
             }
         self.enabled = model.llm_enabled and any(
             self.cfg[k] for k in ("dataset", "clip", "input_stats", "task",
@@ -902,15 +927,22 @@ class PromptBuilder:
         # reference order there
         task_in_head = (self.cfg["cache_order"] and task_prompt
                         and not has_examples)
+        clip_in_head = self.clip_in_head(batch)
 
         pre_prompts, post_prompts = [], []
         for b in range(bs):
             pre = [bos, per_sample_ds[b]]
             if task_in_head:
                 pre.append(task_prompt)
+            if clip_in_head:
+                # clip joins the (per-clip) cacheable head; the token
+                # order is the reference's either way — clip precedes
+                # stats (medtsllm.py:424-437)
+                pre.append(clip_prompts[b])
             if has_examples:
                 pre.append(example_texts[b])
-            post = [clip_prompts[b], stats_prompts[b],
+            post = ["" if clip_in_head else clip_prompts[b],
+                    stats_prompts[b],
                     "" if task_in_head else task_prompt,
                     "Time series:"]
             pre = [p for p in pre if p != ""]
@@ -940,17 +972,34 @@ class PromptBuilder:
                                      ((maxlen + 15) // 16) * 16)
         return self.max_bucket_suffix
 
+    def clip_in_head(self, batch: dict) -> bool:
+        """Whether the clip description joins the cacheable head (per-clip
+        prefix KV bank). Requires the split-prefix serving layout, clip
+        prompting with per-window descriptions actually present, no
+        in-context examples (they break the head), no per-sample dataset
+        prompts (pretraining mixture), and a transformer backbone (the
+        mamba state cache stays single-entry for now)."""
+        return bool(
+            self.split_prefix and self.cfg["clip"] and self.cfg["clip_head"]
+            and "descriptions" in batch
+            and "dataset_description" not in batch
+            and not (self.cfg["examples"] and "examples" in batch)
+            and getattr(self.model.llm_cfg, "style", "") != "mamba")
+
     def _head_part_count(self, batch: dict) -> int:
-        """Leading parts of `pre` that are batch-constant: bos + the
-        dataset description (+ the task description under `cache_order`;
-        never per-sample except in the pretraining mixture, never the
-        in-context example text)."""
+        """Leading parts of `pre` that form the cacheable head: bos + the
+        dataset description (+ the task description under `cache_order`)
+        (+ the per-clip description under `clip_head` — the one PER-SAMPLE
+        head part, served from the clip KV bank). Never the in-context
+        example text, never the pretraining mixture's per-sample dataset
+        prompts."""
         if not self.split_prefix or "dataset_description" in batch:
             return 0
         has_examples = self.cfg["examples"] and "examples" in batch
         return (int(bool(self.bos)) + int(bool(self.cfg["dataset"]))
                 + int(bool(self.cfg["task"] and self.cfg["cache_order"]
-                           and not has_examples)))
+                           and not has_examples))
+                + int(self.clip_in_head(batch)))
 
     def __call__(self, batch: dict) -> dict:
         from ..utils import ARRAY_BATCH_KEYS
@@ -964,24 +1013,38 @@ class PromptBuilder:
 
         has_examples = self.cfg["examples"] and "examples" in batch
         n_head = self._head_part_count(batch)
+        per_clip_head = self.clip_in_head(batch)
         head_ids: list[int] = []
+        has_head = False
         if n_head:
             # per-part tokenization means splitting at a part boundary
             # preserves the exact token stream of the combined prompt
-            head_ids = sum((self._encode(p)
-                            for p in pre_prompts[0][:n_head]), [])
+            if per_clip_head:
+                # per-sample head rows [B, P] (constant parts + the clip
+                # description), left-padded into a grow-only head bucket;
+                # served from the per-clip KV bank at eval
+                head_rows = [sum((self._encode(p) for p in parts[:n_head]),
+                                 []) for parts in pre_prompts]
+                arrays["prefix_ids"] = self._pad_ids(
+                    head_rows, self._bucket_head(max(map(len, head_rows))))
+                has_head = True
+            else:
+                head_ids = sum((self._encode(p)
+                                for p in pre_prompts[0][:n_head]), [])
+                if head_ids:
+                    arrays["prefix_ids"] = np.asarray(head_ids,
+                                                      dtype=np.int32)
+                    has_head = True
             pre_prompts = [parts[n_head:] for parts in pre_prompts]
         pre_ids = [sum((self._encode(p) for p in parts), [])
                    for parts in pre_prompts]
         post_ids = [sum((self._encode(p) for p in parts), [])
                     for parts in post_prompts]
-        if head_ids:
-            arrays["prefix_ids"] = np.asarray(head_ids, dtype=np.int32)
 
         if has_examples:
-            if any(map(len, pre_ids)) or not head_ids:
+            if any(map(len, pre_ids)) or not has_head:
                 arrays["prompt_ids"] = self._pad_ids(
-                    pre_ids, (self._bucket_suffix if head_ids else
+                    pre_ids, (self._bucket_suffix if has_head else
                               self._bucket_for)(max(map(len, pre_ids))))
             arrays["example_ts"] = self._example_tensor(batch)
             arrays["post_prompt_ids"] = self._pad_ids(
@@ -990,11 +1053,19 @@ class PromptBuilder:
             # single remainder, single left pad; without a split head this
             # is exactly the reference layout (medtsllm.py:304-311)
             ids = [a + b for a, b in zip(pre_ids, post_ids)]
-            if any(map(len, ids)) or not head_ids:
+            if any(map(len, ids)) or not has_head:
                 arrays["prompt_ids"] = self._pad_ids(
-                    ids, (self._bucket_suffix if head_ids else
+                    ids, (self._bucket_suffix if has_head else
                           self._bucket_for)(max(map(len, ids))))
         return arrays
+
+    def _bucket_head(self, maxlen: int) -> int:
+        # 16-granular grow-only bucket for per-clip head rows; the head is
+        # prefill-computed once per clip (not per window), so granularity
+        # costs cache memory, not serving throughput
+        self.max_bucket_head = max(getattr(self, "max_bucket_head", 16),
+                                   ((maxlen + 15) // 16) * 16)
+        return self.max_bucket_head
 
     def _bucket_post(self, maxlen: int) -> int:
         # 16-granular like _bucket_suffix (the post region — clip/stats/

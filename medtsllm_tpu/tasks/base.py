@@ -271,7 +271,12 @@ class BaseTask:
         computed tokens per step at the flagship shape."""
         arrays = self.model_inputs(batch)
         if ("prefix_ids" in arrays
-                and getattr(self.model, "train_prefix_cache_safe", False)):
+                and getattr(self.model, "train_prefix_cache_safe", False)
+                and np.asarray(arrays["prefix_ids"]).ndim == 1):
+            # 1D constant heads only: per-clip (2D) heads stay embedded
+            # in-graph for training — shuffled batches hit random clips
+            # and would thrash the LRU KV bank (prefilling B heads per
+            # step costs more than computing them in the suffix)
             arrays["prefix_kv"] = self._prefix_kv(
                 np.asarray(arrays.pop("prefix_ids")), train=True)
         return arrays
@@ -321,12 +326,84 @@ class BaseTask:
 
     def _prefix_kv(self, ids: np.ndarray, train: bool = False):
         mixed_train = train and self.precision.mixed
-        key = (ids.tobytes(), mixed_train)
-        kv = self._prefix_kv_cache.get(key)
-        if kv is None:
-            kv = self.prefill_program(train)(self.params, jnp.asarray(ids))
-            self._prefix_kv_cache[key] = kv
-        return kv
+        if ids.ndim == 1:
+            key = (ids.tobytes(), mixed_train)
+            kv = self._prefix_kv_cache.get(key)
+            if kv is None:
+                kv = self.prefill_program(train)(self.params,
+                                                 jnp.asarray(ids))
+                self._prefix_kv_cache[key] = kv
+            return kv
+        return self._clip_prefix_kv(ids, mixed_train, train)
+
+    # -- multi-entry per-clip prefix KV bank (serving) --------------------
+    #
+    # Clip/patient descriptions come from a small finite set (reference
+    # datasets/ecg.py:75-78), so each distinct head row [P] is prefilled
+    # ONCE and banked; eval batches gather their rows from the bank. The
+    # bank is a fixed-capacity LRU (prompting.clip_cache_slots): eval
+    # windows are position-ordered, so a clip's windows arrive
+    # consecutively and a handful of slots gets ~every hit; capacity
+    # bounds HBM (per-clip KV at 7B is ~1 MB/token). Fixed capacity also
+    # means the gather/set programs compile exactly once per head bucket.
+
+    def _clip_cache_slots(self) -> int:
+        try:
+            mc = type(self.model).model_config(self.config)
+            return max(2, int(mc.get("prompting", {})
+                              .get("clip_cache_slots", 8)))
+        except Exception:
+            return 8
+
+    def _clip_prefix_kv(self, ids: np.ndarray, mixed_train: bool,
+                        train: bool):
+        import functools
+        key = ("clip_bank", ids.shape[1], mixed_train)
+        bank = self._prefix_kv_cache.get(key)
+        if bank is None:
+            bank = {"slot_of": {}, "row_of": {}, "last_use": {},
+                    "kv": None, "tick": 0, "cap": self._clip_cache_slots()}
+            self._prefix_kv_cache[key] = bank
+        if not hasattr(self, "_bank_gather"):
+            self._bank_gather = jax.jit(
+                lambda kv, idx: jax.tree.map(
+                    lambda t: jnp.take(t, idx, axis=0), kv))
+            self._bank_set = jax.jit(
+                functools.partial(
+                    lambda kv, row, slot: jax.tree.map(
+                        lambda t, r: t.at[slot].set(r[0]), kv, row)),
+                donate_argnums=0)
+        prefill = self.prefill_program(train)
+
+        slots = []
+        for b in range(ids.shape[0]):
+            rb = ids[b].tobytes()
+            slot = bank["slot_of"].get(rb)
+            if slot is None:
+                row_kv = prefill(self.params, jnp.asarray(ids[b:b + 1]))
+                if bank["kv"] is None:
+                    cap = bank["cap"]
+                    bank["kv"] = jax.tree.map(
+                        lambda t: jnp.zeros((cap,) + t.shape[1:], t.dtype),
+                        row_kv)
+                if len(bank["slot_of"]) < bank["cap"]:
+                    slot = len(bank["slot_of"])
+                else:  # evict the least-recently-used clip
+                    # rows already gathered THIS batch are pinned (a batch
+                    # wider than the bank must not evict its own rows)
+                    pinned = set(slots)
+                    slot = min((s for s in bank["last_use"]
+                                if s not in pinned),
+                               key=bank["last_use"].__getitem__)
+                    bank["slot_of"].pop(bank["row_of"][slot])
+                bank["kv"] = self._bank_set(bank["kv"], row_kv, slot)
+                bank["slot_of"][rb] = slot
+                bank["row_of"][slot] = rb
+            bank["tick"] += 1
+            bank["last_use"][slot] = bank["tick"]
+            slots.append(slot)
+        return self._bank_gather(bank["kv"],
+                                 jnp.asarray(slots, jnp.int32))
 
     def checkpoint_params(self):
         """Param tree to persist; models can exclude frozen backbones

@@ -87,7 +87,9 @@ def test_examples_head_excludes_task_under_cache_order(tmp_path):
     t2cfg.models.medtsllm.prompting["cache_order"] = True
     t2 = get_trainer("ex-co2", t2cfg)
     arrays2 = t2.model_inputs(next(iter(t2.val_pipeline)))
-    assert len(arrays2["prefix_ids"]) > len(arrays["prefix_ids"])
+    # with examples off on a clip dataset the head is per-sample [B, P]
+    # (clip_head, round 4); compare TOKEN lengths, not the batch dim
+    assert arrays2["prefix_ids"].shape[-1] > len(arrays["prefix_ids"])
 
 
 def test_bucket_growth_is_monotone_and_16_granular(tmp_path):

@@ -327,3 +327,114 @@ def test_examples_mode_keeps_reference_order(tmp_path):
     out_c = trainer.eval_step(trainer.params, trainer.eval_model_inputs(batch))
     np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_c),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# multi-entry per-clip prefix cache (round 4): the clip description joins
+# the cacheable head, keyed per clip in a fixed-capacity LRU KV bank
+# ---------------------------------------------------------------------------
+
+
+def _clip_cfg(tmp_path, n_clips=4, slots=8, clip_head=True, **kw):
+    cfg = _cfg(tmp_path, **kw)
+    cfg.datasets.synthetic["clips"] = True
+    cfg.datasets.synthetic["n_clips"] = n_clips
+    p = cfg.models.medtsllm.prompting
+    p["clip"] = True
+    p["clip_head"] = clip_head
+    p["clip_cache_slots"] = slots
+    return cfg
+
+
+def test_clip_head_layout(tmp_path):
+    """With clip prompting on a clip dataset, the head becomes per-sample
+    [B, P] rows = [bos + dataset + clip], and the per-window suffix
+    drops the clip tokens (token ORDER unchanged vs the single-pad
+    reference layout)."""
+    t = get_trainer("pch-layout", _clip_cfg(tmp_path))
+    batch = next(iter(t.test_pipeline))
+    arrays = t.model_inputs(batch)
+    assert arrays["prefix_ids"].ndim == 2
+    assert arrays["prefix_ids"].shape[0] == len(batch["descriptions"])
+    pb = t.preprocessor
+    pad = pb.pad_id
+    # head row b = constant head + clip tokens, left-padded
+    const = sum((pb._encode(p) for p in
+                 [pb.bos, f"Dataset: {pb.dataset_description} "]), [])
+    for b, desc in enumerate(batch["descriptions"]):
+        row = [x for x in arrays["prefix_ids"][b].tolist()]
+        row_real = row[row.index(const[0]):] if const[0] in row else row
+        expect = const + pb._encode(desc + " ")
+        assert row_real == expect
+    # suffix has no clip tokens: same suffix for same-stats windows
+    # regardless of clip — checked via the no-clip-in-suffix property:
+    off = get_trainer("pch-off", _clip_cfg(tmp_path, clip_head=False))
+    b2 = next(iter(off.test_pipeline))
+    a2 = off.model_inputs(b2)
+    assert a2["prefix_ids"].ndim == 1  # old layout: constant head
+    s_on = (arrays["prompt_ids"] != pad).sum()
+    s_off = (a2["prompt_ids"] != pad).sum()
+    assert s_on < s_off  # clip tokens left the computed suffix
+
+
+@pytest.mark.parametrize("llm", ["llama-tiny", "gpt2-tiny"])
+def test_clip_cached_equals_uncached(tmp_path, llm):
+    """Per-clip KV bank serving must equal the in-graph forward exactly."""
+    t = get_trainer(f"pch-{llm}", _clip_cfg(tmp_path, llm=llm))
+    batch = next(iter(t.test_pipeline))
+    arrays = t.model_inputs(batch)
+    assert arrays["prefix_ids"].ndim == 2
+    cached = t.eval_model_inputs(batch)
+    assert "prefix_kv" in cached and "prefix_ids" not in cached
+    # per-sample KV rows (not a broadcast single head)
+    assert jax.tree.leaves(cached["prefix_kv"])[0].shape[0] == \
+        arrays["prefix_ids"].shape[0]
+    out_u = t.eval_step(t.params, arrays)
+    out_c = t.eval_step(t.params, cached)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_c),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_clip_bank_lru_eviction(tmp_path):
+    """More clips than slots: the bank evicts LRU, never a row pinned by
+    the current batch, and stays numerically exact after eviction and
+    re-prefill."""
+    t = get_trainer("pch-lru", _clip_cfg(tmp_path, n_clips=6, slots=2))
+    seen = []
+    for batch in t.test_pipeline:
+        arrays = t.model_inputs(batch)
+        if arrays.get("prefix_ids") is None:
+            continue
+        cached = t.eval_model_inputs(batch)
+        out_u = t.eval_step(t.params, arrays)
+        out_c = t.eval_step(t.params, cached)
+        np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_c),
+                                   rtol=1e-4, atol=1e-5)
+        seen.extend(batch["descriptions"])
+    assert len(set(seen)) == 6  # really cycled through all clips
+    bank = [v for k, v in t._prefix_kv_cache.items()
+            if isinstance(k, tuple) and k[0] == "clip_bank"]
+    assert bank and len(bank[0]["slot_of"]) <= 2
+
+
+def test_clip_head_train_embeds_in_graph(tmp_path):
+    """TRAIN keeps per-clip heads embedded in-graph (no bank thrash):
+    train inputs carry prefix_ids, not prefix_kv — and one train step
+    runs finite."""
+    t = get_trainer("pch-train", _clip_cfg(tmp_path))
+    batch = next(iter(t.train_pipeline))
+    arrays = t.train_model_inputs(batch)
+    assert "prefix_kv" not in arrays and arrays["prefix_ids"].ndim == 2
+    import jax.numpy as jnp
+    p, o, loss = t.train_step(t.params, t.opt_state,
+                              t._device_batch(arrays),
+                              jnp.asarray(batch["valid"]), t._next_rng())
+    assert np.isfinite(float(loss))
+
+
+def test_clip_head_full_eval_pass(tmp_path):
+    """A whole stitched eval pass over a clip dataset with the bank on:
+    scores finite, cache populated then cleared per-pass semantics."""
+    t = get_trainer("pch-pass", _clip_cfg(tmp_path, n_clips=3))
+    scores = t.val()
+    assert all(np.isfinite(v) for v in scores.values())
