@@ -199,3 +199,37 @@ def test_train_chaining_contract():
     bench.measure_steps(dispatch, collect, iters=8, warmup=1)
     # first collect is the compile call with exactly one handle
     assert log[1] == ("c", 1)
+
+
+def test_bench_e2e_streams_pipeline(tmp_path):
+    """bench_e2e streams real batches through the PromptBuilder + the
+    prefix-KV bank with async dispatch and one sync per pass; warm
+    passes reuse the compiled step (host time < wall time, window count
+    matches the val split)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from conftest import make_config
+    from medtsllm_tpu.tasks import get_trainer
+
+    cfg = make_config(task="reconstruction", model="medtsllm",
+                      hist=32, pred=32, step=16)
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.datasets.synthetic.n_points = 384
+    cfg.training.batch_size = 4
+    cfg["models"] = {"medtsllm": {
+        "d_model": 16, "d_ff": 16, "n_heads": 4, "num_tokens": 32,
+        "covariate_mode": "concat",
+        "embedding_downsample_mode": "linear",
+        "patching": {"patch_len": 8, "stride": 4},
+        "prompting": {"dataset": True, "task": True, "clip": False,
+                      "input_stats": True, "examples": False,
+                      "input_stats_dim": 0, "input_stats_select": "all",
+                      "cache_order": True},
+        "llm": {"enabled": True, "llm": "llama-tiny", "llm_layers": -1,
+                "prefix_cache": True},
+    }}
+    trainer = get_trainer("bench-e2e", cfg)
+    warm_s, host_s, cold_s, n_win = bench.bench_e2e(
+        trainer, trainer.params, min_windows=8, passes=2)
+    assert n_win >= 8
+    assert 0 < host_s <= warm_s
+    assert cold_s >= warm_s * n_win  # cold pass carries the compiles
