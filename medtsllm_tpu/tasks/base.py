@@ -361,9 +361,22 @@ class BaseTask:
         key = ("clip_bank", ids.shape[1], mixed_train)
         bank = self._prefix_kv_cache.get(key)
         if bank is None:
+            # capacity >= batch width: a batch can pin at most B rows, so
+            # cap >= B guarantees the LRU eviction below always has an
+            # unpinned candidate (cap < B deadlocked: every slot pinned
+            # by the current batch)
+            cap = max(self._clip_cache_slots(), ids.shape[0])
             bank = {"slot_of": {}, "row_of": {}, "last_use": {},
-                    "kv": None, "tick": 0, "cap": self._clip_cache_slots()}
+                    "kv": None, "tick": 0, "cap": cap}
             self._prefix_kv_cache[key] = bank
+        elif bank["cap"] < ids.shape[0]:  # a wider batch arrived later
+            grow = ids.shape[0] - bank["cap"]
+            if bank["kv"] is not None:
+                bank["kv"] = jax.tree.map(
+                    lambda t: jnp.concatenate(
+                        [t, jnp.zeros((grow,) + t.shape[1:], t.dtype)]),
+                    bank["kv"])
+            bank["cap"] = ids.shape[0]
         if not hasattr(self, "_bank_gather"):
             self._bank_gather = jax.jit(
                 lambda kv, idx: jax.tree.map(

@@ -414,7 +414,10 @@ def test_clip_bank_lru_eviction(tmp_path):
     assert len(set(seen)) == 6  # really cycled through all clips
     bank = [v for k, v in t._prefix_kv_cache.items()
             if isinstance(k, tuple) and k[0] == "clip_bank"]
-    assert bank and len(bank[0]["slot_of"]) <= 2
+    # effective capacity = max(configured slots, batch width): a batch
+    # can pin up to B rows, so the bank never shrinks below B
+    assert bank and len(bank[0]["slot_of"]) <= max(
+        2, t.config.training.batch_size)
 
 
 def test_clip_head_train_embeds_in_graph(tmp_path):
@@ -438,3 +441,26 @@ def test_clip_head_full_eval_pass(tmp_path):
     t = get_trainer("pch-pass", _clip_cfg(tmp_path, n_clips=3))
     scores = t.val()
     assert all(np.isfinite(v) for v in scores.values())
+
+
+def test_clip_bank_batch_wider_than_slots(tmp_path):
+    """One batch spanning MORE distinct clips than the configured slot
+    count must not deadlock the pinned-row eviction (regression: every
+    slot pinned by the current batch left min() over an empty candidate
+    set). The bank grows to at least the batch width and serving stays
+    numerically exact."""
+    t = get_trainer("pch-wide", _clip_cfg(tmp_path, n_clips=12, slots=2))
+    checked = 0
+    for batch in t.test_pipeline:
+        arrays = t.model_inputs(batch)
+        if arrays.get("prefix_ids") is None:
+            continue
+        if len(set(batch["descriptions"])) > 2:
+            cached = t.eval_model_inputs(batch)  # crashed before the fix
+            out_u = t.eval_step(t.params, arrays)
+            out_c = t.eval_step(t.params, cached)
+            np.testing.assert_allclose(np.asarray(out_u),
+                                       np.asarray(out_c),
+                                       rtol=1e-4, atol=1e-5)
+            checked += 1
+    assert checked  # the fixture really produced >slots clips per batch
