@@ -27,22 +27,48 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def timed(fn, *args, reps=5, depth=8):
-    """Per-call time via back-to-back dispatch (one readback per group):
-    the tunnel's per-readback floor is session weather (~1 ms to ~1 s,
-    BASELINE.md "Dispatch protocol"), so sync-per-call numbers are only
-    comparable within one session — group dispatch amortizes it away."""
+def timed(fn, *args, mix_arg=-1, reps=3):
+    """Per-call time via the ON-DEVICE fori_loop slope (bench.py
+    measure_eval_on_device): one jitted program runs the body K times
+    with a traced trip count, so host<->device traffic is one dispatch +
+    one readback per timing and the K_hi-vs-K_lo slope contains zero
+    host cost. (The old depth-8 dispatch-group timing charged ~floor/8
+    to every call — under a 30 ms storm floor that inflated each number
+    by ~4 ms, which is LARGER than the true per-layer cost and made the
+    printed overhead percentages meaningless.) The loop index is mixed
+    into the activation argument (x * (1 + i*1e-30), exact identity in
+    f32) so XLA cannot hoist the loop-invariant body — the LICM bug
+    class documented in BASELINE.md."""
     import jax
     import jax.numpy as jnp
-    out = fn(*args)
-    float(jnp.asarray(out).sum())  # compile + sync
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(depth)]
-        float(jnp.stack([jnp.asarray(o).sum() for o in outs]).sum())
-        ts.append((time.perf_counter() - t0) / depth)
-    return min(ts)
+
+    @jax.jit
+    def run(a, K):
+        def body(i, acc):
+            aa = list(a)
+            t = aa[mix_arg]
+            aa[mix_arg] = (t * (1.0 + i.astype(jnp.float32) * 1e-30)
+                           ).astype(t.dtype)
+            out = fn(*aa)
+            return acc + jnp.sum(out).astype(jnp.float32)
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    def t_of(K):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(args, K))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    float(run(args, 1))  # compile + absorb the first-exec stall
+    k_lo = 2
+    per_est = max(t_of(k_lo) / k_lo, 1e-5)
+    k_hi = max(k_lo * 8, min(512, int(4.0 / per_est)))
+    per = (t_of(k_hi) - t_of(k_lo)) / (k_hi - k_lo)
+    if not per > 0:
+        per = t_of(k_hi) / k_hi
+    return per
 
 
 def main():
