@@ -1,0 +1,131 @@
+"""Grouped-GEMM candidates for the MoE expert matmuls, A/B'd at the
+moe-8x1b serving shape (BASELINE.md "MoE single-chip decomposition"):
+the padded E-batched bmm pays 1.25x capacity padding x 1.61x
+batched-GEMM tiling vs a dense matmul of equal active FLOPs. Candidates
+to recover it (all full SwiGLU chains: gate+up, silu*mul, down, with
+per-row dynamic int8 activation quantization as in production):
+
+  A. bmm C=560    — the current padded dispatch (moe_capacity(T,8,2,1.25))
+  B. bmm C=512    — capacity floored to a 128-multiple (tile-step probe)
+  C. bmm C=640    — capacity raised to a 128-multiple
+  D. dense rows=E*C — ONE matmul over the same row count as A
+                     (isolates the batched-vs-flat penalty at equal work)
+  E. dense rows=T*k — the ideal dropless bound (zero padding, one GEMM)
+  F. ragged_dot rows=T*k, balanced groups — megablocks-style dropless
+     grouped GEMM via jax.lax.ragged_dot (sorted-by-expert layout)
+  G. ragged_dot, worst-case skew (all rows to one expert) — routing
+     sensitivity of F's lowering
+
+Run on the TPU: python tools/ab_grouped.py [--batch 16]
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.ab_moe import timed  # on-device fori_loop slope protocol
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--tokens", type=int, default=112)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from medtsllm_tpu.models.llm.loader import resolve_config
+    from medtsllm_tpu.models.llm.transformer import (
+        _act_quant_bmm, _act_quant_matmul, moe_capacity)
+
+    cfg, _ = resolve_config("moe-8x1b")
+    D, F, E, k = cfg.d_model, cfg.d_ff, cfg.n_experts, cfg.n_experts_per_tok
+    T = args.batch * args.tokens
+    rows = T * k
+    C0 = moe_capacity(T, E, k, cfg.expert_capacity)
+    print(f"T={T} rows(T*k)={rows} D={D} F={F} E={E} k={k} C0={C0}",
+          flush=True)
+
+    rng = np.random.default_rng(0)
+
+    def expert_params(C):
+        kq = {n: jnp.asarray(rng.integers(-127, 128, s), jnp.int8)
+              for n, s in [("g", (E, D, F)), ("u", (E, D, F)),
+                           ("d", (E, F, D))]}
+        sc = {n: jnp.asarray(rng.uniform(1e-3, 1e-2, s), jnp.float32)
+              for n, s in [("g", (E, F)), ("u", (E, F)), ("d", (E, D))]}
+        h = jnp.asarray(rng.standard_normal((E, C, D)), jnp.float32)
+        return kq, sc, h
+
+    def swiglu_bmm(kq, sc, h):
+        g = _act_quant_bmm(h, kq["g"], sc["g"])
+        u = _act_quant_bmm(h, kq["u"], sc["u"])
+        return _act_quant_bmm(jax.nn.silu(g) * u, kq["d"], sc["d"])
+
+    for C in (C0, 512, 640):
+        kq, sc, h = expert_params(C)
+        t = timed(jax.jit(swiglu_bmm), kq, sc, h)
+        print(f"A/bmm C={C:4d} (rows {E*C:5d}): {t*1e3:8.3f} ms", flush=True)
+
+    # flat dense chains (one weight) at two row counts
+    wq = {n: jnp.asarray(rng.integers(-127, 128, s), jnp.int8)
+          for n, s in [("g", (D, F)), ("u", (D, F)), ("d", (F, D))]}
+    ws = {n: jnp.asarray(rng.uniform(1e-3, 1e-2, s), jnp.float32)
+          for n, s in [("g", (F,)), ("u", (F,)), ("d", (D,))]}
+
+    def swiglu_dense(wq, ws, x):
+        g = _act_quant_matmul(x, wq["g"], ws["g"], 8)
+        u = _act_quant_matmul(x, wq["u"], ws["u"], 8)
+        return _act_quant_matmul(jax.nn.silu(g) * u, wq["d"], ws["d"], 8)
+
+    for R in (E * C0, rows):
+        x = jnp.asarray(rng.standard_normal((R, D)), jnp.float32)
+        t = timed(jax.jit(swiglu_dense), wq, ws, x)
+        tag = "same-rows-as-A" if R == E * C0 else "dropless ideal"
+        print(f"D/dense rows={R:5d} ({tag}): {t*1e3:8.3f} ms", flush=True)
+
+    # ragged_dot dropless grouped GEMM (sorted-by-expert [rows, D] layout)
+    kq, sc, _ = expert_params(C0)
+    x = jnp.asarray(rng.standard_normal((rows, D)), jnp.float32)
+
+    def rd(xq, w):
+        return jax.lax.ragged_dot(xq, w, group_sizes=gs,
+                                  preferred_element_type=jnp.int32)
+
+    def quant_rows(x):
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        xs = jnp.maximum(amax / 127.0, 1e-10)
+        return jnp.round(x / xs).astype(jnp.int8), xs
+
+    def seg_scale(name):
+        # per-row weight scale: scale[expert_of_row] via repeat over groups
+        return jnp.repeat(sc[name], gs, axis=0, total_repeat_length=rows)
+
+    def swiglu_ragged(kq, sc, gs, x):
+        xq, xs = quant_rows(x)
+        g = rd(xq, kq["g"]).astype(jnp.float32) * xs * seg_scale("g")
+        u = rd(xq, kq["u"]).astype(jnp.float32) * xs * seg_scale("u")
+        aq, as_ = quant_rows(jax.nn.silu(g) * u)
+        return rd(aq, kq["d"]).astype(jnp.float32) * as_ * seg_scale("d")
+
+    for tag, sizes in (
+            ("balanced", [rows // E] * E),
+            ("skew-all-to-one", [rows] + [0] * (E - 1))):
+        gs = jnp.asarray(sizes, jnp.int32)
+        try:
+            fn = jax.jit(lambda kq, sc, gs, x: swiglu_ragged(kq, sc, gs, x))
+            t = timed(fn, kq, sc, gs, x)
+            print(f"F/ragged_dot rows={rows} ({tag}): {t*1e3:8.3f} ms",
+                  flush=True)
+        except Exception as e:  # lowering support varies by backend
+            print(f"F/ragged_dot ({tag}): FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

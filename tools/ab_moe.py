@@ -112,16 +112,22 @@ def main():
     # dense-active-equivalent: k x dense SwiGLU over [T, D] (w8a8)
     from medtsllm_tpu.models.llm.transformer import _act_quant_matmul
     wg = jnp.asarray(rng.integers(-127, 128, (D, F)), jnp.int8)
+    wu = jnp.asarray(rng.integers(-127, 128, (D, F)), jnp.int8)
     wd = jnp.asarray(rng.integers(-127, 128, (F, D)), jnp.int8)
     sg = jnp.asarray(rng.uniform(1e-3, 1e-2, (F,)), jnp.float32)
+    su = jnp.asarray(rng.uniform(1e-3, 1e-2, (F,)), jnp.float32)
     sd = jnp.asarray(rng.uniform(1e-3, 1e-2, (D,)), jnp.float32)
 
     def dense_active(xx):
+        # gate and up MUST use distinct weights: with a shared weight XLA
+        # CSEs the two projections into one matmul and the "dense" baseline
+        # measures 2/3 of its true cost (this bug inflated the r4
+        # batched-GEMM penalty estimate from 1.10x to 1.61x)
         xt = xx.reshape(T, D)
         out = xt
         for _ in range(k):
             g = _act_quant_matmul(out, wg, sg, 8)
-            u = _act_quant_matmul(out, wg, sg, 8)
+            u = _act_quant_matmul(out, wu, su, 8)
             out = _act_quant_matmul(jax.nn.silu(g) * u, wd, sd, 8)
         return out
 
