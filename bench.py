@@ -267,7 +267,8 @@ def build_trainer(model_size: str, batch_size: int, history_len: int,
                   bf16: bool, remat=False, quant: int = 0,
                   int8_matmul: bool = True, prefix_cache: bool = True,
                   fuse_projections: bool = False,
-                  setup_extra: dict | None = None):
+                  setup_extra: dict | None = None,
+                  llm_extra: dict | None = None):
     from medtsllm_tpu.config import Config
     from medtsllm_tpu.tasks import get_trainer
 
@@ -299,7 +300,8 @@ def build_trainer(model_size: str, batch_size: int, history_len: int,
                     "remat": remat, "int8_matmul": int8_matmul,
                     "prefix_cache": prefix_cache,
                     "fuse_projections": fuse_projections,
-                    "load_in_4bit": quant == 4, "load_in_8bit": quant == 8},
+                    "load_in_4bit": quant == 4, "load_in_8bit": quant == 8,
+                    **(llm_extra or {})},
         }},
         "setup": {"seed": 0, "device": "auto",
                   "dtype": "bf16" if bf16 else "float32",
@@ -711,6 +713,13 @@ def main():
                          "pipeline stages, E-way expert parallel — E > 1 "
                          "switches to the MoE backbone), e.g. --mesh 8, "
                          "8:2, 8:2:2 or 8:1:1:2")
+    ap.add_argument("--expert-capacity", type=float, default=None,
+                    help="override the MoE GShard capacity factor "
+                         "(models.<m>.llm.expert_capacity) for --model "
+                         "preset benches; e.g. 1.142 lands C=512 "
+                         "(128-aligned, -11%% on the expert bmms at b16 — "
+                         "BASELINE.md 'MoE single-chip decomposition') vs "
+                         "the preset's 1.25 C=560. 0 = exact dropless")
     ap.add_argument("--no-int8-matmul", action="store_true",
                     help="with --quant: dequantize to bf16 instead of "
                          "running the s8xs8->s32 MXU matmul")
@@ -769,7 +778,12 @@ def main():
             trainer = build_trainer(args.model, args.batch, args.history_len,
                                     bf16=not args.fp32, quant=args.quant,
                                     int8_matmul=not args.no_int8_matmul,
-                                    prefix_cache=not args.no_prefix_cache)
+                                    prefix_cache=not args.no_prefix_cache,
+                                    llm_extra=(
+                                        {"expert_capacity":
+                                         args.expert_capacity}
+                                        if args.expert_capacity is not None
+                                        else None))
             # same param/array dtypes as the device-loop estimator
             params, arrays, _ = serving_inputs(trainer, bf16=not args.fp32)
             trainer.params = params
@@ -835,7 +849,11 @@ def main():
                                     or (args.fuse_projections == "auto"
                                         and not args.train
                                         and args.batch <= 8
-                                        and _auto_fuse_ok(args.model))))
+                                        and _auto_fuse_ok(args.model))),
+                                llm_extra=(
+                                    {"expert_capacity": args.expert_capacity}
+                                    if args.expert_capacity is not None
+                                    else None))
         # inference uses the serving path (constant prompt head served
         # from the KV cache); training embeds the head in-graph when the
         # cache is not gradient-safe (serving_inputs gates on

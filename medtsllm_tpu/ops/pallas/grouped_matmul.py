@@ -1,0 +1,206 @@
+"""Grouped per-expert w8a8 matmul (TPU Pallas) — megablocks-style "gmm".
+
+True dropless MoE at actual-routed-token cost. The reference accepts any
+HF AutoModel backbone including Mixtral (/root/reference/models/
+medtsllm.py:175); HF's MixtralSparseMoeBlock is exactly dropless. This
+framework's static dispatch (transformer.MoEMLP) must pick a capacity:
+the GShard factor 1.25 risks silent drops under routing skew, while the
+exact-dropless setting (expert_capacity = 0) pads every expert's buffer
+to ALL tokens — E/k x the useful FLOPs (4x at E=8, k=2). This kernel
+removes that tradeoff: tokens are packed per expert into block_m-aligned
+groups and the grid visits only the tiles a group actually fills, so
+compute follows the ROUTED token count (plus < block_m rows of tail
+padding per expert) with zero drops, whatever the skew.
+
+Layout (aligned grouping): rows of ``xq`` are packed by expert with each
+group's start tile-aligned — group e occupies rows [row_off[e],
+row_off[e] + counts[e]) and the tail of its last tile is zeros. Because
+groups are tile-aligned AND contiguous, occupied m-tiles are exactly
+tiles 0..n_real-1 of the packed space: the grid's visit index IS the
+m-tile index, and the only per-visit metadata is the expert id
+(scalar-prefetched, megablocks-style) plus a valid flag. Invalid tail
+visits map onto the unused tail tiles and store zeros (defined output
+everywhere — keeps the NaN debugger quiet) without touching the MXU.
+
+Grid is (N/bn, V) with visits innermost: consecutive visits of the same
+expert reuse the resident [K, bn] weight block (Pallas skips the DMA
+when a block index repeats), so total weight traffic is the E x K x N
+minimum; activations re-stream once per N-tile sweep. Numerics match
+transformer._act_quant_bmm exactly (same s8 x s8 -> s32 MXU contraction,
+same f32 rescale order).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def pick_block_n(n: int, target: int = 512) -> int:
+    """Largest multiple-of-128 divisor of ``n`` that is <= target
+    (0 when none exists — caller falls back to the padded bmm path)."""
+    best = 0
+    for bn in range(128, min(n, target) + 1, 128):
+        if n % bn == 0:
+            best = bn
+    return best
+
+
+def gmm_visits(n_rows: int, n_groups: int, block_m: int) -> int:
+    """Static visit/tile bound: every m-tile plus one tail per group."""
+    return -(-n_rows // block_m) + n_groups
+
+
+def gmm_metadata(counts, block_m: int, n_visits: int):
+    """Visit list for a grouped matmul over ``counts`` routed tokens.
+
+    counts: [E] int32 routed tokens per expert (sum <= n_rows);
+    n_visits: the static gmm_visits() bound.
+
+    Returns (visit_e [V] int32, visit_valid [V] int32, row_off [E]
+    int32). Visit v computes m-tile v of the packed row space against
+    expert visit_e[v]'s weights; row_off[e] is the first packed row of
+    group e (a block_m multiple). Invalid visits (v >= total occupied
+    tiles) repeat the last real expert id so their weight block aliases
+    the resident one.
+    """
+    i32 = jnp.int32
+    E = counts.shape[0]
+    V = n_visits
+    n_tiles = (counts.astype(i32) + block_m - 1) // block_m  # [E]
+    tile_off = jnp.concatenate(
+        [jnp.zeros(1, i32), jnp.cumsum(n_tiles).astype(i32)])  # [E+1]
+    # expert of tile t = number of groups whose tile range ends at or
+    # before t (searchsorted over the cumulative tile offsets)
+    t_idx = jnp.arange(V, dtype=i32)
+    ve = jnp.searchsorted(tile_off[1:], t_idx, side="right").astype(i32)
+    ve = jnp.minimum(ve, E - 1)  # in-bounds even for the all-empty edge
+    n_real = tile_off[-1]
+    valid = (t_idx < n_real).astype(i32)
+    last_e = ve[jnp.maximum(n_real - 1, 0)]
+    ve = jnp.where(valid == 1, ve, last_e)
+    row_off = tile_off[:-1] * block_m  # [E]
+    return ve, valid, row_off
+
+
+def _make_kernel(n_weights):
+    from jax.experimental import pallas as pl
+
+    def kernel(ve_ref, valid_ref, xq_ref, xs_ref, *rest):
+        del ve_ref
+        w_refs = rest[0:n_weights]
+        s_refs = rest[n_weights:2 * n_weights]
+        o_refs = rest[2 * n_weights:3 * n_weights]
+        v = pl.program_id(1)
+        ok = valid_ref[v] == 1
+
+        @pl.when(ok)
+        def _():
+            x = xq_ref[:]
+            xs = xs_ref[:]
+            for w_ref, s_ref, o_ref in zip(w_refs, s_refs, o_refs):
+                acc = jax.lax.dot_general(
+                    x, w_ref[0], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                o_ref[:] = (acc.astype(jnp.float32) * xs
+                            * s_ref[0]).astype(o_ref.dtype)
+
+        @pl.when(jnp.logical_not(ok))
+        def _():
+            for o_ref in o_refs:
+                o_ref[:] = jnp.zeros_like(o_ref)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
+                                             "interpret", "out_dtype"))
+def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
+        *, block_m: int = 128, block_n: int = 512, interpret: bool = False,
+        out_dtype=jnp.float32):
+    """Grouped w8a8 matmul(s) over expert-packed rows.
+
+    xq        [R_pad, K] int8, rows packed per gmm_metadata's layout
+              (R_pad = V * block_m, V = len(visit_e))
+    x_scale   [R_pad, 1] f32 per-row activation scale
+    weights   tuple of [E, K, N] int8 (1 = single matmul; 2 = gate+up
+              sharing the activation sweep)
+    w_scales  tuple of [E, N] f32 per-expert per-output-channel scales
+    visit_*   from gmm_metadata (scalar-prefetched)
+
+    Returns a tuple of [R_pad, N] ``out_dtype`` arrays, one per weight:
+    out = (xq @ w[visit_e[row // bm]]).astype(f32) * x_scale *
+    w_scale[e]; rows in unoccupied tail tiles are zero.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    weights = tuple(weights)
+    w_scales = tuple(w_scales)
+    nw = len(weights)
+    R_pad, K = xq.shape
+    E, K2, N = weights[0].shape
+    V = visit_e.shape[0]
+    assert K2 == K and R_pad == V * block_m, (xq.shape, V, block_m)
+    assert N % block_n == 0, (N, block_n)
+    for w, s in zip(weights, w_scales):
+        assert w.shape == (E, K, N) and s.shape == (E, N)
+
+    def x_map(j, v, ve, valid):
+        del j, ve, valid
+        return (v, 0)
+
+    def w_map(j, v, ve, valid):
+        del valid
+        return (ve[v], 0, j)
+
+    def ws_map(j, v, ve, valid):
+        del valid
+        return (ve[v], 0, j)
+
+    def o_map(j, v, ve, valid):
+        del ve, valid
+        return (v, j)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N // block_n, V),
+        in_specs=[
+            pl.BlockSpec((block_m, K), x_map),
+            pl.BlockSpec((block_m, 1), x_map),
+            *[pl.BlockSpec((1, K, block_n), w_map) for _ in range(nw)],
+            # scales ride as [E, 1, N]: a (1, block_n) block of an [E, N]
+            # array has second-to-last dim 1 (not 8-divisible, != E) and
+            # fails the TPU lowering's tiling rule; the singleton middle
+            # axis makes the last-two block dims (1, block_n) legal
+            *[pl.BlockSpec((1, 1, block_n), ws_map) for _ in range(nw)],
+        ],
+        out_specs=[pl.BlockSpec((block_m, block_n), o_map)
+                   for _ in range(nw)],
+    )
+
+    outs = pl.pallas_call(
+        _make_kernel(nw),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((R_pad, N), out_dtype)
+                   for _ in range(nw)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R_pad * K * N * nw,
+            bytes_accessed=(R_pad * K * (N // block_n) + nw * E * K * N
+                            + nw * R_pad * N * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(visit_e, visit_valid, xq, x_scale.astype(jnp.float32),
+      *weights, *[s[:, None, :] for s in w_scales])
+    return tuple(outs)
+
+
+def row_quant(x):
+    """Per-row symmetric int8 activation quantization (the exact
+    _act_quant_* recipe: amax/127 scale, round, int8)."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-10)
+    xq = jnp.round(x / scale).astype(jnp.int8)
+    return xq, scale.astype(jnp.float32)

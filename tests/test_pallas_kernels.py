@@ -186,3 +186,86 @@ def test_rotary_embedding_seq_axis_layouts_agree():
                          seq_axis=2)
     np.testing.assert_allclose(np.asarray(a.transpose(0, 2, 1, 3)),
                                np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def _gmm_oracle(xq, xs, w, ws, counts, row_off, block_m):
+    """Per-row expert lookup: rows of group e (and its tile-tail padding
+    rows, which the kernel computes against e's weights) hit w[e]."""
+    E = counts.shape[0]
+    R, _ = xq.shape
+    out = np.zeros((R, w.shape[-1]), np.float32)
+    for e in range(E):
+        tile_end = -(-int(counts[e]) // block_m) * block_m
+        for r in range(int(row_off[e]), int(row_off[e]) + tile_end):
+            acc = xq[r].astype(np.int32) @ w[e].astype(np.int32)
+            out[r] = acc.astype(np.float32) * xs[r] * ws[e]
+    return out
+
+
+def test_grouped_matmul_matches_oracle_all_routings():
+    """gmm (interpret mode) == per-row int8 oracle for balanced, skewed,
+    all-to-one, and all-empty routings, including tile-tail rows."""
+    from medtsllm_tpu.ops.pallas.grouped_matmul import (
+        gmm, gmm_metadata, gmm_visits, row_quant)
+    rng = np.random.default_rng(0)
+    E, K, N, bm, bn = 4, 256, 512, 128, 256
+    rows = 384
+    V = gmm_visits(rows, E, bm)
+    R_pad = V * bm
+    w = jnp.asarray(rng.integers(-127, 127, (E, K, N)), jnp.int8)
+    ws = jnp.asarray(rng.standard_normal((E, N)).astype(np.float32) * 0.01)
+    for sizes in ([96, 96, 96, 96], [300, 0, 50, 34],
+                  [384, 0, 0, 0], [0, 0, 0, 0]):
+        counts = jnp.asarray(sizes, jnp.int32)
+        ve, valid, row_off = gmm_metadata(counts, bm, V)
+        assert int(valid.sum()) == sum(-(-s // bm) for s in sizes)
+        x = rng.standard_normal((R_pad, K)).astype(np.float32)
+        xq, xs = row_quant(jnp.asarray(x))
+        (y,) = gmm(xq, xs, (w,), (ws,), ve, valid,
+                   block_m=bm, block_n=bn, interpret=True)
+        exp = _gmm_oracle(np.asarray(xq), np.asarray(xs), np.asarray(w),
+                          np.asarray(ws), np.asarray(counts),
+                          np.asarray(row_off), bm)
+        np.testing.assert_allclose(np.asarray(y), exp, rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_matmul_two_weights_share_activation_sweep():
+    """The (gate, up) two-weight form equals two single-weight calls."""
+    from medtsllm_tpu.ops.pallas.grouped_matmul import (
+        gmm, gmm_metadata, gmm_visits, row_quant)
+    rng = np.random.default_rng(1)
+    E, K, N, bm, bn = 2, 128, 256, 128, 128
+    V = gmm_visits(200, E, bm)
+    counts = jnp.asarray([130, 70], jnp.int32)
+    ve, valid, _ = gmm_metadata(counts, bm, V)
+    x = rng.standard_normal((V * bm, K)).astype(np.float32)
+    xq, xs = row_quant(jnp.asarray(x))
+    wa = jnp.asarray(rng.integers(-127, 127, (E, K, N)), jnp.int8)
+    wb = jnp.asarray(rng.integers(-127, 127, (E, K, N)), jnp.int8)
+    sa = jnp.asarray(rng.uniform(1e-3, 1e-2, (E, N)), jnp.float32)
+    sb = jnp.asarray(rng.uniform(1e-3, 1e-2, (E, N)), jnp.float32)
+    ya, yb = gmm(xq, xs, (wa, wb), (sa, sb), ve, valid,
+                 block_m=bm, block_n=bn, interpret=True)
+    (ra,) = gmm(xq, xs, (wa,), (sa,), ve, valid,
+                block_m=bm, block_n=bn, interpret=True)
+    (rb,) = gmm(xq, xs, (wb,), (sb,), ve, valid,
+                block_m=bm, block_n=bn, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(ra))
+    np.testing.assert_array_equal(np.asarray(yb), np.asarray(rb))
+
+
+def test_grouped_matmul_metadata_and_block_n():
+    from medtsllm_tpu.ops.pallas.grouped_matmul import (
+        gmm_metadata, gmm_visits, pick_block_n)
+    # visits bound: every m-tile plus one tail per group
+    assert gmm_visits(384, 4, 128) == 3 + 4
+    ve, valid, row_off = gmm_metadata(
+        jnp.asarray([300, 0, 50, 34], jnp.int32), 128, 7)
+    # 300 -> tiles 0..2, 0 -> none, 50 -> tile 3, 34 -> tile 4
+    assert list(np.asarray(ve)[:5]) == [0, 0, 0, 2, 3]
+    assert list(np.asarray(valid)) == [1, 1, 1, 1, 1, 0, 0]
+    assert list(np.asarray(row_off)) == [0, 384, 384, 512]
+    # invalid visits alias the last real expert's weight block
+    assert list(np.asarray(ve)[5:]) == [3, 3]
+    assert pick_block_n(5632) == 512 and pick_block_n(2048) == 512
+    assert pick_block_n(100) == 0  # no 128-multiple divisor -> fallback

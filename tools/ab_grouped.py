@@ -126,6 +126,47 @@ def main():
             print(f"F/ragged_dot ({tag}): FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
 
+    # exact-dropless bmm: what HF-exact numerics cost TODAY (C = T)
+    kq, sc, h = expert_params(T)
+    t = timed(jax.jit(swiglu_bmm), kq, sc, h)
+    print(f"A0/bmm C=T={T} (exact dropless today): {t*1e3:8.3f} ms",
+          flush=True)
+
+    # H: Pallas grouped gmm (ops/pallas/grouped_matmul) — dropless at
+    # routed-count cost. Full chain: fused gate+up, silu*mul, row
+    # requant, down.
+    from medtsllm_tpu.ops.pallas.grouped_matmul import (
+        gmm, gmm_metadata, gmm_visits, row_quant)
+    kq, sc, _ = expert_params(C0)
+
+    for bm in (128, 256, 512):
+        V = gmm_visits(rows, E, bm)
+        R_pad = V * bm
+
+        def swiglu_gmm(kq, sc, counts, x):
+            ve, valid, _ = gmm_metadata(counts, bm, V)
+            xq, xs = row_quant(x)
+            g, u = gmm(xq, xs, (kq["g"], kq["u"]), (sc["g"], sc["u"]),
+                       ve, valid, block_m=bm, block_n=512)
+            aq, as_ = row_quant(jax.nn.silu(g) * u)
+            (y,) = gmm(aq, as_, (kq["d"],), (sc["d"],), ve, valid,
+                       block_m=bm, block_n=512)
+            return y
+
+        xp = jnp.asarray(rng.standard_normal((R_pad, D)), jnp.float32)
+        for tag, sizes in (("balanced", [rows // E] * E),
+                           ("skew-all-to-one", [rows] + [0] * (E - 1))):
+            counts = jnp.asarray(sizes, jnp.int32)
+            try:
+                t = timed(jax.jit(lambda kq, sc, c, x:
+                                  swiglu_gmm(kq, sc, c, x)),
+                          kq, sc, counts, xp)
+                print(f"H/pallas gmm bm={bm} ({tag}): {t*1e3:8.3f} ms",
+                      flush=True)
+            except Exception as e:
+                print(f"H/pallas gmm bm={bm} ({tag}): FAILED "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+
 
 if __name__ == "__main__":
     main()
