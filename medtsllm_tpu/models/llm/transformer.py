@@ -80,6 +80,14 @@ class DecoderConfig:
     n_experts: int = 0
     n_experts_per_tok: int = 2
     expert_capacity: float = 0.0
+    # Pallas grouped-GEMM expert dispatch (ops/pallas/grouped_matmul):
+    # dropless (HF-exact, zero capacity padding) at routed-token cost.
+    # Serving-only: the kernel has no vjp, so MoEMLP uses it only under
+    # deterministic=True with w8a8 experts (quantize=8 + act_quant) and
+    # no expert mesh; train and EP keep the static-capacity bmm path.
+    # Resolved from models.<m>.llm.moe_grouped ("auto" = on exactly when
+    # those conditions plus single-chip hold) by MedTsLLM.from_config.
+    moe_grouped: bool = False
     # fuse q|k|v and gate|up into single wide matmuls (llama style).
     # MEASURED LOSS end-to-end at every batch tried (BASELINE.md: b4
     # 13.87 unfused vs 14.59 fused ms/window, b8 a wash, b80 113.4 vs
@@ -772,6 +780,49 @@ class MoEMLP(nn.Module):
     act_quant: bool = True
     ep_mesh: object = None  # Mesh with an "expert" axis (EP constraints)
 
+    def _grouped(self, xt, eid, pos, src, stacked, T, D):
+        """Dropless grouped-GEMM expert pass (ops/pallas/grouped_matmul):
+        rows packed per expert into tile-aligned groups, the kernel visits
+        only occupied tiles — routed-token cost, zero drops, HF-exact
+        routing whatever the skew. Returns the per-(token, slot) expert
+        outputs [T*k, D] in compute dtype, or None when the shapes don't
+        tile (caller falls back to the static-capacity bmm path)."""
+        from medtsllm_tpu.ops.pallas.grouped_matmul import (
+            gmm, gmm_metadata, gmm_visits, pick_block_n, row_quant)
+        cfg = self.cfg
+        E, k, F = cfg.n_experts, cfg.n_experts_per_tok, cfg.d_ff
+        # gate/up at the widest VMEM-safe tile (fewer activation
+        # re-streams; 1408 beat 512 by 4% at the serving shape), down at
+        # 512 (tools/ab_grouped.py H rows, 2026-08-20)
+        bn_f, bn_d = pick_block_n(F, target=1408), pick_block_n(D)
+        if not (bn_f and bn_d):
+            return None
+        cd = self.dtype or xt.dtype
+        bm = 128  # tail padding E*bm/2 rows avg; A/B'd in tools/ab_grouped
+        V = gmm_visits(T * k, E, bm)
+        counts = jnp.zeros(E, jnp.int32).at[eid].add(1)
+        ve, valid, row_off = gmm_metadata(counts, bm, V)
+        dest = row_off[eid] + pos  # dropless: every slot lands in-bounds
+        interpret = jax.default_backend() != "tpu"
+
+        kg, sg = stacked("w_gate", D, F)
+        ku, su = stacked("w_up", D, F)
+        kd, sd = stacked("w_down", F, D)
+        # quantize per-token BEFORE the dispatch scatter: the packed
+        # buffer moves int8 (4x less HBM than f32) and the padding rows
+        # never see the quant pass; numerics identical (same row values)
+        xq_t, xs_t = row_quant(xt.astype(jnp.float32))
+        xq = jnp.zeros((V * bm, D), jnp.int8).at[dest].set(xq_t[src])
+        xs = jnp.full((V * bm, 1), 1e-10, jnp.float32).at[dest].set(
+            xs_t[src])
+        (act,) = gmm(xq, xs, (kg, ku), (sg, su), ve, valid,
+                     block_m=bm, block_n=bn_f, interpret=interpret,
+                     fuse_silu=True)  # SwiGLU epilogue in VMEM
+        aq, as_ = row_quant(act)
+        (y,) = gmm(aq, as_, (kd,), (sd,), ve, valid,
+                   block_m=bm, block_n=bn_d, interpret=interpret)
+        return y[dest].astype(cd)
+
     def _ep_constrain(self, t, spec_prefix=("expert",)):
         """Pin the leading expert dim of a dispatch tensor to the mesh's
         "expert" axis: expert compute stays device-local and GSPMD's only
@@ -809,19 +860,12 @@ class MoEMLP(nn.Module):
         self.sow("intermediates", "router_aux_loss",
                  router_aux_loss(probs, top_i, E))
 
-        C = moe_capacity(T, E, k, cfg.expert_capacity)
         onehot = (top_i.reshape(T * k)[:, None]
                   == jnp.arange(E)[None, :]).astype(jnp.int32)  # [T*k, E]
         pos_all = jnp.cumsum(onehot, axis=0) - onehot
         pos = jnp.sum(pos_all * onehot, axis=-1)  # [T*k] rank within expert
         eid = top_i.reshape(T * k)
-        keep = pos < C
-        dest = jnp.where(keep, eid * C + pos, E * C)  # drops -> trash row
         src = jnp.repeat(jnp.arange(T), k)
-
-        buf = jnp.zeros((E * C + 1, D), cd).at[dest].set(
-            xt[src].astype(cd))
-        h = self._ep_constrain(buf[:E * C].reshape(E, C, D))
 
         def stacked(name, d_in, d_out):
             if self.quantize == 8:
@@ -847,6 +891,22 @@ class MoEMLP(nn.Module):
                                              batch_axis=(0,)),
                 (E, d_in, d_out), self.param_dtype)
             return w, None
+
+        if (cfg.moe_grouped and deterministic and self.quantize == 8
+                and self.act_quant and self.ep_mesh is None
+                and not self.is_initializing()):
+            y = self._grouped(xt, eid, pos, src, stacked, T, D)
+            if y is not None:
+                return (y * weights.reshape(T * k)[:, None].astype(cd)
+                        ).reshape(T, k, D).sum(axis=1).reshape(B, L, D)
+
+        C = moe_capacity(T, E, k, cfg.expert_capacity)
+        keep = pos < C
+        dest = jnp.where(keep, eid * C + pos, E * C)  # drops -> trash row
+
+        buf = jnp.zeros((E * C + 1, D), cd).at[dest].set(
+            xt[src].astype(cd))
+        h = self._ep_constrain(buf[:E * C].reshape(E, C, D))
 
         def bmm(h_in, name, d_in, d_out):
             w, sc = stacked(name, d_in, d_out)

@@ -237,6 +237,33 @@ class MedTsLLM(nn.Module):
                 import dataclasses
                 llm_cfg = dataclasses.replace(llm_cfg, quant4_codebook=cb)
 
+        # models.<m>.llm.moe_grouped: Pallas dropless grouped-GEMM expert
+        # dispatch (ops/pallas/grouped_matmul) for the serving step —
+        # HF-exact routing (zero drops) at routed-token cost instead of
+        # the E*C capacity-padded bmm. "auto" (default) = on exactly when
+        # the kernel applies: MoE backbone, w8a8 experts (load_in_8bit +
+        # int8_matmul), single device (the kernel carries no GSPMD
+        # partitioning rules). Train steps and EP meshes always keep the
+        # static-capacity bmm path (transformer.MoEMLP gates on
+        # deterministic + ep_mesh).
+        mg = mc.llm.get("moe_grouped", "auto")
+        if getattr(llm_cfg, "n_experts", 0) > 1 and mc.llm.enabled:
+            w8a8 = quantize == 8 and bool(mc.llm.get("int8_matmul", True))
+            if mg == "auto":
+                mg = w8a8 and jax.device_count() == 1
+            if mg and not w8a8:
+                raise ValueError(
+                    "models.llm.moe_grouped requires w8a8 experts "
+                    "(load_in_8bit = true with int8_matmul) — the grouped "
+                    "kernel's MXU contraction is s8 x s8 only")
+            if mg:
+                import dataclasses
+                llm_cfg = dataclasses.replace(llm_cfg, moe_grouped=True)
+        elif mg != "auto":
+            raise ValueError(
+                f"models.llm.moe_grouped set but backbone {mc.llm.llm!r} "
+                f"is not an enabled MoE (n_experts <= 1 or llm disabled)")
+
         # pipeline parallelism ([setup] pipeline_parallel): stages the
         # backbone's layer stack over the mesh's "stage" axis
         pipeline = int(config.setup.get("pipeline_parallel", 0) or 0)

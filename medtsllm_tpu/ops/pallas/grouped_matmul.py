@@ -85,14 +85,14 @@ def gmm_metadata(counts, block_m: int, n_visits: int):
     return ve, valid, row_off
 
 
-def _make_kernel(n_weights):
+def _make_kernel(n_weights, fuse_silu=False):
     from jax.experimental import pallas as pl
 
     def kernel(ve_ref, valid_ref, xq_ref, xs_ref, *rest):
         del ve_ref
         w_refs = rest[0:n_weights]
         s_refs = rest[n_weights:2 * n_weights]
-        o_refs = rest[2 * n_weights:3 * n_weights]
+        o_refs = rest[2 * n_weights:]
         v = pl.program_id(1)
         ok = valid_ref[v] == 1
 
@@ -100,12 +100,21 @@ def _make_kernel(n_weights):
         def _():
             x = xq_ref[:]
             xs = xs_ref[:]
-            for w_ref, s_ref, o_ref in zip(w_refs, s_refs, o_refs):
+            res = []
+            for w_ref, s_ref in zip(w_refs, s_refs):
                 acc = jax.lax.dot_general(
                     x, w_ref[0], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
-                o_ref[:] = (acc.astype(jnp.float32) * xs
-                            * s_ref[0]).astype(o_ref.dtype)
+                res.append(acc.astype(jnp.float32) * xs * s_ref[0])
+            if fuse_silu:
+                # SwiGLU epilogue in-VMEM: the (gate, up) pair never
+                # round-trips through HBM — one activated output instead
+                # of two f32 intermediates plus an elementwise pass
+                o_refs[0][:] = (jax.nn.silu(res[0])
+                                * res[1]).astype(o_refs[0].dtype)
+            else:
+                for o_ref, r in zip(o_refs, res):
+                    o_ref[:] = r.astype(o_ref.dtype)
 
         @pl.when(jnp.logical_not(ok))
         def _():
@@ -116,10 +125,11 @@ def _make_kernel(n_weights):
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
-                                             "interpret", "out_dtype"))
+                                             "interpret", "out_dtype",
+                                             "fuse_silu"))
 def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
         *, block_m: int = 128, block_n: int = 512, interpret: bool = False,
-        out_dtype=jnp.float32):
+        out_dtype=jnp.float32, fuse_silu: bool = False):
     """Grouped w8a8 matmul(s) over expert-packed rows.
 
     xq        [R_pad, K] int8, rows packed per gmm_metadata's layout
@@ -129,10 +139,16 @@ def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
               sharing the activation sweep)
     w_scales  tuple of [E, N] f32 per-expert per-output-channel scales
     visit_*   from gmm_metadata (scalar-prefetched)
+    fuse_silu requires exactly 2 weights (gate, up): returns the single
+              activated array silu(out0) * out1 — the SwiGLU elementwise
+              epilogue runs in VMEM, so the two f32 intermediates never
+              round-trip through HBM (the dominant traffic at serving
+              shapes: 2 x R x F x 4 bytes written + re-read per layer)
 
-    Returns a tuple of [R_pad, N] ``out_dtype`` arrays, one per weight:
-    out = (xq @ w[visit_e[row // bm]]).astype(f32) * x_scale *
-    w_scale[e]; rows in unoccupied tail tiles are zero.
+    Returns a tuple of [R_pad, N] ``out_dtype`` arrays, one per weight
+    (a single array under fuse_silu): out = (xq @ w[visit_e[row // bm]])
+    .astype(f32) * x_scale * w_scale[e]; rows in unoccupied tail tiles
+    are zero.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -145,6 +161,8 @@ def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
     V = visit_e.shape[0]
     assert K2 == K and R_pad == V * block_m, (xq.shape, V, block_m)
     assert N % block_n == 0, (N, block_n)
+    assert not fuse_silu or nw == 2, "fuse_silu takes (gate, up)"
+    n_out = 1 if fuse_silu else nw
     for w, s in zip(weights, w_scales):
         assert w.shape == (E, K, N) and s.shape == (E, N)
 
@@ -178,19 +196,19 @@ def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
             *[pl.BlockSpec((1, 1, block_n), ws_map) for _ in range(nw)],
         ],
         out_specs=[pl.BlockSpec((block_m, block_n), o_map)
-                   for _ in range(nw)],
+                   for _ in range(n_out)],
     )
 
     outs = pl.pallas_call(
-        _make_kernel(nw),
+        _make_kernel(nw, fuse_silu=fuse_silu),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((R_pad, N), out_dtype)
-                   for _ in range(nw)],
+                   for _ in range(n_out)],
         cost_estimate=pl.CostEstimate(
             flops=2 * R_pad * K * N * nw,
             bytes_accessed=(R_pad * K * (N // block_n) + nw * E * K * N
-                            + nw * R_pad * N * 4),
-            transcendentals=0),
+                            + n_out * R_pad * N * 4),
+            transcendentals=R_pad * N if fuse_silu else 0),
         interpret=interpret,
     )(visit_e, visit_valid, xq, x_scale.astype(jnp.float32),
       *weights, *[s[:, None, :] for s in w_scales])

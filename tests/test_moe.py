@@ -370,3 +370,91 @@ def test_router_aux_coef_rejects_dense_backbone(tmp_path):
     with pytest.raises(ValueError, match="sowed no router_aux_loss"):
         trainer.train_step(trainer.params, trainer.opt_state, arrays,
                            jnp.asarray(b["valid"]), jax.random.PRNGKey(0))
+
+
+def _w8a8_params(cfg, seed=0, batch=(1, 8)):
+    """f32-init MoEMLP params + their expert-wise int8 quantization."""
+    from medtsllm_tpu.models.llm.transformer import QuantDense
+    x = np.random.RandomState(seed).randn(*batch, cfg.d_model)
+    x = x.astype(np.float32)
+    pf = MoEMLP(cfg).init(jax.random.PRNGKey(seed + 1),
+                          jnp.asarray(x))["params"]
+    qp = {"gate": pf["gate"]}
+    for name in ("w_gate", "w_up", "w_down"):
+        qs = [QuantDense.quantize(np.asarray(pf[name][e]), bits=8)
+              for e in range(cfg.n_experts)]
+        qp[name + "_q"] = jnp.stack([jnp.asarray(q) for q, _ in qs])
+        qp[name + "_scale"] = jnp.stack([jnp.asarray(s) for _, s in qs])
+    return jnp.asarray(x), qp
+
+
+def test_moe_grouped_matches_dropless_bmm():
+    """moe_grouped (Pallas grouped GEMM, interpret mode off-TPU) == the
+    exact-dropless static-capacity bmm path on the same w8a8 params; the
+    train call (deterministic=False) keeps the differentiable STE bmm."""
+    cfg = _moe_cfg(d_model=128, d_ff=256, expert_capacity=0.0)
+    x, qp = _w8a8_params(cfg, seed=7, batch=(2, 16))
+    y_bmm = MoEMLP(cfg, quantize=8).apply({"params": qp}, x)
+    cfg_g = dataclasses.replace(cfg, moe_grouped=True)
+    y_g = MoEMLP(cfg_g, quantize=8).apply({"params": qp}, x)
+    np.testing.assert_allclose(np.asarray(y_g), np.asarray(y_bmm),
+                               rtol=1e-4, atol=1e-5)
+    gx = jax.grad(lambda xin: jnp.sum(MoEMLP(cfg_g, quantize=8).apply(
+        {"params": qp}, xin, deterministic=False) ** 2))(x)
+    assert np.all(np.isfinite(np.asarray(gx)))
+    assert float(jnp.abs(gx).sum()) > 0
+
+
+def test_moe_grouped_skew_routing_never_drops():
+    """Identical inputs force every token onto the same top-2 experts;
+    the grouped path computes them all (dropless) and matches the
+    capacity path only when that path's C admits every token."""
+    cfg = _moe_cfg(d_model=128, d_ff=256, expert_capacity=0.0)
+    one = np.random.RandomState(3).randn(cfg.d_model).astype(np.float32)
+    x = jnp.asarray(np.tile(one, (1, 24, 1)))
+    _, qp = _w8a8_params(cfg, seed=3, batch=(1, 24))
+    y_drop = MoEMLP(cfg, quantize=8).apply({"params": qp}, x)
+    cfg_g = dataclasses.replace(cfg, moe_grouped=True)
+    y_g = MoEMLP(cfg_g, quantize=8).apply({"params": qp}, x)
+    np.testing.assert_allclose(np.asarray(y_g), np.asarray(y_drop),
+                               rtol=1e-4, atol=1e-5)
+    # a tight capacity drops tokens on the bmm path; grouped never does
+    cfg_c = dataclasses.replace(cfg, expert_capacity=0.25)
+    y_c = MoEMLP(cfg_c, quantize=8).apply({"params": qp}, x)
+    assert not np.allclose(np.asarray(y_c), np.asarray(y_g), atol=1e-6)
+
+
+def test_moe_grouped_fallback_when_shapes_dont_tile():
+    """mixtral-tiny's d_model=64 has no 128-multiple block_n: the grouped
+    branch declines and the capacity path serves the call bit-exactly."""
+    cfg = _moe_cfg(expert_capacity=0.0)
+    x, qp = _w8a8_params(cfg, seed=9)
+    y_off = MoEMLP(cfg, quantize=8).apply({"params": qp}, x)
+    cfg_g = dataclasses.replace(cfg, moe_grouped=True)
+    y_on = MoEMLP(cfg_g, quantize=8).apply({"params": qp}, x)
+    np.testing.assert_array_equal(np.asarray(y_on), np.asarray(y_off))
+
+
+def test_moe_grouped_config_resolution(tmp_path):
+    """models.<m>.llm.moe_grouped: "auto" resolves off on multi-device
+    hosts; forcing it requires w8a8 experts and an enabled MoE."""
+    from medtsllm_tpu.data import get_dataset
+    from medtsllm_tpu.models import build_model
+    cfg = _trainer_cfg(tmp_path, expert=1)
+    ds = get_dataset(cfg, "train")
+    model = build_model(cfg, ds)  # auto: off (CPU host has 8 devices)
+    assert model.llm_cfg.moe_grouped is False
+
+    cfg.models.medtsllm.llm["load_in_8bit"] = True
+    cfg.models.medtsllm.llm["moe_grouped"] = True
+    model = build_model(cfg, ds)
+    assert model.llm_cfg.moe_grouped is True
+
+    cfg.models.medtsllm.llm["load_in_8bit"] = False
+    with pytest.raises(ValueError, match="w8a8"):
+        build_model(cfg, ds)
+
+    cfg.models.medtsllm.llm["load_in_8bit"] = True
+    cfg.models.medtsllm.llm["llm"] = "llama-tiny"  # dense
+    with pytest.raises(ValueError, match="not an enabled MoE"):
+        build_model(cfg, ds)

@@ -269,3 +269,28 @@ def test_grouped_matmul_metadata_and_block_n():
     assert list(np.asarray(ve)[5:]) == [3, 3]
     assert pick_block_n(5632) == 512 and pick_block_n(2048) == 512
     assert pick_block_n(100) == 0  # no 128-multiple divisor -> fallback
+
+
+def test_grouped_matmul_fused_silu_epilogue():
+    """fuse_silu: one activated output == silu(gate) * up computed from
+    the two single-weight results (exact in f32)."""
+    from medtsllm_tpu.ops.pallas.grouped_matmul import (
+        gmm, gmm_metadata, gmm_visits, row_quant)
+    rng = np.random.default_rng(2)
+    E, K, N, bm, bn = 3, 128, 256, 128, 128
+    V = gmm_visits(260, E, bm)
+    counts = jnp.asarray([60, 0, 200], jnp.int32)
+    ve, valid, _ = gmm_metadata(counts, bm, V)
+    x = rng.standard_normal((V * bm, K)).astype(np.float32)
+    xq, xs = row_quant(jnp.asarray(x))
+    wg = jnp.asarray(rng.integers(-127, 127, (E, K, N)), jnp.int8)
+    wu = jnp.asarray(rng.integers(-127, 127, (E, K, N)), jnp.int8)
+    sg = jnp.asarray(rng.uniform(1e-3, 1e-2, (E, N)), jnp.float32)
+    su = jnp.asarray(rng.uniform(1e-3, 1e-2, (E, N)), jnp.float32)
+    (act,) = gmm(xq, xs, (wg, wu), (sg, su), ve, valid,
+                 block_m=bm, block_n=bn, interpret=True, fuse_silu=True)
+    g, u = gmm(xq, xs, (wg, wu), (sg, su), ve, valid,
+               block_m=bm, block_n=bn, interpret=True)
+    import jax
+    exp = np.asarray(jax.nn.silu(g) * u)
+    np.testing.assert_allclose(np.asarray(act), exp, rtol=1e-6, atol=1e-7)

@@ -34,7 +34,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--tokens", type=int, default=112)
+    ap.add_argument("--only", default="",
+                    help="comma list of section letters to run (A, D, F, "
+                         "A0, H); empty = all. Each compile costs 20-40s "
+                         "of tunnel time — re-run only what changed.")
     args = ap.parse_args()
+    only = set(filter(None, args.only.split(",")))
+
+    def want(section):
+        return not only or section in only
 
     import jax
     import jax.numpy as jnp
@@ -67,10 +75,12 @@ def main():
         u = _act_quant_bmm(h, kq["u"], sc["u"])
         return _act_quant_bmm(jax.nn.silu(g) * u, kq["d"], sc["d"])
 
-    for C in (C0, 512, 640):
-        kq, sc, h = expert_params(C)
-        t = timed(jax.jit(swiglu_bmm), kq, sc, h)
-        print(f"A/bmm C={C:4d} (rows {E*C:5d}): {t*1e3:8.3f} ms", flush=True)
+    if want("A"):
+        for C in (C0, 512, 640):
+            kq, sc, h = expert_params(C)
+            t = timed(jax.jit(swiglu_bmm), kq, sc, h)
+            print(f"A/bmm C={C:4d} (rows {E*C:5d}): {t*1e3:8.3f} ms",
+                  flush=True)
 
     # flat dense chains (one weight) at two row counts
     wq = {n: jnp.asarray(rng.integers(-127, 128, s), jnp.int8)
@@ -83,11 +93,12 @@ def main():
         u = _act_quant_matmul(x, wq["u"], ws["u"], 8)
         return _act_quant_matmul(jax.nn.silu(g) * u, wq["d"], ws["d"], 8)
 
-    for R in (E * C0, rows):
-        x = jnp.asarray(rng.standard_normal((R, D)), jnp.float32)
-        t = timed(jax.jit(swiglu_dense), wq, ws, x)
-        tag = "same-rows-as-A" if R == E * C0 else "dropless ideal"
-        print(f"D/dense rows={R:5d} ({tag}): {t*1e3:8.3f} ms", flush=True)
+    if want("D"):
+        for R in (E * C0, rows):
+            x = jnp.asarray(rng.standard_normal((R, D)), jnp.float32)
+            t = timed(jax.jit(swiglu_dense), wq, ws, x)
+            tag = "same-rows-as-A" if R == E * C0 else "dropless ideal"
+            print(f"D/dense rows={R:5d} ({tag}): {t*1e3:8.3f} ms", flush=True)
 
     # ragged_dot dropless grouped GEMM (sorted-by-expert [rows, D] layout)
     kq, sc, _ = expert_params(C0)
@@ -113,47 +124,63 @@ def main():
         aq, as_ = quant_rows(jax.nn.silu(g) * u)
         return rd(aq, kq["d"]).astype(jnp.float32) * as_ * seg_scale("d")
 
-    for tag, sizes in (
-            ("balanced", [rows // E] * E),
-            ("skew-all-to-one", [rows] + [0] * (E - 1))):
-        gs = jnp.asarray(sizes, jnp.int32)
-        try:
-            fn = jax.jit(lambda kq, sc, gs, x: swiglu_ragged(kq, sc, gs, x))
-            t = timed(fn, kq, sc, gs, x)
-            print(f"F/ragged_dot rows={rows} ({tag}): {t*1e3:8.3f} ms",
-                  flush=True)
-        except Exception as e:  # lowering support varies by backend
-            print(f"F/ragged_dot ({tag}): FAILED {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
+    if want("F"):
+        for tag, sizes in (
+                ("balanced", [rows // E] * E),
+                ("skew-all-to-one", [rows] + [0] * (E - 1))):
+            gs = jnp.asarray(sizes, jnp.int32)
+            try:
+                fn = jax.jit(lambda kq, sc, gs, x:
+                             swiglu_ragged(kq, sc, gs, x))
+                t = timed(fn, kq, sc, gs, x)
+                print(f"F/ragged_dot rows={rows} ({tag}): {t*1e3:8.3f} ms",
+                      flush=True)
+            except Exception as e:  # lowering support varies by backend
+                print(f"F/ragged_dot ({tag}): FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
 
-    # exact-dropless bmm: what HF-exact numerics cost TODAY (C = T)
-    kq, sc, h = expert_params(T)
-    t = timed(jax.jit(swiglu_bmm), kq, sc, h)
-    print(f"A0/bmm C=T={T} (exact dropless today): {t*1e3:8.3f} ms",
-          flush=True)
+    if want("A0"):
+        # exact-dropless bmm: what HF-exact numerics cost TODAY (C = T)
+        kq, sc, h = expert_params(T)
+        t = timed(jax.jit(swiglu_bmm), kq, sc, h)
+        print(f"A0/bmm C=T={T} (exact dropless today): {t*1e3:8.3f} ms",
+              flush=True)
 
     # H: Pallas grouped gmm (ops/pallas/grouped_matmul) — dropless at
     # routed-count cost. Full chain: fused gate+up, silu*mul, row
     # requant, down.
+    if not want("H"):
+        return
     from medtsllm_tpu.ops.pallas.grouped_matmul import (
         gmm, gmm_metadata, gmm_visits, row_quant)
     kq, sc, _ = expert_params(C0)
 
-    for bm in (128, 256, 512):
+    # bn must divide BOTH F=5632 (gate/up) and stay VMEM-safe; valid
+    # steps are 128-multiples dividing 5632: 128/256/512/1408. The down
+    # matmul (N=D) always runs at 512.
+    for bm, bn, fused in ((128, 512, False), (128, 512, True),
+                          (128, 1408, True), (256, 512, True)):
         V = gmm_visits(rows, E, bm)
         R_pad = V * bm
 
         def swiglu_gmm(kq, sc, counts, x):
             ve, valid, _ = gmm_metadata(counts, bm, V)
             xq, xs = row_quant(x)
-            g, u = gmm(xq, xs, (kq["g"], kq["u"]), (sc["g"], sc["u"]),
-                       ve, valid, block_m=bm, block_n=512)
-            aq, as_ = row_quant(jax.nn.silu(g) * u)
+            if fused:
+                (act,) = gmm(xq, xs, (kq["g"], kq["u"]),
+                             (sc["g"], sc["u"]), ve, valid,
+                             block_m=bm, block_n=bn, fuse_silu=True)
+            else:
+                g, u = gmm(xq, xs, (kq["g"], kq["u"]), (sc["g"], sc["u"]),
+                           ve, valid, block_m=bm, block_n=bn)
+                act = jax.nn.silu(g) * u
+            aq, as_ = row_quant(act)
             (y,) = gmm(aq, as_, (kq["d"],), (sc["d"],), ve, valid,
                        block_m=bm, block_n=512)
             return y
 
         xp = jnp.asarray(rng.standard_normal((R_pad, D)), jnp.float32)
+        label = f"bm={bm} bn={bn}{' fused-silu' if fused else ''}"
         for tag, sizes in (("balanced", [rows // E] * E),
                            ("skew-all-to-one", [rows] + [0] * (E - 1))):
             counts = jnp.asarray(sizes, jnp.int32)
@@ -161,10 +188,10 @@ def main():
                 t = timed(jax.jit(lambda kq, sc, c, x:
                                   swiglu_gmm(kq, sc, c, x)),
                           kq, sc, counts, xp)
-                print(f"H/pallas gmm bm={bm} ({tag}): {t*1e3:8.3f} ms",
+                print(f"H/pallas gmm {label} ({tag}): {t*1e3:8.3f} ms",
                       flush=True)
             except Exception as e:
-                print(f"H/pallas gmm bm={bm} ({tag}): FAILED "
+                print(f"H/pallas gmm {label} ({tag}): FAILED "
                       f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
