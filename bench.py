@@ -668,6 +668,16 @@ def bench_overlap_ab(n: int, iters: int, warmup: int,
     }
 
 
+def _llm_extra(args):
+    """models.<m>.llm overrides from bench flags (None = no overrides)."""
+    extra = {}
+    if args.expert_capacity is not None:
+        extra["expert_capacity"] = args.expert_capacity
+    if args.moe_grouped != "auto":
+        extra["moe_grouped"] = args.moe_grouped == "on"
+    return extra or None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="meta-llama/Llama-2-7b-hf",
@@ -720,6 +730,14 @@ def main():
                          "(128-aligned, -11%% on the expert bmms at b16 — "
                          "BASELINE.md 'MoE single-chip decomposition') vs "
                          "the preset's 1.25 C=560. 0 = exact dropless")
+    ap.add_argument("--moe-grouped", choices=("auto", "on", "off"),
+                    default="auto",
+                    help="MoE expert dispatch for serving: auto/on = the "
+                         "dropless Pallas grouped GEMM (HF-exact routing, "
+                         "zero drops; the single-chip w8a8 default), off = "
+                         "the GShard static-capacity bmm (can drop under "
+                         "routing skew; ~12%% faster at b16 — BASELINE.md "
+                         "'Grouped-GEMM candidates')")
     ap.add_argument("--no-int8-matmul", action="store_true",
                     help="with --quant: dequantize to bf16 instead of "
                          "running the s8xs8->s32 MXU matmul")
@@ -779,11 +797,7 @@ def main():
                                     bf16=not args.fp32, quant=args.quant,
                                     int8_matmul=not args.no_int8_matmul,
                                     prefix_cache=not args.no_prefix_cache,
-                                    llm_extra=(
-                                        {"expert_capacity":
-                                         args.expert_capacity}
-                                        if args.expert_capacity is not None
-                                        else None))
+                                    llm_extra=_llm_extra(args))
             # same param/array dtypes as the device-loop estimator
             params, arrays, _ = serving_inputs(trainer, bf16=not args.fp32)
             trainer.params = params
@@ -850,10 +864,7 @@ def main():
                                         and not args.train
                                         and args.batch <= 8
                                         and _auto_fuse_ok(args.model))),
-                                llm_extra=(
-                                    {"expert_capacity": args.expert_capacity}
-                                    if args.expert_capacity is not None
-                                    else None))
+                                llm_extra=_llm_extra(args))
         # inference uses the serving path (constant prompt head served
         # from the KV cache); training embeds the head in-graph when the
         # cache is not gradient-safe (serving_inputs gates on

@@ -34,6 +34,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--tokens", type=int, default=112)
+    ap.add_argument("--bm", type=int, default=0,
+                    help="with --only H: run only the gmm variants with "
+                         "this block_m (0 = all)")
     ap.add_argument("--only", default="",
                     help="comma list of section letters to run (A, D, F, "
                          "A0, H); empty = all. Each compile costs 20-40s "
@@ -159,7 +162,10 @@ def main():
     # steps are 128-multiples dividing 5632: 128/256/512/1408. The down
     # matmul (N=D) always runs at 512.
     for bm, bn, fused in ((128, 512, False), (128, 512, True),
-                          (128, 1408, True), (256, 512, True)):
+                          (128, 1408, True), (256, 512, True),
+                          (64, 1408, True)):
+        if args.bm and bm != args.bm:
+            continue
         V = gmm_visits(rows, E, bm)
         R_pad = V * bm
 
