@@ -98,6 +98,13 @@ def main():
     full = jax.jit(lambda p, xx: moe.apply({"params": p}, xx))
     t_full = timed(full, params, x)
 
+    # grouped-dispatch full layer (the serving default): dropless Pallas
+    # gmm + gather packing instead of the capacity scatter + bmms
+    import dataclasses
+    moe_g = MoEMLP(dataclasses.replace(cfg, moe_grouped=True), quantize=8)
+    full_g = jax.jit(lambda p, xx: moe_g.apply({"params": p}, xx))
+    t_full_g = timed(full_g, params, x)
+
     # experts-only lower bound: same three bmm shapes, no dispatch
     h = jnp.asarray(rng.standard_normal((E, C, D)), jnp.float32)
 
@@ -134,6 +141,9 @@ def main():
     t_dense = timed(jax.jit(dense_active), x)
 
     print(f"full MoE layer      : {t_full*1e3:8.2f} ms", flush=True)
+    print(f"full layer (grouped): {t_full_g*1e3:8.2f} ms "
+          f"(dropless gmm serving default; overhead vs capacity bmm "
+          f"{100*(t_full_g-t_full)/t_full:+.0f}%)", flush=True)
     print(f"experts-only bmms   : {t_experts*1e3:8.2f} ms "
           f"(dispatch+router overhead {100*(t_full-t_experts)/t_full:.0f}%)",
           flush=True)
