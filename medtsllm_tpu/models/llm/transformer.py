@@ -808,13 +808,20 @@ class MoEMLP(nn.Module):
         kg, sg = stacked("w_gate", D, F)
         ku, su = stacked("w_up", D, F)
         kd, sd = stacked("w_down", F, D)
-        # quantize per-token BEFORE the dispatch scatter: the packed
-        # buffer moves int8 (4x less HBM than f32) and the padding rows
-        # never see the quant pass; numerics identical (same row values)
+        # quantize per-token BEFORE dispatch (padding rows never see the
+        # quant pass; numerics identical — same row values), then pack by
+        # GATHER, not scatter: the only scatter is the [R_pad] int32
+        # inverse-permutation build; the wide int8 rows move through a
+        # vectorized gather (row scatters serialize on TPU)
         xq_t, xs_t = row_quant(xt.astype(jnp.float32))
-        xq = jnp.zeros((V * bm, D), jnp.int8).at[dest].set(xq_t[src])
-        xs = jnp.full((V * bm, 1), 1e-10, jnp.float32).at[dest].set(
-            xs_t[src])
+        inv = jnp.full(V * bm, T * k, jnp.int32).at[dest].set(
+            jnp.arange(T * k, dtype=jnp.int32))  # tile tails -> sentinel
+        tok = jnp.concatenate(  # packed row -> source token (T = zeros)
+            [src.astype(jnp.int32), jnp.full((1,), T, jnp.int32)])[inv]
+        xq = jnp.concatenate(
+            [xq_t, jnp.zeros((1, D), jnp.int8)], axis=0)[tok]
+        xs = jnp.concatenate(
+            [xs_t, jnp.full((1, 1), 1e-10, jnp.float32)], axis=0)[tok]
         (act,) = gmm(xq, xs, (kg, ku), (sg, su), ve, valid,
                      block_m=bm, block_n=bn_f, interpret=interpret,
                      fuse_silu=True)  # SwiGLU epilogue in VMEM
