@@ -444,9 +444,14 @@ def resolve_bench_backbone(configured: str, llm_override: str):
 
 
 def bench_config(config_path: str, iters: int, warmup: int,
-                 llm_override: str | None = "auto") -> dict:
+                 llm_override: str | None = "auto",
+                 e2e: int | None = None) -> dict:
     """Throughput for one of the reference-mirroring TOML configs
-    (BASELINE.md measured table)."""
+    (BASELINE.md measured table). With ``e2e``, streams >= that many val
+    windows per pass through the full serving system instead (pipeline +
+    PromptBuilder + per-clip/constant prefix-KV lookups — bench_e2e),
+    reporting warm-pass wall-clock next to the same-session device-loop
+    number."""
     import io
     import contextlib
     import jax
@@ -473,9 +478,28 @@ def bench_config(config_path: str, iters: int, warmup: int,
 
         p50, p50_sync = measure_eval_on_device(
             trainer.eval_step, params, arrays, iters, warmup)
+        if e2e:
+            warm_s, host_s, cold_s, n_win = bench_e2e(trainer, params, e2e)
 
     bs = cfg.training.batch_size
     name = config_path.rsplit("/", 1)[-1].removesuffix(".toml")
+    if e2e:
+        return {
+            "metric": f"{name}_e2e_serving_windows_per_sec_per_chip",
+            "value": round(1.0 / warm_s, 3),
+            "unit": "windows/sec/chip",
+            "vs_baseline": None,
+            "detail": {
+                "vs_device_loop": round(p50 / bs / warm_s, 3),
+                "device_loop_windows_per_sec": round(bs / p50, 3),
+                "host_ms_per_window": round(host_s * 1e3, 3),
+                "e2e_ms_per_window": round(warm_s * 1e3, 3),
+                "cold_pass_s": round(cold_s, 3),
+                "windows_per_pass": n_win,
+                "batch": bs, "model": cfg.model, "task": cfg.task,
+                "backend": jax.default_backend(),
+            },
+        }
     return {
         "metric": f"{name}_inference_windows_per_sec_per_chip",
         "value": round(bs / p50, 3),
@@ -713,7 +737,9 @@ def main():
                          "PromptBuilder (fresh stats prompts, tokenization, "
                          "bucket growth) with host prep overlapping queued "
                          "device steps; reports end-to-end win/s next to "
-                         "the device-loop estimator")
+                         "the device-loop estimator. Composes with "
+                         "--config (e.g. the clip-bank LRU under a real "
+                         "clip-ordered val stream)")
     ap.add_argument("--overlap-ab", type=int, default=None, metavar="N",
                     help="A/B ring collective matmul vs psum TP MLP on an "
                          "N-device virtual CPU mesh")
@@ -781,7 +807,7 @@ def main():
         import warnings
         warnings.filterwarnings("ignore")
         result = bench_config(args.config, args.iters, args.warmup,
-                              args.llm_override)
+                              args.llm_override, e2e=args.e2e)
         print(json.dumps(result))
         return result
 

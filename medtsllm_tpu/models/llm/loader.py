@@ -557,18 +557,22 @@ def _hf_to_tree(cfg: DecoderConfig, tensors: dict,
                         tensors[p + f"block_sparse_moe.experts.{e}."
                                     f"{hf_n}.weight"].T
                         for e in range(cfg.n_experts)])  # [E, in, out]
-                    if quantize == 8:
+                    if quantize in (4, 8):
+                        # bnb quantizes expert Linears like any other
+                        # (the reference's load_in_4bit/8bit applies
+                        # model-wide, medtsllm.py:162-173): expert-wise
+                        # absmax int8 / packed int4 (or fp4/nf4 codebook)
                         from .transformer import QuantDense
+                        cb = (getattr(cfg, "quant4_codebook", "absmax")
+                              if quantize == 4 else "absmax")
                         qs = [QuantDense.quantize(
-                            np.asarray(w[e], dtype=np.float32), bits=8)
+                            np.asarray(w[e], dtype=np.float32),
+                            bits=quantize, codebook=cb)
                             for e in range(cfg.n_experts)]
                         put(f"h_{i}/mlp/{fx_n}_q",
                             np.stack([q for q, _ in qs]))
                         put(f"h_{i}/mlp/{fx_n}_scale",
                             np.stack([s for _, s in qs]))
-                    elif quantize:
-                        raise NotImplementedError(
-                            "MoE experts support int8 quantization only")
                     else:
                         put(f"h_{i}/mlp/{fx_n}", w)
             elif getattr(cfg, "fused_projections", False):

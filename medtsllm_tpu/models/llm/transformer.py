@@ -722,6 +722,14 @@ def router_aux_loss(router_probs, expert_index, n_experts: int):
     return n_experts * jnp.sum(f * p)
 
 
+def _unpack4_experts(packed, n_in):
+    """[E, ceil(n_in/2), N] split-halves-packed int4 -> [E, n_in, N]
+    int8 (quant_matmul.unpack4_split with a leading expert axis)."""
+    hi = jnp.right_shift(packed, 4)  # arithmetic shift keeps sign
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    return jnp.concatenate([hi, lo], axis=1)[:, :n_in]
+
+
 @jax.custom_vjp
 def _act_quant_bmm(hf, kq, scale):
     """Batched (per-expert) w8a8 matmul with dynamic per-row activation
@@ -771,7 +779,11 @@ class MoEMLP(nn.Module):
     Expert FFNs run as E-batched matmuls (einsum over the stacked
     [E, d, f] weights — MXU-batched, sharded P("expert", ...) under
     expert parallelism; within-expert Megatron column/row over "tensor").
-    quantize=8 runs the per-expert w8a8 MXU path (_act_quant_bmm)."""
+    quantize=8 runs the per-expert w8a8 MXU path (_act_quant_bmm);
+    quantize=4 stores packed int4 experts (absmax w4a8, or the bnb
+    fp4/nf4 codebooks dequantized to the compute dtype — the same menu
+    as the dense QuantDense path, since the reference's bnb
+    load_in_4bit/8bit quantizes expert Linears like any other)."""
 
     cfg: DecoderConfig
     dtype: object = None
@@ -848,9 +860,9 @@ class MoEMLP(nn.Module):
         if cfg.style != "llama":
             raise NotImplementedError(
                 f"MoE FFN is llama/mixtral-style only; got {cfg.style!r}")
-        if self.quantize not in (0, 8):
+        if self.quantize not in (0, 4, 8):
             raise NotImplementedError(
-                f"MoE experts support int8 quantization only; "
+                f"MoE experts support int8/int4 quantization; "
                 f"got quantize={self.quantize}")
         B, L, D = x.shape
         T = B * L
@@ -875,18 +887,38 @@ class MoEMLP(nn.Module):
         src = jnp.repeat(jnp.arange(T), k)
 
         def stacked(name, d_in, d_out):
-            if self.quantize == 8:
-                # per-expert per-output-channel int8 (QuantDense.quantize
-                # applied expert-wise by the loader); random init mirrors
-                # QuantDense's fixed 3.5-sigma scale
-                s_init = 3.5 * 0.02 / 127.0
+            if self.quantize in (4, 8):
+                # per-expert per-output-channel int8 / packed int4
+                # (QuantDense.quantize applied expert-wise by the
+                # loader); random init mirrors QuantDense's fixed
+                # 3.5-sigma scale. bits=4 stores split-halves packed rows
+                # ([E, ceil(d_in/2), d_out]); fp4/nf4 codebooks encode
+                # against the bnb table (scale = channel absmax)
+                bits = self.quantize
+                cb = cfg.quant4_codebook if bits == 4 else "absmax"
+                qmax = 127.0 if bits == 8 else 7.0
+                s_init = 3.5 * 0.02 / (1.0 if cb != "absmax" else qmax)
+                rows = d_in if bits == 8 else (d_in + 1) // 2
 
                 def init_q(key, shape, _dtype=jnp.int8):
-                    w = 0.02 * jax.random.normal(key, shape, jnp.float32)
-                    return jnp.clip(jnp.round(w / s_init),
-                                    -127, 127).astype(jnp.int8)
+                    from ...ops.pallas.quant_matmul import pack4_split
+                    w = 0.02 * jax.random.normal(
+                        key, (shape[0], d_in, d_out), jnp.float32)
+                    if cb != "absmax":
+                        table = jnp.asarray(QUANT4_CODEBOOKS[cb])
+                        codes = jnp.argmin(
+                            jnp.abs(w[..., None] / s_init
+                                    - table[None, None, None, :]), axis=-1)
+                        q = (codes - 8).astype(jnp.int8)
+                    else:
+                        q = jnp.clip(jnp.round(w / s_init),
+                                     -qmax, qmax).astype(jnp.int8)
+                    if bits == 4:
+                        q = jnp.stack([pack4_split(q[e])
+                                       for e in range(shape[0])])
+                    return q
 
-                kq = self.param(name + "_q", init_q, (E, d_in, d_out))
+                kq = self.param(name + "_q", init_q, (E, rows, d_out))
                 sc = self.param(
                     name + "_scale",
                     lambda _k, s: s_init * jnp.ones(s, jnp.float32),
@@ -918,6 +950,20 @@ class MoEMLP(nn.Module):
         def bmm(h_in, name, d_in, d_out):
             w, sc = stacked(name, d_in, d_out)
             if sc is not None:
+                if self.quantize == 4:
+                    if cfg.quant4_codebook != "absmax":
+                        # bnb fp4/nf4: 16-entry table dequant, bf16 GEMM
+                        # (codebook values are not integers — no s8 MXU
+                        # path, matching bnb's own dequant-to-GEMM)
+                        codes = (_unpack4_experts(w, d_in)
+                                 .astype(jnp.int32) + 8)
+                        table = jnp.asarray(QUANT4_CODEBOOKS[
+                            cfg.quant4_codebook])
+                        wd = jnp.take(table, codes, axis=0).astype(cd)
+                        acc = jnp.einsum("ecd,edf->ecf",
+                                         h_in.astype(cd), wd)
+                        return acc * sc[:, None, :].astype(cd)
+                    w = _unpack4_experts(w, d_in)  # s8 in [-7, 7]
                 if self.act_quant:
                     return _act_quant_bmm(h_in.astype(jnp.float32), w,
                                           sc).astype(cd)

@@ -458,3 +458,52 @@ def test_moe_grouped_config_resolution(tmp_path):
     cfg.models.medtsllm.llm["llm"] = "llama-tiny"  # dense
     with pytest.raises(ValueError, match="not an enabled MoE"):
         build_model(cfg, ds)
+
+
+def _w4_params(cfg, seed=0, batch=(1, 8), codebook="absmax"):
+    """f32-init MoEMLP params + their expert-wise packed-int4
+    quantization (the loader's load_in_4bit recipe)."""
+    from medtsllm_tpu.models.llm.transformer import QuantDense
+    x = np.random.RandomState(seed).randn(*batch, cfg.d_model)
+    x = x.astype(np.float32)
+    pf = MoEMLP(cfg).init(jax.random.PRNGKey(seed + 1),
+                          jnp.asarray(x))["params"]
+    qp = {"gate": pf["gate"]}
+    for name in ("w_gate", "w_up", "w_down"):
+        qs = [QuantDense.quantize(np.asarray(pf[name][e]), bits=4,
+                                  codebook=codebook)
+              for e in range(cfg.n_experts)]
+        qp[name + "_q"] = jnp.stack([jnp.asarray(q) for q, _ in qs])
+        qp[name + "_scale"] = jnp.stack([jnp.asarray(s) for _, s in qs])
+    return jnp.asarray(x), pf, qp
+
+
+@pytest.mark.parametrize("codebook", ["absmax", "nf4", "fp4"])
+def test_moe_int4_experts_track_f32(codebook):
+    """quantize=4 experts (packed absmax w4a8 / bnb codebook dequant)
+    track the f32 MoE layer; STE backward flows dL/dx below the frozen
+    int4 experts (the reference's load_in_4bit applies to expert
+    Linears too, /root/reference/models/medtsllm.py:162-173)."""
+    cfg = _moe_cfg(expert_capacity=0.0)
+    if codebook != "absmax":
+        cfg = dataclasses.replace(cfg, quant4_codebook=codebook)
+    x, pf, qp = _w4_params(cfg, seed=11, codebook=codebook)
+    yf = np.asarray(MoEMLP(cfg).apply({"params": pf}, x))
+    yq = np.asarray(MoEMLP(cfg, quantize=4).apply({"params": qp}, x))
+    assert np.corrcoef(yq.ravel(), yf.ravel())[0, 1] > 0.97
+    gx = jax.grad(lambda xin: jnp.sum(MoEMLP(cfg, quantize=4).apply(
+        {"params": qp}, xin) ** 2))(x)
+    assert np.all(np.isfinite(np.asarray(gx)))
+    assert float(jnp.abs(gx).sum()) > 0
+
+
+def test_moe_int4_loader_roundtrip(tmp_path):
+    """load_in_4bit on a MoE backbone: packed expert params load and the
+    model builds + runs (the pre-r4 loader raised NotImplementedError)."""
+    from medtsllm_tpu.data import get_dataset
+    from medtsllm_tpu.models import build_model
+    cfg = _trainer_cfg(tmp_path, expert=1)
+    cfg.models.medtsllm.llm["load_in_4bit"] = True
+    ds = get_dataset(cfg, "train")
+    model = build_model(cfg, ds)
+    assert model.quantize == 4
