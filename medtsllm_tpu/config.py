@@ -246,7 +246,8 @@ KNOWN_TASKS = (
     "imputation",
 )
 KNOWN_MODELS = ("medtsllm", "timellm", "gpt4ts", "dlinear", "patchtst", "timesnet", "fedformer")
-KNOWN_OPTIMIZERS = ("adam", "adamw", "sgd", "ranger", "ranger21")
+KNOWN_OPTIMIZERS = ("adam", "adamw", "sgd", "ranger", "ranger21",
+                    "ranger_classic")
 KNOWN_SCHEDULERS = ("none", "constant", "cosine", "linear")
 KNOWN_DTYPES = ("bfloat16", "bf16", "float16", "half", "fp16", "16",
                 "float32", "float", "fp32", "32", "mixed")

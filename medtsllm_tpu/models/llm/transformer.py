@@ -824,8 +824,11 @@ class MoEMLP(nn.Module):
         # quant pass; numerics identical — same row values), then pack by
         # GATHER, not scatter: the only scatter is the [R_pad] int32
         # inverse-permutation build; the wide int8 rows move through a
-        # vectorized gather (row scatters serialize on TPU)
-        xq_t, xs_t = row_quant(xt.astype(jnp.float32))
+        # vectorized gather (row scatters serialize on TPU). Round-trip
+        # through cd first so quantization sees EXACTLY the values the
+        # capacity-bmm fallback quantizes (it casts xt into cd before
+        # quant) — bit-identical paths even when cd=bf16 and xt is f32
+        xq_t, xs_t = row_quant(xt.astype(cd).astype(jnp.float32))
         inv = jnp.full(V * bm, T * k, jnp.int32).at[dest].set(
             jnp.arange(T * k, dtype=jnp.int32))  # tile tails -> sentinel
         tok = jnp.concatenate(  # packed row -> source token (T = zeros)

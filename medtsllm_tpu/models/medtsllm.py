@@ -249,17 +249,36 @@ class MedTsLLM(nn.Module):
         mg = mc.llm.get("moe_grouped", "auto")
         if getattr(llm_cfg, "n_experts", 0) > 1 and mc.llm.enabled:
             w8a8 = quantize == 8 and bool(mc.llm.get("int8_matmul", True))
+            single = jax.device_count() == 1
+            on_tpu = jax.default_backend() == "tpu"
             if mg == "auto":
-                mg = w8a8 and jax.device_count() == 1
+                # auto only where the kernel is actually a win: Pallas
+                # interpret mode on CPU is orders of magnitude slower than
+                # the bmm path, and the kernel carries no GSPMD rules.
+                mg = w8a8 and single and on_tpu
             if mg and not w8a8:
                 raise ValueError(
                     "models.llm.moe_grouped requires w8a8 experts "
                     "(load_in_8bit = true with int8_matmul) — the grouped "
                     "kernel's MXU contraction is s8 x s8 only")
+            if mg and not single:
+                warnings.warn(
+                    "models.llm.moe_grouped forced true with "
+                    f"{jax.device_count()} devices — the grouped kernel "
+                    "has no GSPMD partitioning rules; inputs must stay "
+                    "unsharded (single-device placement). Use "
+                    "expert_parallel (EP) for sharded MoE")
+            if mg and not on_tpu:
+                warnings.warn(
+                    "models.llm.moe_grouped forced true on a non-TPU "
+                    "backend — the Pallas kernel runs in interpret mode "
+                    "(correct but very slow); intended for tests only")
             if mg:
                 import dataclasses
                 llm_cfg = dataclasses.replace(llm_cfg, moe_grouped=True)
-        elif mg != "auto":
+        elif mg not in ("auto", False):
+            # explicitly DISABLING on a non-MoE backbone is a no-op, not an
+            # error (e.g. `bench.py --moe-grouped off` on a dense model)
             raise ValueError(
                 f"models.llm.moe_grouped set but backbone {mc.llm.llm!r} "
                 f"is not an enabled MoE (n_experts <= 1 or llm disabled)")

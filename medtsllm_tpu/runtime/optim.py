@@ -1,10 +1,10 @@
 """Optimizer + LR schedule construction on optax.
 
 Reference surface (tasks/base.py:87-141): adam / adamw(wd=0.01) /
-sgd(momentum=0.9, nesterov) / ranger21 (pytorch_optimizer.Ranger21,
+sgd(momentum=0.9, nesterov) / ranger21|ranger (pytorch_optimizer.Ranger21,
 implemented here from the published composition — see the Ranger21 block
-below; "ranger" is kept as classic RAdam+Lookahead, a documented
-deviation from the reference's ranger->Ranger21 alias); constant
+below; the reference aliases "ranger" to Ranger21 at tasks/base.py:103 and
+so do we; classic RAdam+Lookahead lives under "ranger_classic"); constant
 scheduler; finetuning either
 freezes loaded params for `frozen_epochs` or warms them up over
 `warmup_epochs` with a linspace(warmup_factor, 1) factor.
@@ -436,12 +436,15 @@ def _base_optimizer(name: str, lr, num_iterations=None):
             return optax.adamw(lr, weight_decay=0.01)
         case "sgd":
             return optax.sgd(lr, momentum=0.9, nesterov=True)
-        case "ranger":
-            # classic Ranger = RAdam + Lookahead. DOCUMENTED DEVIATION:
-            # the reference aliases "ranger" to pytorch_optimizer.Ranger21
-            # (tasks/base.py:102-104); use "ranger21" for that behavior.
+        case "ranger_classic":
+            # classic Ranger = RAdam + Lookahead (kept under its own name;
+            # the reference has no such optimizer).
             return lookahead(optax.radam(lr))
-        case "ranger21":
+        case "ranger" | "ranger21":
+            # reference: tasks/base.py:103 `case "ranger21" | "ranger"` —
+            # BOTH names deliver pytorch_optimizer.Ranger21, so "ranger"
+            # here must too (a reference config with optimizer="ranger"
+            # would otherwise silently train differently).
             if num_iterations is None:
                 raise ValueError(
                     "ranger21 needs the total optimizer-step count for its "

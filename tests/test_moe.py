@@ -459,6 +459,12 @@ def test_moe_grouped_config_resolution(tmp_path):
     with pytest.raises(ValueError, match="not an enabled MoE"):
         build_model(cfg, ds)
 
+    # explicitly DISABLING on a dense backbone is a no-op, not an error
+    # (e.g. `bench.py --moe-grouped off` against a dense model)
+    cfg.models.medtsllm.llm["moe_grouped"] = False
+    model = build_model(cfg, ds)
+    assert model.llm_cfg.moe_grouped is False
+
 
 def _w4_params(cfg, seed=0, batch=(1, 8), codebook="absmax"):
     """f32-init MoEMLP params + their expert-wise packed-int4

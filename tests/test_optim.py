@@ -42,8 +42,8 @@ def test_lookahead_slow_fast_update():
     np.testing.assert_allclose(params["w"], expect, rtol=1e-6)
 
 
-def test_ranger_is_radam_plus_lookahead():
-    opt = Optimizer(_cfg("ranger"))
+def test_ranger_classic_is_radam_plus_lookahead():
+    opt = Optimizer(_cfg("ranger_classic"))
     params = {"w": jnp.ones((2, 2))}
     state = opt.init(params)
     grads = {"w": jnp.full((2, 2), 0.5)}
