@@ -109,17 +109,31 @@ def export_serving(trainer, out_dir, batch=None) -> dict:
     if "prefix_kv" in arrays:
         # the artifact takes the per-layer KV as an input, so the
         # deployment rebuilds it once per weight load via the exported
-        # prefill program (trainer._prefix_kv created the jit above)
-        ids = trainer.model_inputs(batch)["prefix_ids"]
+        # prefill program (trainer._prefix_kv created the jit above).
+        # Two prompt-head layouts (tasks/base.py::_prefix_kv):
+        #   1D [P]    — constant head, prefilled once per weight load;
+        #   2D [B, P] — PER-CLIP head rows (clip prompting): export the
+        #               prefill at ROW shape [1, P] — deployments prefill
+        #               each distinct clip row once, bank the results
+        #               (the host-side LRU in tasks/base.py:339-419), and
+        #               stack the batch's rows along axis 0 to form
+        #               arrays["prefix_kv"].
+        ids = np.asarray(trainer.model_inputs(batch)["prefix_ids"])
+        per_clip = ids.ndim == 2
+        pids_shape = (1, ids.shape[1]) if per_clip else ids.shape
         pexp = jexport.export(trainer.prefill_program(train=False),
                               disabled_checks=checks)(
             _specs(trainer.params),
-            jax.ShapeDtypeStruct(np.shape(ids), jnp.asarray(ids).dtype))
+            jax.ShapeDtypeStruct(pids_shape, jnp.asarray(ids).dtype))
         (out / "prefill.jaxexport").write_bytes(pexp.serialize())
         manifest["prefill"] = {
-            "calling_convention":
-                "prefill.call(params, prefix_ids) -> arrays['prefix_kv']",
-            "prefix_ids_shape": list(np.shape(ids)),
+            "calling_convention": (
+                "prefill.call(params, prefix_ids[1, P]) -> one clip row; "
+                "bank rows per distinct clip (LRU), stack the batch's "
+                "rows on axis 0 -> arrays['prefix_kv']" if per_clip else
+                "prefill.call(params, prefix_ids) -> arrays['prefix_kv']"),
+            "prefix_ids_shape": list(pids_shape),
+            "per_clip": per_clip,
         }
 
     (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
@@ -152,10 +166,24 @@ def verify_roundtrip(trainer, out_dir, batch=None) -> float:
     loaded = load_serving(out_dir)
     arrays = trainer._device_batch(trainer.eval_model_inputs(batch))
     if "prefill" in loaded:
-        ids = trainer.model_inputs(batch)["prefix_ids"]
+        ids = np.asarray(trainer.model_inputs(batch)["prefix_ids"])
         arrays = dict(arrays)
-        arrays["prefix_kv"] = loaded["prefill"](trainer.params,
-                                                jnp.asarray(ids))
+        if loaded["manifest"].get("prefill", {}).get("per_clip"):
+            # per-clip convention: prefill each DISTINCT row once through
+            # the exported program, then stack the batch's rows (what the
+            # host-side LRU bank does in the live trainer)
+            row_kv = {}
+            for b in range(ids.shape[0]):
+                key = ids[b].tobytes()
+                if key not in row_kv:
+                    row_kv[key] = loaded["prefill"](
+                        trainer.params, jnp.asarray(ids[b:b + 1]))
+            rows = [row_kv[ids[b].tobytes()] for b in range(ids.shape[0])]
+            arrays["prefix_kv"] = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *rows)
+        else:
+            arrays["prefix_kv"] = loaded["prefill"](trainer.params,
+                                                    jnp.asarray(ids))
     got = loaded["eval_step"](trainer.params, arrays)
     want = trainer.eval_step(trainer.params, arrays)
     return float(jnp.max(jnp.abs(jnp.asarray(got) - jnp.asarray(want))))
