@@ -805,8 +805,10 @@ class MoEMLP(nn.Module):
         E, k, F = cfg.n_experts, cfg.n_experts_per_tok, cfg.d_ff
         # gate/up at the widest VMEM-safe tile (fewer activation
         # re-streams; 1408 beat 512 by 4% at the serving shape), down at
-        # 512 (tools/ab_grouped.py H rows, 2026-08-20)
-        bn_f, bn_d = pick_block_n(F, target=1408), pick_block_n(D)
+        # 1024 (halves the int8 activation re-streams; with emit_quant
+        # 1.176 ms balanced vs 1.216 at 512 — tools/ab_grouped.py H rows,
+        # 2026-08-20)
+        bn_f, bn_d = pick_block_n(F, target=1408), pick_block_n(D, 1024)
         if not (bn_f and bn_d):
             return None
         cd = self.dtype or xt.dtype
@@ -837,10 +839,15 @@ class MoEMLP(nn.Module):
             [xq_t, jnp.zeros((1, D), jnp.int8)], axis=0)[tok]
         xs = jnp.concatenate(
             [xs_t, jnp.full((1, 1), 1e-10, jnp.float32)], axis=0)[tok]
-        (act,) = gmm(xq, xs, (kg, ku), (sg, su), ve, valid,
-                     block_m=bm, block_n=bn_f, interpret=interpret,
-                     fuse_silu=True)  # SwiGLU epilogue in VMEM
-        aq, as_ = row_quant(act)
+        # SwiGLU epilogue + requant fused in VMEM: the first gmm emits
+        # int8 rows with per-(row, F-tile) scales straight into the down
+        # gmm — the [R, F] f32 activation never exists in HBM (the r4
+        # separate row_quant pass read + re-wrote it: ~208 MB/layer at
+        # the b16 serving shape, the dominant residual over the measured
+        # dropless bound in BASELINE.md "Grouped-GEMM candidates")
+        aq, as_ = gmm(xq, xs, (kg, ku), (sg, su), ve, valid,
+                      block_m=bm, block_n=bn_f, interpret=interpret,
+                      fuse_silu=True, emit_quant=True)
         (y,) = gmm(aq, as_, (kd,), (sd,), ve, valid,
                    block_m=bm, block_n=bn_d, interpret=interpret)
         return y[dest].astype(cd)

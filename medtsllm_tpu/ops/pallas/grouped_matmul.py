@@ -85,7 +85,8 @@ def gmm_metadata(counts, block_m: int, n_visits: int):
     return ve, valid, row_off
 
 
-def _make_kernel(n_weights, fuse_silu=False):
+def _make_kernel(n_weights, fuse_silu=False, emit_quant=False,
+                 n_chunks=1):
     from jax.experimental import pallas as pl
 
     def kernel(ve_ref, valid_ref, xq_ref, xs_ref, *rest):
@@ -99,19 +100,45 @@ def _make_kernel(n_weights, fuse_silu=False):
         @pl.when(ok)
         def _():
             x = xq_ref[:]
-            xs = xs_ref[:]
             res = []
             for w_ref, s_ref in zip(w_refs, s_refs):
-                acc = jax.lax.dot_general(
-                    x, w_ref[0], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                res.append(acc.astype(jnp.float32) * xs * s_ref[0])
+                if n_chunks == 0:
+                    acc = jax.lax.dot_general(
+                        x, w_ref[0], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    out = acc.astype(jnp.float32) * xs_ref[:]
+                else:
+                    # per-(row, k-chunk) activation scales (the fused
+                    # requant layout emitted by emit_quant below): split
+                    # the contraction, rescale each partial in f32
+                    ck = x.shape[1] // n_chunks
+                    out = None
+                    for kb in range(n_chunks):
+                        acc = jax.lax.dot_general(
+                            x[:, kb * ck:(kb + 1) * ck],
+                            w_ref[0, kb * ck:(kb + 1) * ck],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                        part = acc.astype(jnp.float32) * xs_ref[kb, 0][:, None]
+                        out = part if out is None else out + part
+                res.append(out * s_ref[0])
             if fuse_silu:
                 # SwiGLU epilogue in-VMEM: the (gate, up) pair never
                 # round-trips through HBM — one activated output instead
                 # of two f32 intermediates plus an elementwise pass
-                o_refs[0][:] = (jax.nn.silu(res[0])
-                                * res[1]).astype(o_refs[0].dtype)
+                t = jax.nn.silu(res[0]) * res[1]
+                if emit_quant:
+                    # fused requant: emit int8 rows + a per-(row, N-tile)
+                    # scale — the downstream gmm consumes them with
+                    # n_chunks rescaling; the [R, N] f32 activation never
+                    # exists in HBM (r4's separate row_quant pass read
+                    # and re-wrote it — the dominant residual traffic)
+                    amax = jnp.max(jnp.abs(t), axis=1, keepdims=True)
+                    s = jnp.maximum(amax / 127.0, 1e-10)
+                    o_refs[0][:] = jnp.round(t / s).astype(o_refs[0].dtype)
+                    o_refs[1][0, 0] = s[:, 0]
+                else:
+                    o_refs[0][:] = t.astype(o_refs[0].dtype)
             else:
                 for o_ref, r in zip(o_refs, res):
                     o_ref[:] = r.astype(o_ref.dtype)
@@ -119,22 +146,32 @@ def _make_kernel(n_weights, fuse_silu=False):
         @pl.when(jnp.logical_not(ok))
         def _():
             for o_ref in o_refs:
-                o_ref[:] = jnp.zeros_like(o_ref)
+                if len(o_ref.shape) == 3:  # (1, 1, bm) scale block
+                    o_ref[0, 0] = jnp.full((o_ref.shape[-1],), 1e-10,
+                                           jnp.float32)
+                else:
+                    o_ref[:] = jnp.zeros_like(o_ref)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
                                              "interpret", "out_dtype",
-                                             "fuse_silu"))
+                                             "fuse_silu", "emit_quant"))
 def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
         *, block_m: int = 128, block_n: int = 512, interpret: bool = False,
-        out_dtype=jnp.float32, fuse_silu: bool = False):
+        out_dtype=jnp.float32, fuse_silu: bool = False,
+        emit_quant: bool = False):
     """Grouped w8a8 matmul(s) over expert-packed rows.
 
     xq        [R_pad, K] int8, rows packed per gmm_metadata's layout
               (R_pad = V * block_m, V = len(visit_e))
-    x_scale   [R_pad, 1] f32 per-row activation scale
+    x_scale   per-row activation scale, one of
+                [R_pad, 1] f32  — one scale per row, or
+                [KB, 1, R_pad] f32 — per-(row, K-chunk) scales for
+                K % KB == 0 chunks (the layout emit_quant produces):
+                the contraction splits into KB chunks, each partial sum
+                rescaled in f32 before accumulation
     weights   tuple of [E, K, N] int8 (1 = single matmul; 2 = gate+up
               sharing the activation sweep)
     w_scales  tuple of [E, N] f32 per-expert per-output-channel scales
@@ -144,11 +181,20 @@ def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
               epilogue runs in VMEM, so the two f32 intermediates never
               round-trip through HBM (the dominant traffic at serving
               shapes: 2 x R x F x 4 bytes written + re-read per layer)
+    emit_quant (requires fuse_silu) re-quantizes the activated tile
+              in-VMEM and returns (int8 [R_pad, N], scales
+              [N // block_n, 1, R_pad] f32) ready to feed a downstream
+              gmm as (xq, x_scale) — the [R, N] f32 activation never
+              touches HBM (r4's separate row_quant pass cost a full
+              f32 read + int8 write of it). Scales are per-(row,
+              N-tile): FINER than the bmm path's per-row scale, so
+              numerics are within quantization noise of (not identical
+              to) _act_quant_bmm.
 
     Returns a tuple of [R_pad, N] ``out_dtype`` arrays, one per weight
     (a single array under fuse_silu): out = (xq @ w[visit_e[row // bm]])
     .astype(f32) * x_scale * w_scale[e]; rows in unoccupied tail tiles
-    are zero.
+    are zero (scale outputs hold the 1e-10 floor there).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -162,6 +208,14 @@ def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
     assert K2 == K and R_pad == V * block_m, (xq.shape, V, block_m)
     assert N % block_n == 0, (N, block_n)
     assert not fuse_silu or nw == 2, "fuse_silu takes (gate, up)"
+    assert not emit_quant or fuse_silu, "emit_quant rides the SwiGLU path"
+    # the (1, 1, block_m) scale output block puts block_m in the lane
+    # dim: TPU lowering needs it 128-divisible (bm=64 FAILED on-chip)
+    assert not emit_quant or block_m % 128 == 0, (block_m, "emit_quant")
+    n_chunks = 0  # 0 = per-row [R_pad, 1] scale layout
+    if x_scale.ndim == 3:
+        n_chunks = x_scale.shape[0]
+        assert x_scale.shape == (n_chunks, 1, R_pad) and K % n_chunks == 0
     n_out = 1 if fuse_silu else nw
     for w, s in zip(weights, w_scales):
         assert w.shape == (E, K, N) and s.shape == (E, N)
@@ -169,6 +223,10 @@ def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
     def x_map(j, v, ve, valid):
         del j, ve, valid
         return (v, 0)
+
+    def xs_map(j, v, ve, valid):
+        del j, ve, valid
+        return (0, 0, v)
 
     def w_map(j, v, ve, valid):
         del valid
@@ -182,12 +240,18 @@ def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
         del ve, valid
         return (v, j)
 
+    def os_map(j, v, ve, valid):
+        del ve, valid
+        return (j, 0, v)
+
+    xs_spec = (pl.BlockSpec((block_m, 1), x_map) if n_chunks == 0
+               else pl.BlockSpec((n_chunks, 1, block_m), xs_map))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(N // block_n, V),
         in_specs=[
             pl.BlockSpec((block_m, K), x_map),
-            pl.BlockSpec((block_m, 1), x_map),
+            xs_spec,
             *[pl.BlockSpec((1, K, block_n), w_map) for _ in range(nw)],
             # scales ride as [E, 1, N]: a (1, block_n) block of an [E, N]
             # array has second-to-last dim 1 (not 8-divisible, != E) and
@@ -195,19 +259,28 @@ def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
             # axis makes the last-two block dims (1, block_n) legal
             *[pl.BlockSpec((1, 1, block_n), ws_map) for _ in range(nw)],
         ],
-        out_specs=[pl.BlockSpec((block_m, block_n), o_map)
-                   for _ in range(n_out)],
+        out_specs=([pl.BlockSpec((block_m, block_n), o_map),
+                    pl.BlockSpec((1, 1, block_m), os_map)] if emit_quant
+                   else [pl.BlockSpec((block_m, block_n), o_map)
+                         for _ in range(n_out)]),
     )
 
+    out_shape = ([jax.ShapeDtypeStruct((R_pad, N), jnp.int8),
+                  jax.ShapeDtypeStruct((N // block_n, 1, R_pad),
+                                       jnp.float32)] if emit_quant
+                 else [jax.ShapeDtypeStruct((R_pad, N), out_dtype)
+                       for _ in range(n_out)])
+    out_bytes = (R_pad * N + (N // block_n) * R_pad * 4 if emit_quant
+                 else n_out * R_pad * N * 4)
     outs = pl.pallas_call(
-        _make_kernel(nw, fuse_silu=fuse_silu),
+        _make_kernel(nw, fuse_silu=fuse_silu, emit_quant=emit_quant,
+                     n_chunks=n_chunks),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((R_pad, N), out_dtype)
-                   for _ in range(n_out)],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * R_pad * K * N * nw,
             bytes_accessed=(R_pad * K * (N // block_n) + nw * E * K * N
-                            + n_out * R_pad * N * 4),
+                            + out_bytes),
             transcendentals=R_pad * N if fuse_silu else 0),
         interpret=interpret,
     )(visit_e, visit_valid, xq, x_scale.astype(jnp.float32),

@@ -424,6 +424,59 @@ def test_moe_grouped_skew_routing_never_drops():
     assert not np.allclose(np.asarray(y_c), np.asarray(y_g), atol=1e-6)
 
 
+def test_moe_grouped_multi_tile_requant_law():
+    """At F > 1408 the fused epilogue emits per-(row, F-tile) activation
+    scales (finer than the bmm path's per-row scale): the d_ff=2816
+    shape runs 2 tiles — assert the EXACT integer law (per-tile amax,
+    round-half-even, s8 x s8 -> s32, chunked rescale in the down gmm)
+    against a numpy oracle, and closeness to the per-row bmm path at
+    quantization-noise level."""
+    from medtsllm_tpu.ops.pallas.grouped_matmul import pick_block_n
+    cfg = _moe_cfg(d_model=128, d_ff=2816, expert_capacity=0.0)
+    bn_f = pick_block_n(cfg.d_ff, target=1408)
+    assert bn_f == 1408 and cfg.d_ff // bn_f == 2  # multi-tile fixture
+    x, qp = _w8a8_params(cfg, seed=13, batch=(1, 16))
+    cfg_g = dataclasses.replace(cfg, moe_grouped=True)
+    got = np.asarray(MoEMLP(cfg_g, quantize=8).apply({"params": qp}, x))
+
+    # numpy oracle of the grouped law
+    T, D, F, k = 16, cfg.d_model, cfg.d_ff, cfg.n_experts_per_tok
+    xt = np.asarray(x, np.float32).reshape(T, D)
+    amax = np.abs(xt).max(-1, keepdims=True)
+    xs = np.maximum(amax / 127.0, 1e-10)
+    xq = np.round(xt / xs).astype(np.int32)
+    gate = np.asarray(qp["gate"], np.float32)
+    probs = np.exp((lg := xt @ gate) - lg.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    wq = {n: np.asarray(qp[n + "_q"], np.int32) for n in
+          ("w_gate", "w_up", "w_down")}
+    sc = {n: np.asarray(qp[n + "_scale"], np.float32) for n in
+          ("w_gate", "w_up", "w_down")}
+    want = np.zeros_like(xt)
+    for t in range(T):
+        idx = np.argsort(-probs[t], kind="stable")[:k]
+        w = probs[t][idx] / probs[t][idx].sum()
+        for j, e in enumerate(idx):
+            g = (xq[t] @ wq["w_gate"][e]) * xs[t] * sc["w_gate"][e]
+            u = (xq[t] @ wq["w_up"][e]) * xs[t] * sc["w_up"][e]
+            act = _silu(g) * u  # [F]
+            acc = np.zeros(D, np.float32)
+            for c in range(F // bn_f):  # per-tile requant + chunked down
+                seg = act[c * bn_f:(c + 1) * bn_f]
+                s = max(np.abs(seg).max() / 127.0, 1e-10)
+                aq = np.round(seg / s).astype(np.int32)
+                acc += (aq @ wq["w_down"][e][c * bn_f:(c + 1) * bn_f]
+                        ).astype(np.float32) * s
+            want[t] += w[j] * acc * sc["w_down"][e]
+    scale_ref = np.abs(want).max()
+    np.testing.assert_allclose(got.reshape(T, D), want,
+                               rtol=1e-4, atol=1e-5 * scale_ref)
+    # and the per-row bmm path agrees to quantization noise
+    y_bmm = np.asarray(MoEMLP(cfg, quantize=8).apply({"params": qp}, x))
+    rel = np.abs(got - y_bmm).max() / (np.abs(y_bmm).max() + 1e-9)
+    assert rel < 0.02, f"grouped vs bmm drift beyond quant noise: {rel}"
+
+
 def test_moe_grouped_fallback_when_shapes_dont_tile():
     """mixtral-tiny's d_model=64 has no 128-multiple block_n: the grouped
     branch declines and the capacity path serves the call bit-exactly."""

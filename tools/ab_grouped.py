@@ -161,9 +161,20 @@ def main():
     # bn must divide BOTH F=5632 (gate/up) and stay VMEM-safe; valid
     # steps are 128-multiples dividing 5632: 128/256/512/1408. The down
     # matmul (N=D) always runs at 512.
-    for bm, bn, fused in ((128, 512, False), (128, 512, True),
-                          (128, 1408, True), (256, 512, True),
-                          (64, 1408, True)):
+    for bm, bn, fused, requant, bnd in (
+            (128, 512, False, False, 512), (128, 512, True, False, 512),
+            (128, 1408, True, False, 512), (256, 512, True, False, 512),
+            (64, 1408, True, False, 512),
+            # r5: emit_quant — int8 rows + per-(row, F-tile) scales
+            # straight out of the SwiGLU epilogue; the separate
+            # row_quant pass (a full [R, F] f32 read + int8 write)
+            # disappears. bnd: the down matmul's block_n (wider = fewer
+            # activation re-streams of the [R, F] int8 rows; 1024 keeps
+            # the [F, bnd] weight block within double-buffered VMEM)
+            (128, 1408, True, True, 512), (64, 1408, True, True, 512),
+            (128, 512, True, True, 512),
+            (128, 1408, True, True, 1024), (64, 1408, True, True, 1024),
+            (128, 1408, True, False, 1024)):
         if args.bm and bm != args.bm:
             continue
         V = gmm_visits(rows, E, bm)
@@ -172,21 +183,30 @@ def main():
         def swiglu_gmm(kq, sc, counts, x):
             ve, valid, _ = gmm_metadata(counts, bm, V)
             xq, xs = row_quant(x)
-            if fused:
+            if fused and requant:
+                aq, as_ = gmm(xq, xs, (kq["g"], kq["u"]),
+                              (sc["g"], sc["u"]), ve, valid,
+                              block_m=bm, block_n=bn, fuse_silu=True,
+                              emit_quant=True)
+            elif fused:
                 (act,) = gmm(xq, xs, (kq["g"], kq["u"]),
                              (sc["g"], sc["u"]), ve, valid,
                              block_m=bm, block_n=bn, fuse_silu=True)
+                aq, as_ = row_quant(act)
             else:
                 g, u = gmm(xq, xs, (kq["g"], kq["u"]), (sc["g"], sc["u"]),
                            ve, valid, block_m=bm, block_n=bn)
                 act = jax.nn.silu(g) * u
-            aq, as_ = row_quant(act)
+                aq, as_ = row_quant(act)
             (y,) = gmm(aq, as_, (kq["d"],), (sc["d"],), ve, valid,
-                       block_m=bm, block_n=512)
+                       block_m=bm, block_n=bnd)
             return y
 
         xp = jnp.asarray(rng.standard_normal((R_pad, D)), jnp.float32)
-        label = f"bm={bm} bn={bn}{' fused-silu' if fused else ''}"
+        label = (f"bm={bm} bn={bn}"
+                 f"{' fused-silu' if fused else ''}"
+                 f"{' emit-quant' if requant else ''}"
+                 f"{f' bnd={bnd}' if bnd != 512 else ''}")
         for tag, sizes in (("balanced", [rows // E] * E),
                            ("skew-all-to-one", [rows] + [0] * (E - 1))):
             counts = jnp.asarray(sizes, jnp.int32)
