@@ -392,13 +392,17 @@ def bench_e2e(trainer, params, min_windows: int, passes: int = 4):
         final batch paid full-batch compute for valid-count credit
         (12.2% on the clip row, where a window costs ~1 ms);
       - the per-pass readback is DOUBLE-BUFFERED: pass p's scalar syncs
-        only after pass p+1's first batch is queued, so the device
-        pipeline never drains at a boundary (production serving has no
-        "passes"; the boundary is bench bookkeeping only). Steady-state
-        accounting: the wait for pass p's tail lands inside pass p+1's
-        elapsed, identical passes make that a wash, and MIN over warm
-        passes reads the clean one. The final drain is charged to the
-        last pass (MIN discards it)."""
+        only after ALL of pass p+1 is queued, so the device pipeline
+        never drains at a boundary (production serving has no "passes";
+        the boundary is bench bookkeeping only). Accounting: pass p+1's
+        elapsed = its own dispatch + the wait for pass p's completion —
+        in steady state (device ~1 pass behind, identical passes) that
+        is exactly one device-pass time. Syncing at the START of the
+        next pass instead measured pure host dispatch time on this
+        backend (the axon queue accepts a whole pass without
+        backpressure — the first run of this protocol read 7.7x the
+        device-loop rate, which is impossible). The final drain is
+        charged to the last pass (MIN discards it)."""
     import jax
     import jax.numpy as jnp
 
@@ -434,16 +438,15 @@ def bench_e2e(trainer, params, min_windows: int, passes: int = 4):
             sums.append(sum(jnp.sum(leaf) for leaf in
                             jax.tree.leaves(out)
                             if jnp.issubdtype(leaf.dtype, jnp.floating)))
-            if b == 0 and pending is not None:
-                # previous pass's scalar: this pass's first batch is
-                # already queued behind it, so the readback wait never
-                # leaves the device idle
-                float(pending)
-                pending = None
         s = jnp.stack(sums).sum()
         if p == 0:
             float(s)  # cold pass syncs (charges compiles + prefills)
         else:
+            if pending is not None:
+                # previous pass's scalar, synced with this WHOLE pass
+                # already queued behind it: the device never idles, and
+                # the wait makes this pass's elapsed one device-pass
+                float(pending)
             pending = s
         results.append([time.perf_counter() - t0, host_s, win_per_pass])
     if pending is not None:
@@ -452,8 +455,12 @@ def bench_e2e(trainer, params, min_windows: int, passes: int = 4):
         results[-1][0] += time.perf_counter() - t_drain
     cold = results[0]
     # MIN over warm passes: dispatch storms (BASELINE.md "Dispatch
-    # protocol") inflate, never deflate, a pass
-    warm = min(results[1:], key=lambda r: r[0] / r[2])
+    # protocol") inflate, never deflate, a pass. Pass 1 is EXCLUDED
+    # when later passes exist: the device was idle-drained at its start
+    # (pass 0's cold sync) and it waits on nothing, so its elapsed is
+    # dispatch-only — not a device-pass time.
+    candidates = results[2:] if len(results) > 2 else results[1:]
+    warm = min(candidates, key=lambda r: r[0] / r[2])
     return warm[0] / warm[2], warm[1] / warm[2], cold[0], warm[2]
 
 
