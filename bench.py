@@ -743,6 +743,8 @@ def _llm_extra(args):
         extra["expert_capacity"] = args.expert_capacity
     if args.moe_grouped != "auto":
         extra["moe_grouped"] = args.moe_grouped == "on"
+    if args.int8_backward:
+        extra["int8_backward"] = True
     return extra or None
 
 
@@ -806,8 +808,14 @@ def main():
                          "dropless Pallas grouped GEMM (HF-exact routing, "
                          "zero drops; the single-chip w8a8 default), off = "
                          "the GShard static-capacity bmm (can drop under "
-                         "routing skew; ~12%% faster at b16 — BASELINE.md "
-                         "'Grouped-GEMM candidates')")
+                         "routing skew; SLOWER than the grouped kernel "
+                         "since r5 — BASELINE.md 'Grouped-GEMM "
+                         "candidates')")
+    ap.add_argument("--int8-backward", action="store_true",
+                    help="with --train --quant 8: run the STE dx matmuls "
+                         "on the s8 MXU too (per-row gradient "
+                         "quantization, llm.int8_backward; cos-sim vs the "
+                         "bf16 STE dx > 0.999)")
     ap.add_argument("--no-int8-matmul", action="store_true",
                     help="with --quant: dequantize to bf16 instead of "
                          "running the s8xs8->s32 MXU matmul")

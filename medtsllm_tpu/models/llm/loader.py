@@ -618,7 +618,7 @@ def _load_safetensors(snap: Path) -> dict:
 def load_backbone(llm_id: str, cache_dir: str | None = None,
                   llm_layers: int = -1, lora: LoraSpec | None = None,
                   dtype=np.float32, rng=None, remat: bool = False,
-                  quantize: int = 0, act_quant: bool = True,
+                  quantize: int = 0, act_quant: bool | str = True,
                   pipeline: int = 0, pipeline_microbatches: int = 0,
                   pipeline_mesh=None, fuse_projections: bool = False,
                   quant_codebook: str = "absmax"):

@@ -67,7 +67,7 @@ class MambaBlock(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0
-    act_quant: bool = True
+    act_quant: bool | str = True
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, prefix_state=None,
@@ -171,7 +171,7 @@ class MambaBackbone(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0
-    act_quant: bool = True
+    act_quant: bool | str = True
 
     def setup(self):
         if self.lora is not None:

@@ -192,8 +192,8 @@ def rotary_embedding(x, positions, theta: float, seq_axis: int = 2):
                            axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _act_quant_matmul(xf, kq, scale, bits):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _act_quant_matmul(xf, kq, scale, bits, int8_bwd=False):
     """Dynamic per-token int8 activation quantization + integer matmul.
 
     xf [..., K] f32, kq int8 weights ([K, N] or packed [ceil(K/2), N]),
@@ -206,6 +206,11 @@ def _act_quant_matmul(xf, kq, scale, bits):
     bitsandbytes' Linear8bitLt backward (the reference's finetune mode
     trains fusion layers BELOW the frozen int8 backbone, so dL/dx must
     survive the backbone; round() alone has zero gradient).
+
+    int8_bwd (opt-in, `llm.int8_backward`): quantize the scale-folded
+    upstream gradient per row and run dx on the s8 x s8 MXU too — the
+    backward's matmuls at 2x the bf16 rate, one more quantization of an
+    already-STE gradient (cos-sim vs the bf16 STE dx > 0.999, tested).
     """
     n_in = xf.shape[-1]
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
@@ -245,11 +250,12 @@ def _act_quant_matmul(xf, kq, scale, bits):
     return acc.astype(jnp.float32) * (x_scale * scale[None, :])
 
 
-def _act_quant_matmul_fwd(xf, kq, scale, bits):
-    return _act_quant_matmul(xf, kq, scale, bits), (xf.shape[-1], kq, scale)
+def _act_quant_matmul_fwd(xf, kq, scale, bits, int8_bwd):
+    return (_act_quant_matmul(xf, kq, scale, bits, int8_bwd),
+            (xf.shape[-1], kq, scale))
 
 
-def _act_quant_matmul_bwd(bits, res, g):
+def _act_quant_matmul_bwd(bits, int8_bwd, res, g):
     import numpy as _np
     n_in, kq, scale = res
     w = kq if bits == 8 else QuantDense.unpack4(kq, n_in)
@@ -257,8 +263,19 @@ def _act_quant_matmul_bwd(bits, res, g):
     # the dequantized f32 weight (O(K*N)); XLA fuses the int8->f32
     # convert into the matmul read, preserving the HBM savings
     gs = g * scale[None, :].astype(g.dtype)
-    dx = jax.lax.dot_general(gs, w.astype(g.dtype),
-                             (((g.ndim - 1,), (1,)), ((), ())))
+    if int8_bwd:
+        # opt-in: per-row absmax quantization of gs, dx on the s8 MXU
+        # (contract the N axis of the UNtransposed int8 weight)
+        amax = jnp.max(jnp.abs(gs), axis=-1, keepdims=True)
+        g_scale = jnp.maximum(amax.astype(jnp.float32) / 127.0, 1e-10)
+        gq = jnp.round(gs.astype(jnp.float32) / g_scale).astype(jnp.int8)
+        acc = jax.lax.dot_general(gq, w,
+                                  (((g.ndim - 1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        dx = (acc.astype(jnp.float32) * g_scale).astype(g.dtype)
+    else:
+        dx = jax.lax.dot_general(gs, w.astype(g.dtype),
+                                 (((g.ndim - 1,), (1,)), ((), ())))
     # int8 weights have no tangent space (float0); scale is frozen with
     # the backbone — zero cotangent
     d_kq = _np.zeros(kq.shape, jax.dtypes.float0)
@@ -308,7 +325,7 @@ class QuantDense(nn.Module):
     use_bias: bool = True
     dtype: object = None
     bits: int = 8
-    act_quant: bool = True
+    act_quant: bool | str = True
     codebook: str = "absmax"  # 4-bit only: "absmax" | "nf4" | "fp4"
 
     @staticmethod
@@ -397,9 +414,11 @@ class QuantDense(nn.Module):
             y = (x.astype(cd) @ w) * scale.astype(cd)
         elif self.act_quant:
             # scale math in f32 regardless of compute dtype; backward is
-            # the STE through the dequantized weight (_act_quant_matmul)
+            # the STE through the dequantized weight (_act_quant_matmul);
+            # act_quant == "int8_bwd" runs dx on the s8 MXU too
             y = _act_quant_matmul(x.astype(jnp.float32), kq, scale,
-                                  bits).astype(cd)
+                                  bits,
+                                  self.act_quant == "int8_bwd").astype(cd)
         else:
             w = kq if bits == 8 else self.unpack4(kq, n_in)
             y = (x.astype(cd) @ w.astype(cd)) * scale.astype(cd)
@@ -424,7 +443,7 @@ class LoRADense(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0  # 0 = off, 8 or 4 bits
-    act_quant: bool = True  # int8 activations (s8xs8->s32 MXU matmul)
+    act_quant: bool | str = True  # int8 acts; "int8_bwd" = +s8 dx
     codebook: str = "absmax"  # 4-bit: "absmax" | "nf4" | "fp4"
     lora_out_mask: object = None  # static np vector [features] or None
 
@@ -458,7 +477,7 @@ class Attention(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0
-    act_quant: bool = True
+    act_quant: bool | str = True
     causal: bool = True
 
     @nn.compact
@@ -631,7 +650,7 @@ class MLP(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0
-    act_quant: bool = True
+    act_quant: bool | str = True
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -730,13 +749,15 @@ def _unpack4_experts(packed, n_in):
     return jnp.concatenate([hi, lo], axis=1)[:, :n_in]
 
 
-@jax.custom_vjp
-def _act_quant_bmm(hf, kq, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _act_quant_bmm(hf, kq, scale, int8_bwd=False):
     """Batched (per-expert) w8a8 matmul with dynamic per-row activation
     quantization: hf [E, C, K] f32, kq [E, K, N] int8, scale [E, N] f32
     -> [E, C, N] f32. Same semantics as _act_quant_matmul with a leading
     expert batch dim (s8 x s8 -> s32 on the MXU per expert); backward is
-    the same straight-through estimator through the dequantized weight."""
+    the same straight-through estimator through the dequantized weight
+    (int8_bwd: quantize the scale-folded gradient per row and run dh on
+    the s8 MXU too — the llm.int8_backward opt-in)."""
     amax = jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
     x_scale = jnp.maximum(amax / 127.0, 1e-10)
     xq = jnp.round(hf / x_scale).astype(jnp.int8)
@@ -745,16 +766,24 @@ def _act_quant_bmm(hf, kq, scale):
     return acc.astype(jnp.float32) * (x_scale * scale[:, None, :])
 
 
-def _act_quant_bmm_fwd(hf, kq, scale):
-    return _act_quant_bmm(hf, kq, scale), (kq, scale)
+def _act_quant_bmm_fwd(hf, kq, scale, int8_bwd):
+    return _act_quant_bmm(hf, kq, scale, int8_bwd), (kq, scale)
 
 
-def _act_quant_bmm_bwd(res, g):
+def _act_quant_bmm_bwd(int8_bwd, res, g):
     import numpy as _np
     kq, scale = res
     gs = g * scale[:, None, :].astype(g.dtype)
-    dh = jax.lax.dot_general(gs, kq.astype(g.dtype),
-                             (((2,), (2,)), ((0,), (0,))))
+    if int8_bwd:
+        amax = jnp.max(jnp.abs(gs), axis=-1, keepdims=True)
+        g_scale = jnp.maximum(amax.astype(jnp.float32) / 127.0, 1e-10)
+        gq = jnp.round(gs.astype(jnp.float32) / g_scale).astype(jnp.int8)
+        acc = jax.lax.dot_general(gq, kq, (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.int32)
+        dh = (acc.astype(jnp.float32) * g_scale).astype(g.dtype)
+    else:
+        dh = jax.lax.dot_general(gs, kq.astype(g.dtype),
+                                 (((2,), (2,)), ((0,), (0,))))
     return (dh, _np.zeros(kq.shape, jax.dtypes.float0),
             jnp.zeros_like(scale))
 
@@ -789,7 +818,7 @@ class MoEMLP(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0
-    act_quant: bool = True
+    act_quant: bool | str = True
     ep_mesh: object = None  # Mesh with an "expert" axis (EP constraints)
 
     def _grouped(self, xt, eid, pos, src, stacked, T, D):
@@ -975,8 +1004,9 @@ class MoEMLP(nn.Module):
                         return acc * sc[:, None, :].astype(cd)
                     w = _unpack4_experts(w, d_in)  # s8 in [-7, 7]
                 if self.act_quant:
-                    return _act_quant_bmm(h_in.astype(jnp.float32), w,
-                                          sc).astype(cd)
+                    return _act_quant_bmm(
+                        h_in.astype(jnp.float32), w, sc,
+                        self.act_quant == "int8_bwd").astype(cd)
                 # weight-only: int8 dequant fused into the matmul read,
                 # per-channel rescale applied on the (smaller) output
                 acc = jnp.einsum("ecd,edf->ecf", h_in.astype(cd),
@@ -1002,7 +1032,7 @@ class Block(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0
-    act_quant: bool = True
+    act_quant: bool | str = True
     causal: bool = True
     cross: bool = False  # add a cross-attention sublayer (enc-dec decoder)
     ep_mesh: object = None  # Mesh with an "expert" axis (MoE FFN only)
@@ -1139,7 +1169,7 @@ class _PipeBlock(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0
-    act_quant: bool = True
+    act_quant: bool | str = True
     ep_mesh: object = None  # threaded so pp x ep keeps EP constraints
 
     @nn.compact
@@ -1172,7 +1202,7 @@ class TransformerDecoder(nn.Module):
     dtype: object = None  # compute dtype (None: infer by promotion)
     param_dtype: object = jnp.float32  # storage dtype
     quantize: int = 0  # projection quantization: 0 | 8 | 4 bits
-    act_quant: bool = True  # with quantize: int8 MXU matmul vs dequant
+    act_quant: bool | str = True  # int8 MXU matmul; "int8_bwd" = +s8 dx
     pipeline: int = 0  # pipeline stages (0/1 = off)
     pipeline_microbatches: int = 0  # 0 = auto (gcd(batch, 2*stages))
     pipeline_mesh: object = None  # jax.sharding.Mesh with a "stage" axis
@@ -1416,7 +1446,7 @@ class TransformerEncDec(nn.Module):
     dtype: object = None
     param_dtype: object = jnp.float32
     quantize: int = 0
-    act_quant: bool = True
+    act_quant: bool | str = True
 
     def setup(self):
         cfg = self.cfg

@@ -103,7 +103,7 @@ class MedTsLLM(nn.Module):
     remat: bool | str = False  # False | True/"full" | "dots"
     llm_dtype: str = "float32"  # backbone storage+compute dtype
     quantize: int = 0  # backbone quantization: 0 | 8 | 4 bits
-    act_quant: bool = True  # with quantize: int8 MXU matmul (bnb LLM.int8())
+    act_quant: bool | str = True  # int8 MXU matmul; "int8_bwd": s8 dx too
     prefix_cache: bool = True  # serving: cache the constant prompt head's KV
     pipeline: int = 0  # backbone pipeline-parallel stages (0/1 = off)
     pipeline_microbatches: int = 0  # 0 = auto
@@ -345,7 +345,14 @@ class MedTsLLM(nn.Module):
                       if task == "segmentation" else None),
             remat=mc.llm.get("remat", False),
             quantize=quantize,
-            act_quant=bool(mc.llm.get("int8_matmul", True)),
+            # act_quant carries the backward mode too: "int8_bwd"
+            # (llm.int8_backward, opt-in) quantizes the upstream gradient
+            # per row and runs dx on the s8 MXU — same plumbing as the
+            # forward act-quant flag (truthiness unchanged)
+            act_quant=("int8_bwd"
+                       if (mc.llm.get("int8_matmul", True)
+                           and mc.llm.get("int8_backward", False))
+                       else bool(mc.llm.get("int8_matmul", True))),
             prefix_cache=bool(mc.llm.get("prefix_cache", True)),
             pipeline=(pipeline if mc.llm.enabled else 0),
             pipeline_microbatches=int(

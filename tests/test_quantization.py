@@ -30,6 +30,95 @@ def test_act_quant_input_gradient_is_straight_through(bits):
     np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("bits", [8, 4])
+def test_int8_backward_matches_integer_law(bits):
+    """llm.int8_backward (act_quant="int8_bwd"): dx runs on the s8 MXU —
+    per-row absmax quantization of the scale-folded gradient, s8 x s8 ->
+    s32, rescale. Exact numpy law oracle (this repo's quant-evidence
+    standard)."""
+    from medtsllm_tpu.models.llm.transformer import QuantDense
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 32)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+    layer = QuantDense(16, bits=bits, act_quant="int8_bwd")
+    params = layer.init(jax.random.PRNGKey(0), x)
+    g = jax.grad(lambda xx: jnp.sum(layer.apply(params, xx)
+                                    * cot))(x)
+    kq, scale = params["params"]["kernel_q"], params["params"]["scale"]
+    w = np.asarray(kq if bits == 8 else QuantDense.unpack4(kq, 32),
+                   np.int32)
+    gs = np.asarray(cot) * np.asarray(scale)[None, :]
+    gsc = np.maximum(np.abs(gs).max(-1, keepdims=True) / 127.0, 1e-10)
+    gq = np.round(gs / gsc).astype(np.int32)
+    expected = (gq @ w.T).astype(np.float32) * gsc
+    np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_int8_backward_tracks_ste_gradient():
+    """The int8 dx must agree in DIRECTION with the bf16 STE dx
+    (cos > 0.999) — one more per-row quantization of an already-STE
+    gradient; also checked through the MoE expert bmm."""
+    from medtsllm_tpu.models.llm.transformer import (QuantDense,
+                                                     _act_quant_bmm)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(8, 64)), jnp.float32)
+    l_f = QuantDense(32, act_quant=True)
+    l_q = QuantDense(32, act_quant="int8_bwd")
+    params = l_f.init(jax.random.PRNGKey(3), x)
+
+    def cos(a, b):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    g_f = jax.grad(lambda xx: jnp.sum(l_f.apply(params, xx) ** 2))(x)
+    g_q = jax.grad(lambda xx: jnp.sum(l_q.apply(params, xx) ** 2))(x)
+    assert cos(g_f, g_q) > 0.999
+
+    h = jnp.asarray(rng.normal(size=(2, 8, 16)), jnp.float32)
+    kqe = jnp.asarray(rng.integers(-127, 128, (2, 16, 8)), jnp.int8)
+    sce = jnp.asarray(rng.uniform(1e-3, 1e-2, (2, 8)), jnp.float32)
+    b_f = jax.grad(lambda hh: jnp.sum(_act_quant_bmm(hh, kqe, sce) ** 2))(h)
+    b_q = jax.grad(lambda hh: jnp.sum(
+        _act_quant_bmm(hh, kqe, sce, True) ** 2))(h)
+    assert cos(b_f, b_q) > 0.999
+
+
+def test_int8_backward_trains_e2e(tmp_path):
+    """llm.int8_backward plumbs through the config to every QuantDense
+    (model.act_quant == "int8_bwd") and the quantized-backbone train
+    step still optimizes: finite losses, fusion params move."""
+    cfg = make_config(task="reconstruction", model="medtsllm",
+                      hist=32, pred=32, step=16)
+    cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+    cfg.training.epochs = 1
+    cfg.training.batch_size = 4
+    cfg.datasets.synthetic.n_points = 128
+    cfg["models"] = {"medtsllm": {
+        "d_model": 16, "d_ff": 16, "n_heads": 4, "num_tokens": 32,
+        "covariate_mode": "concat", "embedding_downsample_mode": "linear",
+        "patching": {"patch_len": 8, "stride": 4},
+        "prompting": {"dataset": True, "task": True, "clip": False,
+                      "input_stats": False, "examples": False,
+                      "input_stats_dim": 0, "input_stats_select": "all"},
+        "llm": {"enabled": True, "llm": "llama-tiny", "llm_layers": -1,
+                "load_in_8bit": True, "int8_matmul": True,
+                "int8_backward": True},
+    }}
+    trainer = get_trainer("i8bwd", cfg)
+    assert trainer.model.act_quant == "int8_bwd"
+    import copy
+    before = copy.deepcopy(jax.device_get(
+        trainer.params["output_projection"]))
+    trainer.train()
+    assert np.isfinite(trainer.val()["val/mse"])
+    after = jax.device_get(trainer.params["output_projection"])
+    moved = any(not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree.leaves(before),
+                                jax.tree.leaves(after)))
+    assert moved, "fusion params did not move under int8_backward"
+
+
 def test_quantdense_roundtrip_accuracy():
     from medtsllm_tpu.models.llm.transformer import QuantDense
     rng = np.random.default_rng(0)
