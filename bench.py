@@ -374,7 +374,7 @@ def serving_inputs(trainer, bf16: bool = True, train: bool = False):
     return params, arrays, prefix_len
 
 
-def bench_e2e(trainer, params, min_windows: int, passes: int = 4):
+def bench_e2e(trainer, params, min_windows: int, passes: int = 5):
     """Production-shaped serving: stream val windows through
     data/pipeline.py + the PromptBuilder — fresh stats prompts PER
     WINDOW, tokenization, prompt-bucket growth (and its recompiles,
@@ -454,12 +454,21 @@ def bench_e2e(trainer, params, min_windows: int, passes: int = 4):
         float(pending)
         results[-1][0] += time.perf_counter() - t_drain
     cold = results[0]
-    # MIN over warm passes: dispatch storms (BASELINE.md "Dispatch
-    # protocol") inflate, never deflate, a pass. Pass 1 is EXCLUDED
-    # when later passes exist: the device was idle-drained at its start
-    # (pass 0's cold sync) and it waits on nothing, so its elapsed is
-    # dispatch-only — not a device-pass time.
-    candidates = results[2:] if len(results) > 2 else results[1:]
+    # MIN over STEADY warm passes: dispatch storms (BASELINE.md
+    # "Dispatch protocol") inflate, never deflate, a pass. Passes 1 and
+    # 2 are EXCLUDED when later passes exist: pass 1 starts with an
+    # idle-drained device (pass 0's cold sync) and waits on nothing, so
+    # its elapsed is dispatch-only; pass 2's wait covers pass 1's
+    # completion from a device that started LATE (after pass 1's
+    # dispatch), so elapsed(2) ~= device-pass MINUS one pass of host
+    # dispatch — biased LOW by the host fraction. From pass 3 on,
+    # elapsed(p) = t_complete(p-1) - t_complete(p-2) = one device-pass
+    # exactly. The final pass carries the drain (~2 device-passes); MIN
+    # discards it when a clean steady pass exists. With fewer than 4
+    # passes only biased candidates exist — prefer the LAST pass (the
+    # conservative overcount), never the understating early ones.
+    assert passes >= 2, "bench_e2e needs >= 2 passes (one cold, one warm)"
+    candidates = results[3:] if len(results) > 3 else results[-1:]
     warm = min(candidates, key=lambda r: r[0] / r[2])
     return warm[0] / warm[2], warm[1] / warm[2], cold[0], warm[2]
 

@@ -126,6 +126,31 @@ class MedTsLLM(nn.Module):
         models = config.models
         return models.medtsllm if "medtsllm" in models else models.timellm
 
+    @staticmethod
+    def _resolve_act_quant(mc, quantize, llm_cfg):
+        """models.<m>.llm.{int8_matmul, int8_backward} -> act_quant mode.
+
+        int8_backward requires a path that actually RUNS the act-quant
+        integer matmul: int8_matmul on, an integer-quantized backbone
+        (quantize 8, or 4 with the absmax codebook — fp4/nf4 dequantize
+        weight-only and never enter _act_quant_matmul). Raising beats a
+        silent no-op (the moe_grouped gate above sets the precedent)."""
+        int8_mm = bool(mc.llm.get("int8_matmul", True))
+        if not mc.llm.get("int8_backward", False):
+            return int8_mm
+        codebook_4 = (quantize == 4
+                      and getattr(llm_cfg, "quant4_codebook",
+                                  "absmax") != "absmax")
+        if not int8_mm or quantize not in (4, 8) or codebook_4:
+            raise ValueError(
+                "models.llm.int8_backward requires the s8 MXU matmul "
+                "path: int8_matmul = true and load_in_8bit (or "
+                "load_in_4bit with the absmax codebook) — got "
+                f"int8_matmul={int8_mm}, quantize={quantize}"
+                + (", codebook=fp4/nf4 (weight-only dequant)"
+                   if codebook_4 else ""))
+        return "int8_bwd"
+
     @classmethod
     def from_config(cls, config, dataset):
         mc = cls.model_config(config)
@@ -348,11 +373,10 @@ class MedTsLLM(nn.Module):
             # act_quant carries the backward mode too: "int8_bwd"
             # (llm.int8_backward, opt-in) quantizes the upstream gradient
             # per row and runs dx on the s8 MXU — same plumbing as the
-            # forward act-quant flag (truthiness unchanged)
-            act_quant=("int8_bwd"
-                       if (mc.llm.get("int8_matmul", True)
-                           and mc.llm.get("int8_backward", False))
-                       else bool(mc.llm.get("int8_matmul", True))),
+            # forward act-quant flag (truthiness unchanged). Fail fast on
+            # meaningless combinations (the flag would otherwise be a
+            # silent no-op and the user would believe it trains int8-bwd)
+            act_quant=cls._resolve_act_quant(mc, quantize, llm_cfg),
             prefix_cache=bool(mc.llm.get("prefix_cache", True)),
             pipeline=(pipeline if mc.llm.enabled else 0),
             pipeline_microbatches=int(

@@ -25,9 +25,15 @@ everywhere — keeps the NaN debugger quiet) without touching the MXU.
 Grid is (N/bn, V) with visits innermost: consecutive visits of the same
 expert reuse the resident [K, bn] weight block (Pallas skips the DMA
 when a block index repeats), so total weight traffic is the E x K x N
-minimum; activations re-stream once per N-tile sweep. Numerics match
-transformer._act_quant_bmm exactly (same s8 x s8 -> s32 MXU contraction,
-same f32 rescale order).
+minimum; activations re-stream once per N-tile sweep.
+
+Numerics: the plain gmm matches transformer._act_quant_bmm exactly
+(same s8 x s8 -> s32 MXU contraction, same f32 rescale order). The
+PRODUCTION serving chain (fuse_silu + emit_quant, the MoEMLP default)
+re-quantizes the SwiGLU output with per-(row, N-tile) scales — FINER
+than the bmm path's per-row scale, so that chain agrees with
+_act_quant_bmm to quantization noise, not bit-exactly (machine-checked
+law oracle: tests/test_moe.py::test_moe_grouped_multi_tile_requant_law).
 """
 
 from __future__ import annotations

@@ -119,6 +119,36 @@ def test_int8_backward_trains_e2e(tmp_path):
     assert moved, "fusion params did not move under int8_backward"
 
 
+def test_int8_backward_fails_fast_without_s8_path(tmp_path):
+    """int8_backward without the s8 matmul path (int8_matmul=false, no
+    quantized backbone, or fp4/nf4 codebooks) must RAISE, not silently
+    train the bf16 backward."""
+    def build(**llm):
+        cfg = make_config(task="reconstruction", model="medtsllm",
+                          hist=32, pred=32, step=16)
+        cfg["paths"] = {"logdir": str(tmp_path / "logs")}
+        cfg.datasets.synthetic.n_points = 128
+        cfg["models"] = {"medtsllm": {
+            "d_model": 16, "d_ff": 16, "n_heads": 4, "num_tokens": 32,
+            "covariate_mode": "concat",
+            "embedding_downsample_mode": "linear",
+            "patching": {"patch_len": 8, "stride": 4},
+            "prompting": {"dataset": True, "task": True, "clip": False,
+                          "input_stats": False, "examples": False,
+                          "input_stats_dim": 0, "input_stats_select": "all"},
+            "llm": {"enabled": True, "llm": "llama-tiny", "llm_layers": 1,
+                    "int8_backward": True, **llm},
+        }}
+        return get_trainer("i8ff", cfg)
+
+    with pytest.raises(ValueError, match="int8_backward"):
+        build(load_in_8bit=True, int8_matmul=False)
+    with pytest.raises(ValueError, match="int8_backward"):
+        build()  # no quantized backbone at all
+    with pytest.raises(ValueError, match="int8_backward"):
+        build(load_in_4bit=True, quant_type="nf4")  # weight-only dequant
+
+
 def test_quantdense_roundtrip_accuracy():
     from medtsllm_tpu.models.llm.transformer import QuantDense
     rng = np.random.default_rng(0)

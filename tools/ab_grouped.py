@@ -170,10 +170,13 @@ def main():
             # row_quant pass (a full [R, F] f32 read + int8 write)
             # disappears. bnd: the down matmul's block_n (wider = fewer
             # activation re-streams of the [R, F] int8 rows; 1024 keeps
-            # the [F, bnd] weight block within double-buffered VMEM)
-            (128, 1408, True, True, 512), (64, 1408, True, True, 512),
+            # the [F, bnd] weight block within double-buffered VMEM).
+            # (bm=64 x emit_quant is impossible — the (1, 1, bm) scale
+            # block needs a 128-divisible lane dim; the gmm assert
+            # rejects it, measured FAILED on-chip 2026-08-20.)
+            (128, 1408, True, True, 512),
             (128, 512, True, True, 512),
-            (128, 1408, True, True, 1024), (64, 1408, True, True, 1024),
+            (128, 1408, True, True, 1024),
             (128, 1408, True, False, 1024)):
         if args.bm and bm != args.bm:
             continue

@@ -31,29 +31,35 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _timed_matmul(f, a, b, loops=50):
-    """fori-loop slope timing; the loop index perturbs the first operand
-    (hoist-proof — see CLAUDE.md on XLA LICM)."""
+def _timed_matmul(f, a, b, lo=16, hi=64):
+    """Two-depth fori-loop SLOPE timing — floor-immune (each sample is
+    floor + K*t; (t_hi - t_lo)/(hi - lo) cancels the tunnel round-trip
+    floor, which is weather: ~1 ms to ~1 s — CLAUDE.md). The loop index
+    perturbs the first operand (hoist-proof against XLA LICM)."""
     import jax
     import jax.numpy as jnp
 
-    def run(a, b):
-        def body(i, acc):
-            if a.dtype == jnp.int8:
-                ai = a + i.astype(jnp.int8)
-            else:
-                ai = a * (1.0 + i.astype(a.dtype) * 1e-30)
-            return acc + f(ai, b).astype(jnp.float32).ravel()[0]
-        return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+    def make(loops):
+        def run(a, b):
+            def body(i, acc):
+                if a.dtype == jnp.int8:
+                    ai = a + i.astype(jnp.int8)
+                else:
+                    ai = a * (1.0 + i.astype(a.dtype) * 1e-30)
+                return acc + f(ai, b).astype(jnp.float32).ravel()[0]
+            return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+        return jax.jit(run)
 
-    g = jax.jit(run)
-    float(g(a, b))
+    g_lo, g_hi = make(lo), make(hi)
+    float(g_lo(a, b)), float(g_hi(a, b))  # compile + first-exec stall
     ts = []
     for _ in range(5):
         t0 = time.perf_counter()
-        float(g(a, b))
-        ts.append(time.perf_counter() - t0)
-    return min(ts) / loops
+        float(g_lo(a, b))
+        t1 = time.perf_counter()
+        float(g_hi(a, b))
+        ts.append((time.perf_counter() - t1) - (t1 - t0))
+    return max(min(ts), 1e-9) / (hi - lo)
 
 
 def main():
