@@ -419,7 +419,8 @@ def bench_e2e(trainer, params, min_windows: int, passes: int = 5):
         pos = (pos + B) % n
         return idx
 
-    eval_step = trainer.eval_step
+    assert params is trainer.params or params is None, (
+        "bench_e2e serves trainer.params (set trainer.params first)")
     results = []
     pending = None
     for p in range(passes):
@@ -429,9 +430,11 @@ def bench_e2e(trainer, params, min_windows: int, passes: int = 5):
         for b in range(batches_per_pass):
             h0 = time.perf_counter()
             batch = pipe._collate(next_chunk(), B)
-            arrays = trainer.eval_model_inputs(batch)
+            prepared = trainer.eval_prepare(batch)
             host_s += time.perf_counter() - h0
-            out = eval_step(params, arrays)
+            # eval_dispatch: ONE jit call per batch (clip heads use the
+            # banked step — the bank gather runs in-graph)
+            out = trainer.eval_dispatch(prepared=prepared)
             # fold every output leaf into a tiny device-side scalar:
             # nothing is DCE-able, nothing accumulates host memory,
             # and the dispatch queue stays full (no readback here)

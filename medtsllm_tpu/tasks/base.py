@@ -294,6 +294,42 @@ class BaseTask:
             arrays["prefix_kv"] = self._prefix_kv(np.asarray(ids))
         return arrays
 
+    def eval_prepare(self, batch: dict):
+        """Host side of eval_dispatch: preprocessing + prompt-head
+        resolution (bank fill for clip heads). Returns an opaque
+        prepared tuple for eval_dispatch — split out so benches can time
+        host prep separately from the device dispatch."""
+        arrays = self.model_inputs(batch)
+        ids = arrays.pop("prefix_ids", None)
+        if ids is not None:
+            ids = np.asarray(ids)
+            if ids.ndim == 2 and getattr(self, "mesh", None) is None:
+                bank_kv, slots = self._clip_bank_lookup(ids, False, False)
+                return ("banked", (bank_kv, slots, arrays))
+            arrays["prefix_kv"] = self._prefix_kv(ids)
+        return ("plain", self._device_batch(arrays))
+
+    def eval_dispatch(self, batch: dict = None, prepared=None):
+        """Serve one eval batch with the fewest device dispatches.
+
+        Per-clip 2D heads (single-device) route through the BANKED eval
+        step: the LRU bank fill runs host-side, then ONE jit call does
+        the row gather in-graph + the forward — vs eval_model_inputs'
+        separate gather dispatch and materialized [B, ...] KV buffer
+        (each extra dispatch costs ~0.5 ms of tunnel serialization on
+        the clip row — BASELINE row 5q's residual). Everything else
+        (1D constant heads, no-prompt models, sharded meshes — the bank
+        is an unsharded device-resident tree) keeps the eval_step path.
+        Numerics identical either way (tested)."""
+        if prepared is None:
+            prepared = self.eval_prepare(batch)
+        kind, payload = prepared
+        if kind == "banked":
+            bank_kv, slots, arrays = payload
+            return self.eval_step_banked(self.params, bank_kv, slots,
+                                         arrays)
+        return self.eval_step(self.params, payload)
+
     def prefill_program(self, train: bool = False):
         """The jitted prefill matching the consuming step's numerics
         EXACTLY (MedTsLLM.prefill contract: embed_dtype == ts_emb.dtype):
@@ -357,6 +393,15 @@ class BaseTask:
 
     def _clip_prefix_kv(self, ids: np.ndarray, mixed_train: bool,
                         train: bool):
+        bank_kv, slots = self._clip_bank_lookup(ids, mixed_train, train)
+        return self._bank_gather(bank_kv, slots)
+
+    def _clip_bank_lookup(self, ids: np.ndarray, mixed_train: bool,
+                          train: bool):
+        """Fill bank misses (prefill + LRU eviction) for a [B, P] batch
+        of clip-head rows; returns (bank_kv, slots [B] int32) — callers
+        either gather host-side (`_bank_gather`) or feed both straight
+        into the BANKED eval step (gather in-graph, one dispatch)."""
         import functools
         key = ("clip_bank", ids.shape[1], mixed_train)
         bank = self._prefix_kv_cache.get(key)
@@ -415,8 +460,7 @@ class BaseTask:
             bank["tick"] += 1
             bank["last_use"][slot] = bank["tick"]
             slots.append(slot)
-        return self._bank_gather(bank["kv"],
-                                 jnp.asarray(slots, jnp.int32))
+        return bank["kv"], jnp.asarray(slots, jnp.int32)
 
     def checkpoint_params(self):
         """Param tree to persist; models can exclude frozen backbones
@@ -506,8 +550,21 @@ class BaseTask:
             # only inside train loops (tasks/forecasting.py:22)
             return model.apply({"params": params}, arrays, training=False)
 
+        @jax.jit
+        def eval_step_banked(params, bank_kv, slots, arrays):
+            # per-clip serving: the LRU bank's row gather happens
+            # IN-GRAPH (XLA fuses the [B]-row take into the attention
+            # reads) — one dispatch per batch instead of gather + eval,
+            # and the gathered [B, ...] KV buffer never materializes in
+            # HBM. Numerics identical to eval_step(prefix_kv=gather(...))
+            kv = jax.tree.map(lambda t: jnp.take(t, slots, axis=0),
+                              bank_kv)
+            return model.apply({"params": params},
+                               dict(arrays, prefix_kv=kv), training=False)
+
         self.train_step = train_step
         self.eval_step = eval_step
+        self.eval_step_banked = eval_step_banked
 
     def _next_rng(self):
         self._step_rng, out = jax.random.split(self._step_rng)
@@ -577,8 +634,7 @@ class BaseTask:
 
         from ..data.pipeline import prefetch
         for batch in prefetch(iter(pipeline)):
-            arrays = self._device_batch(self.eval_model_inputs(batch))
-            out_dev = self.eval_step(self.params, arrays)
+            out_dev = self.eval_dispatch(batch)
             v = batch["valid"]
             for k in extra_keys:
                 extras[k].append(np.asarray(batch[k])[v])

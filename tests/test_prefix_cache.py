@@ -377,6 +377,23 @@ def test_clip_head_layout(tmp_path):
     assert s_on < s_off  # clip tokens left the computed suffix
 
 
+def test_banked_eval_step_equals_gather_path(tmp_path):
+    """eval_dispatch routes 2D clip heads through eval_step_banked (the
+    bank row-gather runs IN-GRAPH, one dispatch — r5, BASELINE row 5q);
+    outputs must equal the eval_model_inputs gather path bit-for-bit,
+    and run_eval/val must serve through it unchanged."""
+    t = get_trainer("pch-banked", _clip_cfg(tmp_path))
+    batch = next(iter(t.test_pipeline))
+    via_gather = t.eval_step(t.params, t.eval_model_inputs(batch))
+    out = t.eval_dispatch(batch)
+    kind, _ = t.eval_prepare(batch)
+    assert kind == "banked"
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(via_gather))
+    # the full stitched eval flows through eval_dispatch too
+    scores = t.val()
+    assert all(np.isfinite(v) for v in scores.values())
+
+
 @pytest.mark.parametrize("llm", ["llama-tiny", "gpt2-tiny"])
 def test_clip_cached_equals_uncached(tmp_path, llm):
     """Per-clip KV bank serving must equal the in-graph forward exactly."""
