@@ -881,6 +881,105 @@ class MoEMLP(nn.Module):
                    block_m=bm, block_n=bn_d, interpret=interpret)
         return y[dest].astype(cd)
 
+    def _grouped_ep(self, x, top_i, weights, stacked, B, L, D):
+        """Dropless grouped-GEMM experts under EXPERT PARALLELISM (r5).
+
+        shard_map over the ep mesh: each (data, expert) shard packs only
+        the slots routed to its LOCAL experts (non-local slots fall into
+        the trash row), runs the same fused-requant gmm chain as the
+        single-device path over its [E/ep, ...] weight block, applies
+        the routing weights, and a single psum over "expert" completes
+        every token's top-k mixture — expert weights never leave their
+        shard (the same collective footprint as the capacity-bmm EP
+        path, at routed-token cost and zero drops). Returns [B, L, D]
+        in compute dtype, or None when shapes don't tile / the mesh has
+        a tensor axis (within-expert TP stays on the bmm path)."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from medtsllm_tpu.ops.pallas.grouped_matmul import (
+            gmm, gmm_metadata, gmm_visits, pick_block_n, row_quant)
+        cfg = self.cfg
+        mesh = self.ep_mesh
+        E, k, F = cfg.n_experts, cfg.n_experts_per_tok, cfg.d_ff
+        ep = mesh.shape.get("expert", 1)
+        dp = mesh.shape.get("data", 1)
+        if (ep <= 1 or E % ep or B % dp
+                or mesh.shape.get("tensor", 1) > 1
+                or mesh.shape.get("stage", 1) > 1):
+            # within-expert TP and pipeline-scanned stacks keep the bmm
+            # path (the shard_map below owns only data x expert)
+            return None
+        E_l = E // ep
+        bn_f, bn_d = pick_block_n(F, target=1408), pick_block_n(D, 1024)
+        if not (bn_f and bn_d):
+            return None
+        cd = self.dtype or x.dtype
+        bm = 128
+        T_l = (B // dp) * L
+        V = gmm_visits(T_l * k, E_l, bm)
+        interpret = jax.default_backend() != "tpu"
+
+        kg, sg = stacked("w_gate", D, F)
+        ku, su = stacked("w_up", D, F)
+        kd, sd = stacked("w_down", F, D)
+
+        def shard_fn(xb, eidb, wb, kg, sg, ku, su, kd, sd):
+            i32 = jnp.int32
+            e0 = jax.lax.axis_index("expert").astype(i32) * E_l
+            xt = xb.reshape(T_l, D)
+            eid = eidb.reshape(T_l * k).astype(i32)
+            w_slot = wb.reshape(T_l * k)
+            src = jnp.repeat(jnp.arange(T_l, dtype=i32), k)
+
+            local = (eid >= e0) & (eid < e0 + E_l)
+            le = jnp.where(local, eid - e0, E_l)  # sentinel bucket E_l
+            # local rank within each local expert (sentinel gets its own
+            # cumsum bucket; its slots never land in a real tile)
+            onehot = (le[:, None] == jnp.arange(E_l + 1, dtype=i32)[None]
+                      ).astype(i32)
+            pos = jnp.sum((jnp.cumsum(onehot, axis=0) - onehot) * onehot,
+                          axis=-1)
+            counts = jnp.zeros(E_l, i32).at[le].add(1)  # sentinel drops
+            ve, valid, row_off = gmm_metadata(counts, bm, V)
+            dest = jnp.where(local,
+                             row_off[jnp.minimum(le, E_l - 1)] + pos,
+                             V * bm)  # non-local -> dropped from inv
+
+            xq_t, xs_t = row_quant(xt.astype(cd).astype(jnp.float32))
+            inv = jnp.full(V * bm, T_l * k, i32).at[dest].set(
+                jnp.arange(T_l * k, dtype=i32))  # OOB dest slots drop
+            tok = jnp.concatenate(
+                [src, jnp.full((1,), T_l, i32)])[inv]
+            xq = jnp.concatenate(
+                [xq_t, jnp.zeros((1, D), jnp.int8)], axis=0)[tok]
+            xs = jnp.concatenate(
+                [xs_t, jnp.full((1, 1), 1e-10, jnp.float32)], axis=0)[tok]
+            aq, as_ = gmm(xq, xs, (kg, ku), (sg, su), ve, valid,
+                          block_m=bm, block_n=bn_f, interpret=interpret,
+                          fuse_silu=True, emit_quant=True)
+            (y,) = gmm(aq, as_, (kd,), (sd,), ve, valid,
+                       block_m=bm, block_n=bn_d, interpret=interpret)
+            # non-local slots: dest clamps into a real row on gather —
+            # the local mask zeroes their contribution before the psum
+            slot_out = y[jnp.minimum(dest, V * bm - 1)].astype(cd)
+            wz = (w_slot * local.astype(jnp.float32)).astype(cd)
+            out = (slot_out * wz[:, None]).reshape(T_l, k, D).sum(axis=1)
+            out = jax.lax.psum(out, "expert")
+            return out.reshape(B // dp, L, D)
+
+        dspec = P("data", None, None)
+        espec_w, espec_s = P("expert", None, None), P("expert", None)
+        fn = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(dspec, dspec, dspec,
+                      espec_w, espec_s, espec_w, espec_s,
+                      espec_w, espec_s),
+            out_specs=dspec, check_rep=False)
+        return fn(x, top_i.reshape(B, L, k),
+                  weights.reshape(B, L, k).astype(jnp.float32),
+                  kg, sg, ku, su, kd, sd)
+
     def _ep_constrain(self, t, spec_prefix=("expert",)):
         """Pin the leading expert dim of a dispatch tensor to the mesh's
         "expert" axis: expert compute stays device-local and GSPMD's only
@@ -971,12 +1070,19 @@ class MoEMLP(nn.Module):
             return w, None
 
         if (cfg.moe_grouped and deterministic and self.quantize == 8
-                and self.act_quant and self.ep_mesh is None
-                and not self.is_initializing()):
-            y = self._grouped(xt, eid, pos, src, stacked, T, D)
-            if y is not None:
-                return (y * weights.reshape(T * k)[:, None].astype(cd)
-                        ).reshape(T, k, D).sum(axis=1).reshape(B, L, D)
+                and self.act_quant and not self.is_initializing()):
+            if self.ep_mesh is None:
+                y = self._grouped(xt, eid, pos, src, stacked, T, D)
+                if y is not None:
+                    return (y * weights.reshape(T * k)[:, None].astype(cd)
+                            ).reshape(T, k, D).sum(axis=1).reshape(B, L, D)
+            else:
+                # expert-parallel serving: per-shard grouped chain under
+                # shard_map, one psum combine (r5 — dropless at
+                # routed-token cost on real multi-chip too)
+                y = self._grouped_ep(x, top_i, weights, stacked, B, L, D)
+                if y is not None:
+                    return y
 
         C = moe_capacity(T, E, k, cfg.expert_capacity)
         keep = pos < C

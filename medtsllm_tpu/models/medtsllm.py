@@ -276,23 +276,27 @@ class MedTsLLM(nn.Module):
             w8a8 = quantize == 8 and bool(mc.llm.get("int8_matmul", True))
             single = jax.device_count() == 1
             on_tpu = jax.default_backend() == "tpu"
+            ep_cfg = int(config.setup.get("expert_parallel", 0) or 0) > 1
             if mg == "auto":
                 # auto only where the kernel is actually a win: Pallas
-                # interpret mode on CPU is orders of magnitude slower than
-                # the bmm path, and the kernel carries no GSPMD rules.
-                mg = w8a8 and single and on_tpu
+                # interpret mode on CPU is orders of magnitude slower
+                # than the bmm path. Single-device uses the plain
+                # grouped chain; an expert_parallel mesh uses the
+                # shard_map EP chain (r5) — both serving-only.
+                mg = w8a8 and on_tpu and (single or ep_cfg)
             if mg and not w8a8:
                 raise ValueError(
                     "models.llm.moe_grouped requires w8a8 experts "
                     "(load_in_8bit = true with int8_matmul) — the grouped "
                     "kernel's MXU contraction is s8 x s8 only")
-            if mg and not single:
+            if mg and not single and not ep_cfg:
                 warnings.warn(
                     "models.llm.moe_grouped forced true with "
-                    f"{jax.device_count()} devices — the grouped kernel "
-                    "has no GSPMD partitioning rules; inputs must stay "
-                    "unsharded (single-device placement). Use "
-                    "expert_parallel (EP) for sharded MoE")
+                    f"{jax.device_count()} devices and no expert_parallel "
+                    "axis — the non-EP grouped kernel has no GSPMD "
+                    "partitioning rules; inputs must stay unsharded "
+                    "(single-device placement). Use [setup] "
+                    "expert_parallel for the sharded dropless path")
             if mg and not on_tpu:
                 warnings.warn(
                     "models.llm.moe_grouped forced true on a non-TPU "

@@ -477,6 +477,60 @@ def test_moe_grouped_multi_tile_requant_law():
     assert rel < 0.02, f"grouped vs bmm drift beyond quant noise: {rel}"
 
 
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_moe_grouped_ep_matches_dropless_bmm():
+    """EP serving (r5): the shard_map grouped chain — each (data, expert)
+    shard packs only its LOCAL experts' slots, one psum combine — must
+    reproduce the single-device dropless bmm path."""
+    from jax.sharding import Mesh
+    cfg = _moe_cfg(d_model=128, d_ff=256, expert_capacity=0.0)
+    x, qp = _w8a8_params(cfg, seed=21, batch=(2, 16))
+    y_ref = MoEMLP(cfg, quantize=8).apply({"params": qp}, x)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("data", "expert"))
+    cfg_g = dataclasses.replace(cfg, moe_grouped=True)
+    y_ep = MoEMLP(cfg_g, quantize=8, ep_mesh=mesh).apply({"params": qp}, x)
+    np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_moe_grouped_ep_skew_never_drops():
+    """All tokens routed to ONE shard's experts: the other expert shard
+    contributes zeros, the psum still completes every token, nothing
+    drops (the capacity bmm at tight C would)."""
+    from jax.sharding import Mesh
+    cfg = _moe_cfg(d_model=128, d_ff=256, expert_capacity=0.0)
+    one = np.random.RandomState(5).randn(cfg.d_model).astype(np.float32)
+    x = jnp.asarray(np.tile(one, (2, 16, 1)))  # identical rows -> same top-2
+    _, qp = _w8a8_params(cfg, seed=5, batch=(2, 16))
+    y_ref = MoEMLP(cfg, quantize=8).apply({"params": qp}, x)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("data", "expert"))
+    cfg_g = dataclasses.replace(cfg, moe_grouped=True)
+    y_ep = MoEMLP(cfg_g, quantize=8, ep_mesh=mesh).apply({"params": qp}, x)
+    np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_moe_grouped_ep_trainer_serving(tmp_path):
+    """Through the trainer: an expert_parallel mesh + moe_grouped serves
+    eval through the EP shard_map chain (auto-gate allows EP meshes) and
+    the TRAIN step stays on the differentiable bmm path."""
+    from medtsllm_tpu.tasks import get_trainer
+    cfg = _trainer_cfg(tmp_path, expert=2)
+    cfg.models.medtsllm.llm["load_in_8bit"] = True
+    cfg.models.medtsllm.llm["moe_grouped"] = True
+    trainer = get_trainer("ep-grouped", cfg)
+    assert trainer.model.llm_cfg.moe_grouped is True
+    assert "expert" in trainer.mesh.shape
+    trainer.train()  # train path: STE bmm (deterministic=False)
+    scores = trainer.val()  # eval path: grouped-EP (or tiling fallback)
+    assert all(np.isfinite(v) for v in scores.values())
+
+
 def test_moe_grouped_fallback_when_shapes_dont_tile():
     """mixtral-tiny's d_model=64 has no 128-multiple block_n: the grouped
     branch declines and the capacity path serves the call bit-exactly."""
