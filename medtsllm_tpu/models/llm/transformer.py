@@ -840,6 +840,18 @@ class MoEMLP(nn.Module):
         bn_f, bn_d = pick_block_n(F, target=1408), pick_block_n(D, 1024)
         if not (bn_f and bn_d):
             return None
+        # w4a8 experts (quantize=4, absmax): the kernel contracts the
+        # split-halves PACKED weights directly — half the weight DMA.
+        # Down-gmm chunk scales must not straddle the nibble boundary
+        # (F // bn_f even) and both contraction dims must be even; the
+        # down block caps at 512 — the i32 widen for the nibble shifts
+        # at bnd=1024 blows VMEM and crashes the Mosaic compiler
+        # (measured 2026-08-20; bnd=512 W4A8: 1.247 ms balanced)
+        wb = 4 if self.quantize == 4 else 8
+        if wb == 4:
+            bn_d = pick_block_n(D, 512)
+            if D % 2 or F % 2 or (F // bn_f) % 2 or not bn_d:
+                return None
         cd = self.dtype or xt.dtype
         bm = 128  # tail padding E*bm/2 rows avg; A/B'd in tools/ab_grouped
         V = gmm_visits(T * k, E, bm)
@@ -876,9 +888,10 @@ class MoEMLP(nn.Module):
         # dropless bound in BASELINE.md "Grouped-GEMM candidates")
         aq, as_ = gmm(xq, xs, (kg, ku), (sg, su), ve, valid,
                       block_m=bm, block_n=bn_f, interpret=interpret,
-                      fuse_silu=True, emit_quant=True)
+                      fuse_silu=True, emit_quant=True, w_bits=wb)
         (y,) = gmm(aq, as_, (kd,), (sd,), ve, valid,
-                   block_m=bm, block_n=bn_d, interpret=interpret)
+                   block_m=bm, block_n=bn_d, interpret=interpret,
+                   w_bits=wb)
         return y[dest].astype(cd)
 
     def _grouped_ep(self, x, top_i, weights, stacked, B, L, D):
@@ -1069,14 +1082,17 @@ class MoEMLP(nn.Module):
                 (E, d_in, d_out), self.param_dtype)
             return w, None
 
-        if (cfg.moe_grouped and deterministic and self.quantize == 8
+        int_mxu = (self.quantize == 8
+                   or (self.quantize == 4
+                       and cfg.quant4_codebook == "absmax"))
+        if (cfg.moe_grouped and deterministic and int_mxu
                 and self.act_quant and not self.is_initializing()):
             if self.ep_mesh is None:
                 y = self._grouped(xt, eid, pos, src, stacked, T, D)
                 if y is not None:
                     return (y * weights.reshape(T * k)[:, None].astype(cd)
                             ).reshape(T, k, D).sum(axis=1).reshape(B, L, D)
-            else:
+            elif self.quantize == 8:  # EP chain is w8-only for now
                 # expert-parallel serving: per-shard grouped chain under
                 # shard_map, one psum combine (r5 — dropless at
                 # routed-token cost on real multi-chip too)

@@ -273,7 +273,14 @@ class MedTsLLM(nn.Module):
         # deterministic + ep_mesh).
         mg = mc.llm.get("moe_grouped", "auto")
         if getattr(llm_cfg, "n_experts", 0) > 1 and mc.llm.enabled:
-            w8a8 = quantize == 8 and bool(mc.llm.get("int8_matmul", True))
+            # the grouped kernel's MXU contraction is integer-only:
+            # w8a8, or (r5) w4a8 with absmax-packed int4 experts (the
+            # kernel contracts the packed nibbles — half the weight DMA)
+            int_mxu = (bool(mc.llm.get("int8_matmul", True))
+                       and (quantize == 8
+                            or (quantize == 4
+                                and getattr(llm_cfg, "quant4_codebook",
+                                            "absmax") == "absmax")))
             single = jax.device_count() == 1
             on_tpu = jax.default_backend() == "tpu"
             ep_cfg = int(config.setup.get("expert_parallel", 0) or 0) > 1
@@ -282,13 +289,15 @@ class MedTsLLM(nn.Module):
                 # interpret mode on CPU is orders of magnitude slower
                 # than the bmm path. Single-device uses the plain
                 # grouped chain; an expert_parallel mesh uses the
-                # shard_map EP chain (r5) — both serving-only.
-                mg = w8a8 and on_tpu and (single or ep_cfg)
-            if mg and not w8a8:
+                # shard_map EP chain (r5, w8 only) — both serving-only.
+                mg = int_mxu and on_tpu and (single or
+                                             (ep_cfg and quantize == 8))
+            if mg and not int_mxu:
                 raise ValueError(
-                    "models.llm.moe_grouped requires w8a8 experts "
-                    "(load_in_8bit = true with int8_matmul) — the grouped "
-                    "kernel's MXU contraction is s8 x s8 only")
+                    "models.llm.moe_grouped requires integer-MXU experts "
+                    "(load_in_8bit, or load_in_4bit with the absmax "
+                    "codebook, with int8_matmul) — the grouped kernel's "
+                    "contraction is s8 x s8 only")
             if mg and not single and not ep_cfg:
                 warnings.warn(
                     "models.llm.moe_grouped forced true with "

@@ -92,7 +92,7 @@ def gmm_metadata(counts, block_m: int, n_visits: int):
 
 
 def _make_kernel(n_weights, fuse_silu=False, emit_quant=False,
-                 n_chunks=1):
+                 n_chunks=1, w_bits=8):
     from jax.experimental import pallas as pl
 
     def kernel(ve_ref, valid_ref, xq_ref, xs_ref, *rest):
@@ -103,28 +103,65 @@ def _make_kernel(n_weights, fuse_silu=False, emit_quant=False,
         v = pl.program_id(1)
         ok = valid_ref[v] == 1
 
+        def dot_w(x_blk, w_blk, k0, ck):
+            """x_blk[:, k0:k0+ck] @ w[k0:k0+ck] for int8 or split-halves
+            packed int4 weights. The pack puts logical row r < K/2 in
+            the HIGH nibble of packed row r and row K/2 + r in the LOW
+            nibble (quant_matmul.pack4_split), so the contraction is two
+            nibble-shifted dots — the unpacked [K, bn] block never
+            materializes and weight DMA is HALF of w8."""
+            if w_bits == 8:
+                return jax.lax.dot_general(
+                    x_blk[:, k0:k0 + ck], w_blk[k0:k0 + ck],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            half = x_blk.shape[1] // 2  # K/2 == packed rows
+            dn = (((1,), (0,)), ((), ()))
+
+            # Mosaic has no 8-bit shift lowering (quant_matmul.py:75) —
+            # widen to i32, shift, narrow back to i8 for the MXU
+            def hi_of(p):
+                return jnp.right_shift(p.astype(jnp.int32),
+                                       4).astype(jnp.int8)
+
+            def lo_of(p):
+                w32 = jnp.left_shift(p.astype(jnp.int32), 28)
+                return jnp.right_shift(w32, 28).astype(jnp.int8)
+
+            if k0 + ck <= half:  # chunk entirely in the hi-nibble half
+                return jax.lax.dot_general(
+                    x_blk[:, k0:k0 + ck], hi_of(w_blk[k0:k0 + ck]), dn,
+                    preferred_element_type=jnp.int32)
+            if k0 >= half:  # entirely in the lo-nibble half
+                return jax.lax.dot_general(
+                    x_blk[:, k0:k0 + ck],
+                    lo_of(w_blk[k0 - half:k0 - half + ck]), dn,
+                    preferred_element_type=jnp.int32)
+            # full-K chunk (n_chunks == 0 path): hi + lo dots
+            return (jax.lax.dot_general(
+                        x_blk[:, :half], hi_of(w_blk), dn,
+                        preferred_element_type=jnp.int32)
+                    + jax.lax.dot_general(
+                        x_blk[:, half:], lo_of(w_blk), dn,
+                        preferred_element_type=jnp.int32))
+
         @pl.when(ok)
         def _():
             x = xq_ref[:]
+            K = x.shape[1]
             res = []
             for w_ref, s_ref in zip(w_refs, s_refs):
                 if n_chunks == 0:
-                    acc = jax.lax.dot_general(
-                        x, w_ref[0], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
+                    acc = dot_w(x, w_ref[0], 0, K)
                     out = acc.astype(jnp.float32) * xs_ref[:]
                 else:
                     # per-(row, k-chunk) activation scales (the fused
                     # requant layout emitted by emit_quant below): split
                     # the contraction, rescale each partial in f32
-                    ck = x.shape[1] // n_chunks
+                    ck = K // n_chunks
                     out = None
                     for kb in range(n_chunks):
-                        acc = jax.lax.dot_general(
-                            x[:, kb * ck:(kb + 1) * ck],
-                            w_ref[0, kb * ck:(kb + 1) * ck],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
+                        acc = dot_w(x, w_ref[0], kb * ck, ck)
                         part = acc.astype(jnp.float32) * xs_ref[kb, 0][:, None]
                         out = part if out is None else out + part
                 res.append(out * s_ref[0])
@@ -163,11 +200,12 @@ def _make_kernel(n_weights, fuse_silu=False, emit_quant=False,
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
                                              "interpret", "out_dtype",
-                                             "fuse_silu", "emit_quant"))
+                                             "fuse_silu", "emit_quant",
+                                             "w_bits"))
 def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
         *, block_m: int = 128, block_n: int = 512, interpret: bool = False,
         out_dtype=jnp.float32, fuse_silu: bool = False,
-        emit_quant: bool = False):
+        emit_quant: bool = False, w_bits: int = 8):
     """Grouped w8a8 matmul(s) over expert-packed rows.
 
     xq        [R_pad, K] int8, rows packed per gmm_metadata's layout
@@ -211,7 +249,13 @@ def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
     R_pad, K = xq.shape
     E, K2, N = weights[0].shape
     V = visit_e.shape[0]
-    assert K2 == K and R_pad == V * block_m, (xq.shape, V, block_m)
+    assert w_bits in (4, 8)
+    # w_bits=4: split-halves PACKED int4 weights [E, K/2, N] — the
+    # kernel contracts hi/lo nibble halves directly (half the weight
+    # DMA; the unpacked block never materializes)
+    wk = K if w_bits == 8 else K // 2
+    assert w_bits == 8 or K % 2 == 0, (K, "w_bits=4 needs even K")
+    assert K2 == wk and R_pad == V * block_m, (xq.shape, V, block_m)
     assert N % block_n == 0, (N, block_n)
     assert not fuse_silu or nw == 2, "fuse_silu takes (gate, up)"
     assert not emit_quant or fuse_silu, "emit_quant rides the SwiGLU path"
@@ -222,9 +266,11 @@ def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
     if x_scale.ndim == 3:
         n_chunks = x_scale.shape[0]
         assert x_scale.shape == (n_chunks, 1, R_pad) and K % n_chunks == 0
+        # packed chunks must not straddle the hi/lo nibble boundary
+        assert w_bits == 8 or n_chunks % 2 == 0, (n_chunks, "w_bits=4")
     n_out = 1 if fuse_silu else nw
     for w, s in zip(weights, w_scales):
-        assert w.shape == (E, K, N) and s.shape == (E, N)
+        assert w.shape == (E, wk, N) and s.shape == (E, N)
 
     def x_map(j, v, ve, valid):
         del j, ve, valid
@@ -258,7 +304,7 @@ def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
         in_specs=[
             pl.BlockSpec((block_m, K), x_map),
             xs_spec,
-            *[pl.BlockSpec((1, K, block_n), w_map) for _ in range(nw)],
+            *[pl.BlockSpec((1, wk, block_n), w_map) for _ in range(nw)],
             # scales ride as [E, 1, N]: a (1, block_n) block of an [E, N]
             # array has second-to-last dim 1 (not 8-divisible, != E) and
             # fails the TPU lowering's tiling rule; the singleton middle
@@ -280,13 +326,13 @@ def gmm(xq, x_scale, weights, w_scales, visit_e, visit_valid,
                  else n_out * R_pad * N * 4)
     outs = pl.pallas_call(
         _make_kernel(nw, fuse_silu=fuse_silu, emit_quant=emit_quant,
-                     n_chunks=n_chunks),
+                     n_chunks=n_chunks, w_bits=w_bits),
         grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * R_pad * K * N * nw,
-            bytes_accessed=(R_pad * K * (N // block_n) + nw * E * K * N
-                            + out_bytes),
+            bytes_accessed=(R_pad * K * (N // block_n)
+                            + nw * E * wk * N + out_bytes),
             transcendentals=R_pad * N if fuse_silu else 0),
         interpret=interpret,
     )(visit_e, visit_valid, xq, x_scale.astype(jnp.float32),

@@ -477,6 +477,32 @@ def test_moe_grouped_multi_tile_requant_law():
     assert rel < 0.02, f"grouped vs bmm drift beyond quant noise: {rel}"
 
 
+def test_moe_grouped_w4a8_matches_int4_bmm():
+    """r5: the grouped kernel contracts split-halves PACKED int4 expert
+    weights directly (hi/lo nibble dots — half the weight DMA, no
+    unpacked block in VMEM). At a multi-F-tile shape (the chunked down
+    gmm crosses the nibble boundary), the chain must agree with the
+    int4 capacity-bmm path to quantization noise, and exactly with the
+    same chain run on w8 weights holding the SAME int4 values."""
+    cfg = _moe_cfg(d_model=128, d_ff=2816, expert_capacity=0.0)
+    x, _, qp = _w4_params(cfg, seed=17, batch=(1, 16))
+    y_bmm = np.asarray(MoEMLP(cfg, quantize=4).apply({"params": qp}, x))
+    cfg_g = dataclasses.replace(cfg, moe_grouped=True)
+    y_g = np.asarray(MoEMLP(cfg_g, quantize=4).apply({"params": qp}, x))
+    rel = np.abs(y_g - y_bmm).max() / (np.abs(y_bmm).max() + 1e-9)
+    assert rel < 0.02, f"w4a8 grouped vs int4 bmm drift: {rel}"
+
+    # exact cross-check: unpack the int4 codes into plain s8 weights and
+    # run the w8 grouped chain — same integers, bit-identical law
+    from medtsllm_tpu.models.llm.transformer import _unpack4_experts
+    qp8 = dict(qp)
+    for name, d_in in (("w_gate", 128), ("w_up", 128), ("w_down", 2816)):
+        qp8[name + "_q"] = _unpack4_experts(qp[name + "_q"], d_in)
+    y_8 = np.asarray(MoEMLP(cfg_g, quantize=8).apply({"params": qp8}, x))
+    np.testing.assert_allclose(y_g, y_8, rtol=1e-5,
+                               atol=1e-6 * np.abs(y_8).max())
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
 def test_moe_grouped_ep_matches_dropless_bmm():
     """EP serving (r5): the shard_map grouped chain — each (data, expert)

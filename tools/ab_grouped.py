@@ -161,7 +161,7 @@ def main():
     # bn must divide BOTH F=5632 (gate/up) and stay VMEM-safe; valid
     # steps are 128-multiples dividing 5632: 128/256/512/1408. The down
     # matmul (N=D) always runs at 512.
-    for bm, bn, fused, requant, bnd in (
+    for bm, bn, fused, requant, bnd, *w4flag in (
             (128, 512, False, False, 512), (128, 512, True, False, 512),
             (128, 1408, True, False, 512), (256, 512, True, False, 512),
             (64, 1408, True, False, 512),
@@ -177,7 +177,13 @@ def main():
             (128, 1408, True, True, 512),
             (128, 512, True, True, 512),
             (128, 1408, True, True, 1024),
-            (128, 1408, True, False, 1024)):
+            (128, 1408, True, False, 1024),
+            # r5: w4a8 — split-halves packed int4 expert weights, the
+            # kernel contracts the nibbles directly (HALF the dominant
+            # weight DMA: 277 -> 138 MB/layer at this shape)
+            (128, 1408, True, True, 1024, 4),
+            (128, 1408, True, True, 512, 4)):
+        w4 = bool(w4flag and w4flag[0] == 4)
         if args.bm and bm != args.bm:
             continue
         V = gmm_visits(rows, E, bm)
@@ -186,11 +192,12 @@ def main():
         def swiglu_gmm(kq, sc, counts, x):
             ve, valid, _ = gmm_metadata(counts, bm, V)
             xq, xs = row_quant(x)
+            wb = 4 if w4 else 8
             if fused and requant:
                 aq, as_ = gmm(xq, xs, (kq["g"], kq["u"]),
                               (sc["g"], sc["u"]), ve, valid,
                               block_m=bm, block_n=bn, fuse_silu=True,
-                              emit_quant=True)
+                              emit_quant=True, w_bits=wb)
             elif fused:
                 (act,) = gmm(xq, xs, (kq["g"], kq["u"]),
                              (sc["g"], sc["u"]), ve, valid,
@@ -202,21 +209,29 @@ def main():
                 act = jax.nn.silu(g) * u
                 aq, as_ = row_quant(act)
             (y,) = gmm(aq, as_, (kq["d"],), (sc["d"],), ve, valid,
-                       block_m=bm, block_n=bnd)
+                       block_m=bm, block_n=bnd, w_bits=wb)
             return y
 
         xp = jnp.asarray(rng.standard_normal((R_pad, D)), jnp.float32)
+        kq_run = kq
+        if w4:
+            from medtsllm_tpu.ops.pallas.quant_matmul import pack4_split
+            kq_run = {n: jnp.stack([
+                          jnp.asarray(pack4_split(np.asarray(
+                              jnp.clip(kq[n][e], -7, 7))))
+                          for e in range(E)]) for n in kq}
         label = (f"bm={bm} bn={bn}"
                  f"{' fused-silu' if fused else ''}"
                  f"{' emit-quant' if requant else ''}"
-                 f"{f' bnd={bnd}' if bnd != 512 else ''}")
+                 f"{f' bnd={bnd}' if bnd != 512 else ''}"
+                 f"{' W4A8' if w4 else ''}")
         for tag, sizes in (("balanced", [rows // E] * E),
                            ("skew-all-to-one", [rows] + [0] * (E - 1))):
             counts = jnp.asarray(sizes, jnp.int32)
             try:
                 t = timed(jax.jit(lambda kq, sc, c, x:
                                   swiglu_gmm(kq, sc, c, x)),
-                          kq, sc, counts, xp)
+                          kq_run, sc, counts, xp)
                 print(f"H/pallas gmm {label} ({tag}): {t*1e3:8.3f} ms",
                       flush=True)
             except Exception as e:
