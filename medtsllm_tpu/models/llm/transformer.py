@@ -82,11 +82,14 @@ class DecoderConfig:
     expert_capacity: float = 0.0
     # Pallas grouped-GEMM expert dispatch (ops/pallas/grouped_matmul):
     # dropless (HF-exact, zero capacity padding) at routed-token cost.
-    # Serving-only: the kernel has no vjp, so MoEMLP uses it only under
-    # deterministic=True with w8a8 experts (quantize=8 + act_quant) and
-    # no expert mesh; train and EP keep the static-capacity bmm path.
+    # Serving-only (the kernel has no vjp — train keeps the STE bmm),
+    # under deterministic=True with integer-MXU experts: w8a8
+    # (quantize=8 + act_quant) or, single-chip, W4A8 packed int4 with
+    # the absmax codebook (r5 — the kernel contracts the nibbles).
+    # Expert-parallel meshes run the w8 chain per-shard under shard_map
+    # (_grouped_ep); within-expert TP / pipeline keep the bmm path.
     # Resolved from models.<m>.llm.moe_grouped ("auto" = on exactly when
-    # those conditions plus single-chip hold) by MedTsLLM.from_config.
+    # those conditions hold on a tpu backend) by MedTsLLM.from_config.
     moe_grouped: bool = False
     # fuse q|k|v and gate|up into single wide matmuls (llama style).
     # MEASURED LOSS end-to-end at every batch tried (BASELINE.md: b4
@@ -741,6 +744,40 @@ def router_aux_loss(router_probs, expert_index, n_experts: int):
     return n_experts * jnp.sum(f * p)
 
 
+def _pack_and_run_gmm(xt, src, dest, n_slots, ve, valid, V, bm, bn_f,
+                      bn_d, wb, cd, interpret, kg, sg, ku, su, kd, sd):
+    """Quantize-before-dispatch + gather-pack + the fused-requant gmm
+    chain — shared by the single-device (_grouped) and EP (_grouped_ep)
+    paths so the packing invariants live in ONE place: quantization
+    round-trips through the compute dtype (bit-identical to the
+    capacity-bmm fallback's quant inputs), rows pack by GATHER (the
+    only scatter is the [V*bm] int32 inverse-permutation build — row
+    scatters serialize on TPU), out-of-range ``dest`` slots drop from
+    the permutation, and sentinel rows carry the 1e-10 scale floor.
+    Returns the down-gmm output [V*bm, D_out] (f32)."""
+    from medtsllm_tpu.ops.pallas.grouped_matmul import gmm, row_quant
+    i32 = jnp.int32
+    n_rows = xt.shape[0]
+    xq_t, xs_t = row_quant(xt.astype(cd).astype(jnp.float32))
+    inv = jnp.full(V * bm, n_slots, i32).at[dest].set(
+        jnp.arange(n_slots, dtype=i32))  # tile tails / OOB -> sentinel
+    tok = jnp.concatenate(  # packed row -> source token (n_rows = zeros)
+        [src.astype(i32), jnp.full((1,), n_rows, i32)])[inv]
+    xq = jnp.concatenate(
+        [xq_t, jnp.zeros((1, xt.shape[1]), jnp.int8)], axis=0)[tok]
+    xs = jnp.concatenate(
+        [xs_t, jnp.full((1, 1), 1e-10, jnp.float32)], axis=0)[tok]
+    # SwiGLU epilogue + requant fused in VMEM: the first gmm emits int8
+    # rows with per-(row, F-tile) scales straight into the down gmm —
+    # the [R, F] f32 activation never exists in HBM
+    aq, as_ = gmm(xq, xs, (kg, ku), (sg, su), ve, valid, block_m=bm,
+                  block_n=bn_f, interpret=interpret, fuse_silu=True,
+                  emit_quant=True, w_bits=wb)
+    (y,) = gmm(aq, as_, (kd,), (sd,), ve, valid, block_m=bm,
+               block_n=bn_d, interpret=interpret, w_bits=wb)
+    return y
+
+
 def _unpack4_experts(packed, n_in):
     """[E, ceil(n_in/2), N] split-halves-packed int4 -> [E, n_in, N]
     int8 (quant_matmul.unpack4_split with a leading expert axis)."""
@@ -829,7 +866,7 @@ class MoEMLP(nn.Module):
         outputs [T*k, D] in compute dtype, or None when the shapes don't
         tile (caller falls back to the static-capacity bmm path)."""
         from medtsllm_tpu.ops.pallas.grouped_matmul import (
-            gmm, gmm_metadata, gmm_visits, pick_block_n, row_quant)
+            gmm_metadata, gmm_visits, pick_block_n)
         cfg = self.cfg
         E, k, F = cfg.n_experts, cfg.n_experts_per_tok, cfg.d_ff
         # gate/up at the widest VMEM-safe tile (fewer activation
@@ -863,35 +900,9 @@ class MoEMLP(nn.Module):
         kg, sg = stacked("w_gate", D, F)
         ku, su = stacked("w_up", D, F)
         kd, sd = stacked("w_down", F, D)
-        # quantize per-token BEFORE dispatch (padding rows never see the
-        # quant pass; numerics identical — same row values), then pack by
-        # GATHER, not scatter: the only scatter is the [R_pad] int32
-        # inverse-permutation build; the wide int8 rows move through a
-        # vectorized gather (row scatters serialize on TPU). Round-trip
-        # through cd first so quantization sees EXACTLY the values the
-        # capacity-bmm fallback quantizes (it casts xt into cd before
-        # quant) — bit-identical paths even when cd=bf16 and xt is f32
-        xq_t, xs_t = row_quant(xt.astype(cd).astype(jnp.float32))
-        inv = jnp.full(V * bm, T * k, jnp.int32).at[dest].set(
-            jnp.arange(T * k, dtype=jnp.int32))  # tile tails -> sentinel
-        tok = jnp.concatenate(  # packed row -> source token (T = zeros)
-            [src.astype(jnp.int32), jnp.full((1,), T, jnp.int32)])[inv]
-        xq = jnp.concatenate(
-            [xq_t, jnp.zeros((1, D), jnp.int8)], axis=0)[tok]
-        xs = jnp.concatenate(
-            [xs_t, jnp.full((1, 1), 1e-10, jnp.float32)], axis=0)[tok]
-        # SwiGLU epilogue + requant fused in VMEM: the first gmm emits
-        # int8 rows with per-(row, F-tile) scales straight into the down
-        # gmm — the [R, F] f32 activation never exists in HBM (the r4
-        # separate row_quant pass read + re-wrote it: ~208 MB/layer at
-        # the b16 serving shape, the dominant residual over the measured
-        # dropless bound in BASELINE.md "Grouped-GEMM candidates")
-        aq, as_ = gmm(xq, xs, (kg, ku), (sg, su), ve, valid,
-                      block_m=bm, block_n=bn_f, interpret=interpret,
-                      fuse_silu=True, emit_quant=True, w_bits=wb)
-        (y,) = gmm(aq, as_, (kd,), (sd,), ve, valid,
-                   block_m=bm, block_n=bn_d, interpret=interpret,
-                   w_bits=wb)
+        y = _pack_and_run_gmm(xt, src, dest, T * k, ve, valid, V, bm,
+                              bn_f, bn_d, wb, cd, interpret,
+                              kg, sg, ku, su, kd, sd)
         return y[dest].astype(cd)
 
     def _grouped_ep(self, x, top_i, weights, stacked, B, L, D):
@@ -911,7 +922,7 @@ class MoEMLP(nn.Module):
         from jax.sharding import PartitionSpec as P
 
         from medtsllm_tpu.ops.pallas.grouped_matmul import (
-            gmm, gmm_metadata, gmm_visits, pick_block_n, row_quant)
+            gmm_metadata, gmm_visits, pick_block_n)
         cfg = self.cfg
         mesh = self.ep_mesh
         E, k, F = cfg.n_experts, cfg.n_experts_per_tok, cfg.d_ff
@@ -959,20 +970,9 @@ class MoEMLP(nn.Module):
                              row_off[jnp.minimum(le, E_l - 1)] + pos,
                              V * bm)  # non-local -> dropped from inv
 
-            xq_t, xs_t = row_quant(xt.astype(cd).astype(jnp.float32))
-            inv = jnp.full(V * bm, T_l * k, i32).at[dest].set(
-                jnp.arange(T_l * k, dtype=i32))  # OOB dest slots drop
-            tok = jnp.concatenate(
-                [src, jnp.full((1,), T_l, i32)])[inv]
-            xq = jnp.concatenate(
-                [xq_t, jnp.zeros((1, D), jnp.int8)], axis=0)[tok]
-            xs = jnp.concatenate(
-                [xs_t, jnp.full((1, 1), 1e-10, jnp.float32)], axis=0)[tok]
-            aq, as_ = gmm(xq, xs, (kg, ku), (sg, su), ve, valid,
-                          block_m=bm, block_n=bn_f, interpret=interpret,
-                          fuse_silu=True, emit_quant=True)
-            (y,) = gmm(aq, as_, (kd,), (sd,), ve, valid,
-                       block_m=bm, block_n=bn_d, interpret=interpret)
+            y = _pack_and_run_gmm(xt, src, dest, T_l * k, ve, valid, V,
+                                  bm, bn_f, bn_d, 8, cd, interpret,
+                                  kg, sg, ku, su, kd, sd)
             # non-local slots: dest clamps into a real row on gather —
             # the local mask zeroes their contribution before the psum
             slot_out = y[jnp.minimum(dest, V * bm - 1)].astype(cd)

@@ -298,6 +298,12 @@ class MedTsLLM(nn.Module):
                     "(load_in_8bit, or load_in_4bit with the absmax "
                     "codebook, with int8_matmul) — the grouped kernel's "
                     "contraction is s8 x s8 only")
+            if mg and ep_cfg and quantize != 8:
+                raise ValueError(
+                    "models.llm.moe_grouped under expert_parallel is "
+                    "w8a8-only (the shard_map EP chain does not carry "
+                    "the packed-int4 contraction); use load_in_8bit or "
+                    "drop the expert axis for single-chip w4a8 serving")
             if mg and not single and not ep_cfg:
                 warnings.warn(
                     "models.llm.moe_grouped forced true with "

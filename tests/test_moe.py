@@ -584,7 +584,7 @@ def test_moe_grouped_config_resolution(tmp_path):
     assert model.llm_cfg.moe_grouped is True
 
     cfg.models.medtsllm.llm["load_in_8bit"] = False
-    with pytest.raises(ValueError, match="w8a8"):
+    with pytest.raises(ValueError, match="integer-MXU"):
         build_model(cfg, ds)
 
     cfg.models.medtsllm.llm["load_in_8bit"] = True
