@@ -48,6 +48,12 @@ PRESETS = {
         style="llama", vocab_size=512, d_model=64, n_layers=2,
         n_heads=4, d_ff=128, max_position=512, bos_token_id=1,
         eos_token_id=2, n_experts=4, n_experts_per_tok=2),
+    "mixtral-tiny-128": DecoderConfig(  # MoE tiny at 128-multiple dims:
+        # the smallest shape the grouped-GEMM kernel tiles (CPU interpret
+        # tests + the dryrun's EP-grouped serving row use it)
+        style="llama", vocab_size=512, d_model=128, n_layers=2,
+        n_heads=4, d_ff=256, max_position=512, bos_token_id=1,
+        eos_token_id=2, n_experts=4, n_experts_per_tok=2),
     "moe-8x1b": DecoderConfig(  # 8-expert MoE on the TinyLlama-1.1B shape:
         # ~6.4B stored / ~1.8B active params (top-2 routing), int8 fits one
         # v5e chip; GShard capacity 1.25 bounds the dispatch buffers
