@@ -159,6 +159,8 @@ def _build_pair(ref_pkgs, tmp_path, monkeypatch, cfg_dict, raw):
     base_cls = {
         "anomaly_detection": ref_pkgs.ds_base.AnomalyDetectionDataset,
         "segmentation": ref_pkgs.ds_base.SegmentationDataset,
+        "semantic_segmentation":
+            ref_pkgs.ds_base.SemanticSegmentationDataset,
     }[cfg_dict["task"]]
 
     class RefOracleDs(base_cls):
@@ -273,6 +275,72 @@ def test_ad_evalchain_oracle(ref_pkgs, tmp_path, monkeypatch, ad_cfg):
             np.testing.assert_allclose(my_r[k], ref_r[k],
                                        rtol=2e-4, atol=1e-7,
                                        err_msg=f"{split}: {k}")
+
+
+# ---------------------------------------------------------------------------
+# semantic segmentation: stitch class scores -> binary complement fill ->
+# argmax -> sklearn metrics  (reference tasks/semantic_segmentation.py:80-148)
+# ---------------------------------------------------------------------------
+
+
+def _semseg_raw(n_classes, n_train=720, n_eval=480, n_features=3, seed=41):
+    """Piecewise-regime series whose per-timestep labels cycle the class
+    set (every split carries all classes — the reference derives
+    n_classes per split from labels.unique())."""
+    rng = np.random.default_rng(seed)
+
+    def split(n):
+        x = np.zeros((n, n_features))
+        labels = np.zeros(n, dtype=np.int64)
+        pos, cls = 0, 0
+        while pos < n:
+            ln = int(rng.integers(40, 90))
+            end = min(pos + ln, n)
+            t = np.arange(pos, end, dtype=np.float64)[:, None]
+            x[pos:end] = (np.sin(2 * np.pi * t / (12 + 9 * cls))
+                          * (1 + np.arange(n_features))
+                          + 0.2 * rng.normal(size=(end - pos, n_features)))
+            labels[pos:end] = cls
+            cls = (cls + 1) % n_classes
+            pos = end
+        return {"data": x, "labels": labels}
+
+    return {"train": split(n_train), "val": split(n_eval),
+            "test": split(n_eval)}
+
+
+@pytest.mark.parametrize("n_classes", [2, 3], ids=["binary", "multiclass"])
+def test_semseg_evalchain_oracle(ref_pkgs, tmp_path, monkeypatch,
+                                 n_classes):
+    raw = _semseg_raw(n_classes)
+    cfg_dict = _cfg_dict(tmp_path, "semantic_segmentation", {})
+    cfg_dict["training"]["loss"] = "ce"
+    ref_task, trainer = _build_pair(ref_pkgs, tmp_path, monkeypatch,
+                                    cfg_dict, raw)
+
+    for split, ref_dl, my_pipe in [
+            ("val", ref_task.val_dataloader, trainer.val_pipeline),
+            ("test", ref_task.test_dataloader, trainer.test_pipeline)]:
+        ref_p, ref_t = ref_task.predict(ref_dl)
+        my_p, my_t = trainer.predict(my_pipe)
+
+        np.testing.assert_array_equal(np.asarray(my_t), ref_t.numpy(),
+                                      err_msg=f"{split}: labels")
+        # stitched per-class scores (binary: class-1 sigmoid + the
+        # 1-p complement fill; multiclass: softmax rows)
+        np.testing.assert_allclose(np.asarray(my_p), ref_p.numpy(),
+                                   rtol=2e-4, atol=2e-6,
+                                   err_msg=f"{split}: class scores")
+        np.testing.assert_array_equal(
+            np.asarray(my_p).argmax(axis=1), ref_p.argmax(dim=1).numpy(),
+            err_msg=f"{split}: argmax classes")
+
+        ref_m = ref_task.score(ref_p, ref_t)
+        my_m = trainer.score(my_p, my_t)
+        assert set(my_m) == set(ref_m)
+        for kk, v in ref_m.items():
+            np.testing.assert_allclose(my_m[kk], v, rtol=1e-9,
+                                       err_msg=f"{split}: {kk}")
 
 
 # ---------------------------------------------------------------------------
