@@ -45,21 +45,32 @@ def _timed_matmul(f, a, b, lo=16, hi=64):
                 if a.dtype == jnp.int8:
                     ai = a + i.astype(jnp.int8)
                 else:
-                    ai = a * (1.0 + i.astype(a.dtype) * 1e-30)
-                return acc + f(ai, b).astype(jnp.float32).ravel()[0]
+                    # the perturbation must be REPRESENTABLE in a.dtype
+                    # (1 + 1e-30 rounds to exactly 1.0 even in f32 — the
+                    # body goes loop-invariant and LICM hoists it: the
+                    # first r5 run read 0.000 ms for every bf16 probe)
+                    ai = a + i.astype(a.dtype) * jnp.asarray(1e-3,
+                                                             a.dtype)
+                # consume the FULL output (a [0, 0] probe lets XLA
+                # shrink the dot to a single output column)
+                return acc + jnp.sum(f(ai, b).astype(jnp.float32))
             return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
         return jax.jit(run)
 
     g_lo, g_hi = make(lo), make(hi)
     float(g_lo(a, b)), float(g_hi(a, b))  # compile + first-exec stall
     ts = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         float(g_lo(a, b))
         t1 = time.perf_counter()
         float(g_hi(a, b))
         ts.append((time.perf_counter() - t1) - (t1 - t0))
-    return max(min(ts), 1e-9) / (hi - lo)
+    # MEDIAN of the differences: each sample is (floor_hi + hi*t) -
+    # (floor_lo + lo*t) and the floors are independent weather draws, so
+    # a single storm makes a sample arbitrarily negative or large — the
+    # min() used first read 0.000 ms for every small matmul
+    return max(float(np.median(ts)), 1e-9) / (hi - lo)
 
 
 def main():
@@ -85,16 +96,14 @@ def main():
     BH = args.batch * H
 
     def int8_mm(a, b):
-        acc = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-        return acc.astype(jnp.float32)[:1, :1]
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
 
     def bf16_mm(a, b):
-        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())))[:1, :1]
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())))
 
     def batched_mm(a, b):
-        return jax.lax.dot_general(
-            a, b, (((2,), (1,)), ((0,), (0,))))[:1, :1, :1]
+        return jax.lax.dot_general(a, b, (((2,), (1,)), ((0,), (0,))))
 
     # -- forward int8 projections (once per layer under remat="dots") ----
     fwd_shapes = [("q/k/v/o", 4, D, D), ("gate/up", 2, D, F),
