@@ -544,16 +544,20 @@ def test_moe_grouped_ep_skew_never_drops():
 def test_moe_grouped_ep_trainer_serving(tmp_path):
     """Through the trainer: an expert_parallel mesh + moe_grouped serves
     eval through the EP shard_map chain (auto-gate allows EP meshes) and
-    the TRAIN step stays on the differentiable bmm path."""
+    the TRAIN step stays on the differentiable bmm path. The 128-wide
+    MoE preset makes the kernel actually TILE (mixtral-tiny's d=64
+    would silently fall back to the bmm)."""
     from medtsllm_tpu.tasks import get_trainer
     cfg = _trainer_cfg(tmp_path, expert=2)
+    cfg.models.medtsllm.llm["llm"] = "mixtral-tiny-128"
     cfg.models.medtsllm.llm["load_in_8bit"] = True
     cfg.models.medtsllm.llm["moe_grouped"] = True
     trainer = get_trainer("ep-grouped", cfg)
     assert trainer.model.llm_cfg.moe_grouped is True
+    assert trainer.model.llm_cfg.d_model == 128  # kernel tiles
     assert "expert" in trainer.mesh.shape
     trainer.train()  # train path: STE bmm (deterministic=False)
-    scores = trainer.val()  # eval path: grouped-EP (or tiling fallback)
+    scores = trainer.val()  # eval path: grouped-EP shard_map chain
     assert all(np.isfinite(v) for v in scores.values())
 
 
