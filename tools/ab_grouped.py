@@ -177,6 +177,9 @@ def main():
             (128, 1408, True, True, 512),
             (128, 512, True, True, 512),
             (128, 1408, True, True, 1024),
+            # bm=256 x emit_quant x bnd=1024 FAILED to compile (Mosaic
+            # HTTP 500, VMEM: 2x [256, 1408] f32 intermediates + the
+            # double-buffered weight blocks) — measured 2026-08-20 b32
             (128, 1408, True, False, 1024),
             # r5: w4a8 — split-halves packed int4 expert weights, the
             # kernel contracts the nibbles directly (HALF the dominant
