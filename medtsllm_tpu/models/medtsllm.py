@@ -151,6 +151,10 @@ class MedTsLLM(nn.Module):
                    if codebook_4 else ""))
         return "int8_bwd"
 
+    # (under [setup] tp_overlap the column ring matmuls honor int8_bwd;
+    # the row-parallel reduce-scatter keeps its exact-s32 ring math with
+    # the bf16 STE backward — parallel/sp.py::_make_row_mm)
+
     @classmethod
     def from_config(cls, config, dataset):
         mc = cls.model_config(config)

@@ -165,8 +165,13 @@ def _proj_mm(leaf: dict, quantize: int, act_quant: bool, dtype):
     from ..models.llm.transformer import _act_quant_matmul
 
     def mm(x):
-        return _act_quant_matmul(x.astype(jnp.float32), kq, scale,
-                                 8).astype(dtype or x.dtype)
+        # act_quant carries the backward mode ("int8_bwd" = s8 MXU dx,
+        # llm.int8_backward) — column rings accelerate; the row-parallel
+        # reduce-scatter keeps its exact-s32 ring math with bf16 STE
+        # backward (_RowQuant below)
+        return _act_quant_matmul(x.astype(jnp.float32), kq, scale, 8,
+                                 act_quant == "int8_bwd"
+                                 ).astype(dtype or x.dtype)
     return mm
 
 
